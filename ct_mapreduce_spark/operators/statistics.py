@@ -1,0 +1,67 @@
+"""storage-statistics as a single ROLLUP query.
+
+The reference computes a 3-level report with nested loops of Redis point
+reads (cmd/storage-statistics/storage-statistics.go:22-100): per
+(issuer, expDate) distinct-serial counts (SCARD), per-issuer sums +
+metadata-set sizes, and grand totals. That is exactly
+`GROUP BY ROLLUP(issuer_id, exp_date)` (SURVEY §2.4 A1-A3) — one shuffle,
+partial aggregation map-side, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stats_rollup(certs: DataFrame, exact: bool = True) -> DataFrame:
+    """Rollup over (issuer_id, exp_date): distinct serial counts.
+
+    Level 2 rows (issuer, exp_date)  = storage-statistics.go:49-55 lines,
+    level 1 rows (issuer, NULL)      = per-issuer totals (:78-79),
+    level 0 row  (NULL, NULL)        = grand totals (:82).
+
+    The count is distinct over the full (exp_date, issuer_id, serial)
+    triple: within a leaf group that equals distinct serials (= SCARD), and
+    higher levels are *additive* sums of the leaf counts — exactly how the
+    reference totals its report (sums at storage-statistics.go:44-53,82).
+    A global count_distinct(serial) would differ (the same serial can recur
+    under another issuer/date) and would not match the Go tool.
+
+    exact=False swaps in approx_count_distinct (HLL) — the 100 TB path when
+    +-2% is acceptable; the shuffle then carries fixed-size sketches
+    instead of per-key serial sets.
+    """
+    cnt = (
+        F.count_distinct(F.col("exp_date"), F.col("issuer_id"), F.col("serial"))
+        if exact
+        else F.approx_count_distinct(
+            F.concat_ws("::", F.col("exp_date"), F.col("issuer_id"), F.hex("serial"))
+        )
+    )
+    return (
+        certs.rollup("issuer_id", "exp_date")
+        .agg(
+            cnt.alias("n_serials"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping("issuer_id").alias("g_issuer"),
+            F.grouping("exp_date").alias("g_exp"),
+        )
+    )
+
+
+def full_report(certs_deduped: DataFrame, metadata: DataFrame) -> DataFrame:
+    """Per-issuer report line: serial totals joined with metadata-set sizes
+    (storage-statistics.go:36-79). metadata is the issuer_metadata() result
+    — tiny (one row per issuer), so broadcast."""
+    per_issuer = certs_deduped.groupBy("issuer_id").agg(
+        F.count_distinct("serial", "exp_date").alias("n_serials"),
+        F.count_distinct("exp_date").alias("n_exp_dates"),
+    )
+    return per_issuer.join(F.broadcast(metadata), "issuer_id", "left").select(
+        "issuer_id",
+        "n_serials",
+        "n_exp_dates",
+        F.size("crl_set").alias("n_crls"),
+        F.size("dn_set").alias("n_dns"),
+    )

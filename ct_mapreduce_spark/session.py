@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Single place where engine-wide physical-execution posture is set: AQE on
+(runtime re-plan, skew-join splitting, partition coalescing), Arrow on (the
+pandas-UDF surface is Arrow-vectorized), UTC session timezone (so results are
+comparable against UTC-naive oracles), shuffle partitions sized to cores
+rather than the 200 default.
+
+The reference's equivalents of these knobs are hand-coded constants
+(worker parallelism `config/config.go:187`, channel capacity
+`cmd/ct-fetch/ct-fetch.go:132`); here they are Spark confs that scale with
+the cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] test harness; on a real cluster the
+# caller overrides master/memory via spark-submit and these become no-ops.
+_DEF_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "ct_mapreduce_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Safe to call repeatedly — Spark returns the existing session; confs
+    passed here only apply on first creation.
+    """
+    cpus = int(_DEF_CPUS)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Parquet scans: larger row groups per task at 100 TB; harmless locally.
+        .config("spark.sql.files.maxPartitionBytes", "256m")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_GRAFT_EXTERNAL_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+        builder = builder.config("spark.driver.memory", "48g")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

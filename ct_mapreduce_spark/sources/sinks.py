@@ -1,0 +1,59 @@
+"""Sinks beyond the main partitioned-parquet store (SURVEY §2.1).
+
+S7  serial-list export  (storage/localdiskbackend.go:212-237)
+S12 noop sink           (storage/noopbackend.go)
+S6  log-state table     (storage/localdiskbackend.go:201-210 /
+                         rediscache.go:180-204)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ct_mapreduce_spark.functions.codecs import serial_hex
+from ct_mapreduce_spark.schemas import LOG_STATES
+
+
+def write_serial_list(deduped: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7: newline-delimited lowercase-hex serials, one directory per
+    issuer (golden: serials 01,02,03 -> file bytes '30310A30320A30330A',
+    localdiskbackend_test.go:60-85). Text sink writes one line per row;
+    partitionBy(issuer_id) reproduces the per-issuer file layout."""
+    (
+        deduped.select(serial_hex("serial").alias("value"), "issuer_id")
+        .write.partitionBy("issuer_id")
+        .mode(mode)
+        .text(path)
+    )
+
+
+def write_noop(df: DataFrame) -> None:
+    """S12: Spark's built-in `noop` format — full execution, discarded
+    output (the reference's cache-only mode, engine/engine.go:24,36-40)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def write_log_states(states: DataFrame, path: str) -> None:
+    """S6: the ingest-cursor table. Tiny; coalesce(1) keeps it a single
+    file like the reference's per-log JSON blobs."""
+    states.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_log_states(spark: SparkSession, path: str) -> DataFrame:
+    """Blank-on-missing semantics (localdiskbackend.go:244-261): a missing
+    store yields an empty frame with the right schema."""
+    try:
+        return spark.read.schema(LOG_STATES).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], LOG_STATES)
+
+
+def upsert_log_state(
+    spark: SparkSession, path: str, updates: DataFrame
+) -> DataFrame:
+    """Read-modify-write upsert keyed by url (filesystemdatabase.go:110-139
+    read-through analog; no Delta in this image, so anti-join + union)."""
+    current = read_log_states(spark, path)
+    merged = updates.unionByName(current.join(updates, "url", "left_anti"))
+    return merged
