@@ -1,0 +1,934 @@
+"""Declared query corpus: one entry per implemented operator (SURVEY §2).
+
+Each entry pairs a Spark DataFrame query with the equivalent ANSI SQL for
+the DuckDB oracle (driver correctness gate). Naming follows SURVEY §2 ids
+(S=scan, P=projection/filter, D=dedup, A=aggregation, J=join, W=window,
+O=order/limit, U=set ops, T=streaming/time).
+
+Hash-match discipline (the driver compares order-insensitive value hashes):
+- every computed column aliased identically on both sides;
+- double-typed SUMs go through DECIMAL so partial-aggregation order can't
+  change low bits (decimal addition is associative; float addition is not),
+  then CAST back to DOUBLE (exact);
+- timestamps rendered as strings (UTC session both sides);
+- row_number ties always broken by a unique column.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ct_mapreduce_spark.functions.codecs import (
+    base64url,
+    serial_hex,
+    spki_issuer_id,
+    spki_or_fallback,
+    unique_cert_id,
+)
+from ct_mapreduce_spark.functions.dates import exp_date_day, exp_date_hour
+from ct_mapreduce_spark.functions.urls import normalize_crl_dps
+from ct_mapreduce_spark.operators.dedup import first_seen
+from ct_mapreduce_spark.sources.tables import load_table
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # None => non-SQL-expressible, rows-only check
+    tags: tuple[str, ...] = ()
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def q(name: str, sql: Optional[str], *tags: str):
+    def deco(fn):
+        REGISTRY[name] = Query(fn=fn, sql=sql, tags=tags)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+def _dec(c, scale: int = 4):
+    """Exact-sum staging: DOUBLE -> DECIMAL(25,scale)."""
+    return F.col(c).cast(f"decimal(25,{scale})") if isinstance(c, str) else c.cast(
+        f"decimal(25,{scale})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A. Aggregations (reference: storage-statistics, SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "a1_count_per_bucket",
+    """
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') AS exp_bucket,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_rows
+    FROM events GROUP BY 1, 2
+    """,
+    "agg",
+)
+def a1_count_per_bucket(spark, sf_dir):
+    """A1 (knowncertificates.go:57-63): per-(key, hour-bucket) exact
+    distinct counts — SCARD of `serials::<expDate>::<issuer>` restated as
+    one grouped aggregation over the events analog."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", exp_date_hour("ts").alias("exp_bucket")
+    ).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@q(
+    "a3_stats_rollup",
+    """
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS exp_day,
+           count(DISTINCT event_type || '|' || strftime(date_trunc('day', ts), '%Y-%m-%d')
+                 || '|' || user_id) AS n_keys,
+           count(*) AS n_rows,
+           GROUPING(event_type) AS g_type,
+           GROUPING(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS g_day
+    FROM events
+    GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+    """,
+    "agg",
+)
+def a3_stats_rollup(spark, sf_dir):
+    """A1→A2→A3 (storage-statistics.go:36-82): the 3-level report is one
+    GROUP BY ROLLUP; higher levels are additive sums of leaf distinct
+    counts (see operators/statistics.py)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", exp_date_day("ts").alias("exp_day"), "user_id"
+    )
+    return ev.rollup("event_type", "exp_day").agg(
+        F.count_distinct(
+            F.concat_ws("|", "event_type", "exp_day", "user_id")
+        ).alias("n_keys"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping("event_type").cast("long").alias("g_type"),
+        F.grouping("exp_day").cast("long").alias("g_day"),
+    )
+
+
+@q(
+    "a4_group_keys_by_issuer",
+    """
+    SELECT source,
+           list_sort(list(DISTINCT lang)) AS lang_set,
+           count(DISTINCT doc_id) AS n_docs
+    FROM documents GROUP BY source
+    """,
+    "agg",
+)
+def a4_group_keys_by_issuer(spark, sf_dir):
+    """A4/D3 (filesystemdatabase.go:59-100, issuermetadata.go:92-138):
+    distinct-set accumulation per group key — collect_set, sorted for
+    deterministic comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.array_sort(F.collect_set("lang")).alias("lang_set"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D. Deduplication (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "d1_dedup_first_seen",
+    """
+    SELECT event_id, user_id, event_type, value FROM (
+      SELECT event_id, user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+    "dedup",
+)
+def d1_dedup_first_seen(spark, sf_dir):
+    """D1+W1 (knowncertificates.go:36-55): WasUnknown gating = keep only
+    the first-seen row per key; winner = min(event_id) for determinism.
+    Implemented as min_by aggregation (map-side combinable) rather than a
+    window so the shuffle carries one candidate per key per partition."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return first_seen(ev, keys=("user_id", "event_type"), order_col="event_id")
+
+
+# ---------------------------------------------------------------------------
+# S. Scans / lookups (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "s4_point_lookup",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+    FROM lineitem
+    WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+    """,
+    "scan",
+)
+def s4_point_lookup(spark, sf_dir):
+    """S4 (cmd/ct-getcert/ct-getcert.go:16-57): point lookup by key. The
+    scalar subquery becomes a broadcast single-row join."""
+    li = _t(spark, sf_dir, "lineitem")
+    mn = li.agg(F.min("l_orderkey").alias("l_orderkey"))
+    return li.join(F.broadcast(mn), "l_orderkey").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    )
+
+
+@q(
+    "s8_partition_pruning",
+    """
+    SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_bucket
+    FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    """,
+    "scan",
+)
+def s8_partition_pruning(spark, sf_dir):
+    """S8 (localdiskbackend.go:93-119): enumerate non-expired date
+    partitions — a pruned distinct over the bucket key; on the partitioned
+    store this predicate prunes directories before any IO."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("ts") >= F.lit("2024-01-15 00:00:00"))
+        .select(exp_date_day("ts").alias("day_bucket"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# P. Projections / scalar functions (SURVEY §2.2, §2.7)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "p6_crl_normalize",
+    """
+    SELECT issuer, url FROM (
+      SELECT DISTINCT t.issuer, trim(u.url) AS url
+      FROM (VALUES
+        ('i1', ['http://a/crl', 'ldap://d/cn=x', '  http://a/crl  ']),
+        ('i2', ['https://b/int.crl', 'ftp://f/ca.crl', 'ldaps://d/cn=y']),
+        ('i3', ['http://c/1.crl', 'https://c/2.crl'])
+      ) AS t(issuer, urls), UNNEST(t.urls) AS u(url)
+      WHERE trim(u.url) SIMILAR TO 'https?://.*') x
+    """,
+    "projection",
+)
+def p6_crl_normalize(spark, sf_dir):
+    """P6 (issuermetadata.go:48-60): CRL DP normalization — trim, keep only
+    http(s) (ldap silently dropped), distinct. Golden literals from
+    issuermetadata_test.go:16-60."""
+    rows = [
+        ("i1", ["http://a/crl", "ldap://d/cn=x", "  http://a/crl  "]),
+        ("i2", ["https://b/int.crl", "ftp://f/ca.crl", "ldaps://d/cn=y"]),
+        ("i3", ["http://c/1.crl", "https://c/2.crl"]),
+    ]
+    df = spark.createDataFrame(rows, "issuer string, urls array<string>")
+    return df.select(
+        "issuer", F.explode(normalize_crl_dps("urls")).alias("url")
+    ).distinct()
+
+
+@q(
+    "p7_key_derivations",
+    """
+    SELECT name,
+           lower(hex(b)) AS serial_hex,
+           replace(replace(to_base64(b), '+', '-'), '/', '_') AS serial_id,
+           d AS spki_sha256,
+           replace(replace(to_base64(unhex(d)), '+', '-'), '/', '_')
+             AS issuer_id
+    FROM (SELECT t.name, unhex(t.h) AS b, t.d FROM (VALUES
+            ('deadbeef', 'DEADBEEF',
+             '5f78c33274e43fa9de5659265c1d917e25c03722dcb0b8d27db8d5feaa813953'),
+            ('leading_zero', '00AA',
+             'd2c79d9973bfdaa70e406338d4f4b77e4941dbf90fa84bbbe6769808587528ad'),
+            ('spki_ff', 'FF',
+             'a8100ae6aa1940d0b663bb31cd466142ebbdbd5187131b92d93818987832eb89'),
+            ('long', '0102030405060708090A0B0C0D0E0F1011',
+             'a9ce213e0c75b432a9e5c166e4f38e661ec95a3370cd111c72688ecb4b503205')
+          ) AS t(name, h, d)) s
+    """,
+    "projection",
+)
+def p7_key_derivations(spark, sf_dir):
+    """P7 (storage/types.go:210-224,147-159,124-130): the key-derivation
+    codec family on golden byte vectors (types_test.go:41-101). Includes a
+    17-byte serial (types_test.go:130-150) — identity stays binary/hex."""
+    rows = [
+        ("deadbeef", bytes.fromhex("DEADBEEF")),
+        ("leading_zero", bytes.fromhex("00AA")),
+        ("spki_ff", bytes.fromhex("FF")),
+        ("long", bytes.fromhex("0102030405060708090A0B0C0D0E0F1011")),
+    ]
+    df = spark.createDataFrame(rows, "name string, b binary")
+    return df.select(
+        "name",
+        serial_hex("b").alias("serial_hex"),
+        base64url("b").alias("serial_id"),
+        F.sha2("b", 256).alias("spki_sha256"),
+        spki_issuer_id("b").alias("issuer_id"),
+    )
+
+
+@q(
+    "p8_spki_fallback",
+    """
+    SELECT name,
+           CASE WHEN octet_length(skid) < 8
+                THEN expected_sha1_hex
+                ELSE lower(hex(skid)) END AS authority_hex
+    FROM (SELECT t.name, unhex(t.skid_hex) AS skid, t.expected_sha1_hex
+          FROM (VALUES
+            ('short_skid', '010203', '39955cbbbed99703081ddfe1aea5497a3cb98fdd'),
+            ('full_skid', '0102030405060708090A', NULL),
+            ('empty_skid', '', '39955cbbbed99703081ddfe1aea5497a3cb98fdd')
+          ) AS t(name, skid_hex, expected_sha1_hex)) s
+    """,
+    "projection",
+)
+def p8_spki_fallback(spark, sf_dir):
+    """P8 (filesystemdatabase.go:146-156): SKID<8 bytes -> sha1(SPKI)
+    fallback. DuckDB lacks sha1, so the oracle carries the precomputed
+    digest of the fixed SPKI literal b'some-spki-bytes' — still a golden
+    check of Spark's sha1 path (filesystemdatabase_test.go:80-111)."""
+    spki = b"some-spki-bytes"  # sha1 = 39955cbbbed99703081ddfe1aea5497a3cb98fdd
+    rows = [
+        ("short_skid", bytes.fromhex("010203"), spki),
+        ("full_skid", bytes.fromhex("0102030405060708090A"), spki),
+        ("empty_skid", b"", spki),
+    ]
+    df = spark.createDataFrame(rows, "name string, skid binary, spki binary")
+    return df.select(
+        "name", F.lower(F.hex(spki_or_fallback("skid", "spki"))).alias("authority_hex")
+    )
+
+
+@q(
+    "p7b_unique_cert_id",
+    """
+    SELECT exp_date || '::' || issuer || '::' ||
+           replace(replace(to_base64(unhex(serial_hex)), '+', '-'), '/', '_')
+             AS cert_key
+    FROM (VALUES ('2019-04-28-22', 'an issuer', '0104AAFF'),
+                 ('2024-01-01-06', 'issuerAKI', '00AA'))
+         AS t(exp_date, issuer, serial_hex)
+    """,
+    "projection",
+)
+def p7b_unique_cert_id(spark, sf_dir):
+    """UniqueCertIdentifier composite key (types.go:273-306,
+    types_test.go:254-269)."""
+    rows = [
+        ("2019-04-28-22", "an issuer", bytes.fromhex("0104AAFF")),
+        ("2024-01-01-06", "issuerAKI", bytes.fromhex("00AA")),
+    ]
+    df = spark.createDataFrame(rows, "exp_date string, issuer string, serial binary")
+    return df.select(unique_cert_id("exp_date", "issuer", "serial").alias("cert_key"))
+
+
+@q(
+    "scalar_strings",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           string_split(p_type, ' ')[1] AS type_head,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           substr(p_name, 1, 5) AS name5,
+           length(p_name) AS name_len,
+           trim('  ' || p_name || ' ') AS name_trim
+    FROM part
+    """,
+    "scalar",
+)
+def scalar_strings(spark, sf_dir):
+    """§2.7 string functions: split/trim/substr/concat_ws/startswith
+    analogs (types.go:280,314; ct-fetch.go:58-59)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.split("p_type", " ").getItem(0).alias("type_head"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+    )
+
+
+@q(
+    "scalar_json",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / count(*) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    "scalar",
+)
+def scalar_json(spark, sf_dir):
+    """§2.7 JSON (types.go:230-241 analog): extract typed fields from the
+    props JSON blob; integer sums are exact."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )
+
+
+@q(
+    "scalar_datetime",
+    """
+    SELECT event_id,
+           strftime(ts + INTERVAL 1 HOUR - INTERVAL 1 MILLISECOND,
+                    '%Y-%m-%d %H:%M:%S.%g') AS last_good,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') AS bucket_hour,
+           CAST(epoch_ms(ts) AS BIGINT) AS unix_ms
+    FROM events WHERE event_id < 100
+    """,
+    "scalar",
+)
+def scalar_datetime(spark, sf_dir):
+    """§2.7 date/interval arithmetic: the reference's lastGood instant =
+    bucket + 1h - 1ms (types.go:343,352-353) and unix-ms conversions
+    (ct-fetch.go:72-75)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 100)
+    return ev.select(
+        "event_id",
+        F.date_format(
+            F.col("ts") + F.expr("INTERVAL 1 HOUR") - F.expr("INTERVAL 1 MILLISECOND"),
+            "yyyy-MM-dd HH:mm:ss.SSS",
+        ).alias("last_good"),
+        exp_date_hour("ts").alias("bucket_hour"),
+        F.unix_millis("ts").alias("unix_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J. Joins (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "j1_cert_issuer_join",
+    """
+    SELECT n_name, r_name, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+    "join",
+)
+def j1_cert_issuer_join(spark, sf_dir):
+    """J1 (ct-fetch.go:215-225): cert↔issuer structural join restated
+    relationally — fact joined to tiny dims; both dims broadcast (no
+    shuffle of the fact side)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
+        )
+    )
+
+
+@q(
+    "j2_key_lookup_join",
+    """
+    SELECT o.o_orderkey, o.o_orderdate_s AS o_orderdate, o.o_totalprice,
+           l.n_lines, l.sum_qty
+    FROM (SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+                 o_totalprice FROM orders) o
+    JOIN (SELECT l_orderkey, count(*) AS n_lines,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey) l
+      ON o.o_orderkey = l.l_orderkey
+    """,
+    "join",
+)
+def j2_key_lookup_join(spark, sf_dir):
+    """J2 (storage-statistics.go:36-55): the nested-loop of Redis point
+    lookups becomes one equi-join between the key table and per-key
+    aggregates — partial agg before the join shrinks the shuffle."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    lagg = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+    return o.join(lagg, o.o_orderkey == lagg.l_orderkey).drop("l_orderkey")
+
+
+@q(
+    "j3_semi_join",
+    """
+    SELECT c_nationkey, count(*) AS n_customers_with_orders
+    FROM customer WHERE EXISTS
+      (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    "join",
+)
+def j3_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers_with_orders"))
+    )
+
+
+@q(
+    "j4_anti_join",
+    """
+    SELECT c_nationkey, count(*) AS n_customers_without_orders
+    FROM customer WHERE NOT EXISTS
+      (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    "join",
+)
+def j4_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers_without_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytical queries (the relational capability the engine adds
+# beyond the reference — SURVEY §2.5 "engine provides them anyway")
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                    * (1 + CAST(l_tax AS DECIMAL(6,4)))), 4) AS DOUBLE) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch",
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy multi-aggregate — the bench headline for
+    raw aggregation throughput. Decimal staging keeps sums exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    px = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    tax = F.col("l_tax").cast("decimal(6,4)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(px).cast("double").alias("sum_base_price"),
+            F.round(F.sum(px * (F.lit(1) - disc)), 4)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(px * (F.lit(1) - disc) * (F.lit(1) + tax)), 4)
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_top_unshipped",
+    """
+    SELECT l_orderkey,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,4))
+                    * (1 - CAST(l_discount AS DECIMAL(25,4)))), 4) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "tpch",
+)
+def q3_top_unshipped(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> fact join -> top-k.
+    Customer side is filtered then broadcast."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00")
+    )
+    px, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(
+            F.round(F.sum(px * (F.lit(1) - disc)), 4)
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "q5_region_revenue",
+    """
+    SELECT r_name, n_name,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,4))
+                    * (1 - CAST(l_discount AS DECIMAL(25,4)))), 4) AS DOUBLE) AS revenue
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY r_name, n_name
+    """,
+    "tpch",
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join up the dimension chain; all dims
+    broadcast, single shuffle for the final aggregate."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    px, disc = _dec("l_extendedprice"), _dec("l_discount")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(px * (F.lit(1) - disc)), 4)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O/W/U. Sorts, top-k, windows, set ops (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "o3_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "order",
+)
+def o3_topk(spark, sf_dir):
+    """O3: global top-k — Spark's TakeOrderedAndProject (per-partition
+    heap + driver merge; no full sort, no single-node shuffle)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "w2_topk_per_group",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn AS rank
+    FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice DESC,
+                                             l_orderkey, l_linenumber) AS rn
+          FROM lineitem) t
+    WHERE rn <= 3
+    """,
+    "window",
+)
+def w2_topk_per_group(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rank")
+    )
+
+
+@q(
+    "w3_running_sum",
+    """
+    SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(25,6)))
+                OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value
+    FROM events
+    """,
+    "window",
+)
+def w3_running_sum(spark, sf_dir):
+    """Running aggregate; decimal staging because window-sum evaluation
+    order differs across engines (segment tree vs sequential)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias(
+            "running_value"
+        ),
+    )
+
+
+@q(
+    "u1_union",
+    """
+    SELECT src, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT 'hi' AS src, value FROM events WHERE value >= 15
+      UNION ALL
+      SELECT 'err' AS src, value FROM events WHERE event_type = 'error'
+    ) t GROUP BY src
+    """,
+    "setop",
+)
+def u1_union(spark, sf_dir):
+    """U1 (ct-fetch.go:132,527-565): multi-source streams merged into one —
+    unionByName with a discriminator column."""
+    ev = _t(spark, sf_dir, "events")
+    hi = ev.where(F.col("value") >= 15).select(F.lit("hi").alias("src"), "value")
+    err = ev.where(F.col("event_type") == "error").select(
+        F.lit("err").alias("src"), "value"
+    )
+    return (
+        hi.unionByName(err)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@q(
+    "u2_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    "setop",
+)
+def u2_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@q(
+    "u3_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    "setop",
+)
+def u3_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# T. Event-time windows over the events stream table (SURVEY §2.8 T4)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "t4_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "time",
+)
+def t4_tumbling_window(spark, sf_dir):
+    """T4: tumbling event-time window ≡ the reference's hour-bucket key
+    (types.go:339-346). Uses Spark's native window() so the same plan runs
+    under Structured Streaming unchanged."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@q(
+    "t4b_sliding_window",
+    """
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - k.k * 1800)
+                  AS TIMESTAMP) AS ws, value
+      FROM events, (VALUES (0), (1)) AS k(k)
+    ) t
+    GROUP BY ws
+    """,
+    "time",
+)
+def t4b_sliding_window(spark, sf_dir):
+    """T4: sliding window (1h length, 30m slide) — each event contributes
+    to 2 windows. Oracle replays the window-assignment arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@q(
+    "t4c_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    "time",
+)
+def t4c_sessionize(spark, sf_dir):
+    """T4: session windows (30-min gap) via the lag+cumsum composition —
+    the batch equivalent of streaming session_window()."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(wc))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
