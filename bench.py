@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the built-in `noop` sink (full
+execution, no driver collect). Two timed runs per query, min taken —
+first run pays JIT/codegen warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headliners: one per engine capability pillar (agg, dedup, join, window,
+# time, scan). Keep this list in sync with BASELINE.md.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_region_revenue",
+    "a3_stats_rollup",
+    "d1_dedup_first_seen",
+    "j2_key_lookup_join",
+    "w2_topk_per_group",
+    "t4_tumbling_window",
+    "t4c_sessionize",
+    "docs_minhash_lsh_dedup",
+    "emb_cosine_topk",
+    "docs_text_stats",
+]
+
+ITERATIONS = 2
+
+
+def main() -> None:
+    from ct_mapreduce_spark.plans.corpus import REGISTRY
+    from ct_mapreduce_spark.session import get_spark
+
+    spark = get_spark("ct_mapreduce_spark-bench")
+    # Warm the JVM + parquet footers once.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        best = float("inf")
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,276 @@
+"""Near-duplicate detection for training-data pipelines (north-star surface).
+
+Four tiers, all shuffle-conscious:
+
+- exact_dedup:        hash-groupBy on md5(text). One shuffle on a short key.
+- ngram_jaccard_pairs: exact Jaccard over word-shingle sets via a
+                      shingle-inverted-index self-join. Quadratic in the
+                      worst case — the *verification* tier, run on candidate
+                      buckets, not the whole corpus, at scale.
+- minhash_lsh_pairs:  MinHash signatures + banded LSH. The 100 TB tier: one
+                      explode of b bands per doc, groupBy band-signature,
+                      pairs only within buckets. All built-in expressions —
+                      no Python in the loop.
+- simhash_pairs:      64-bit SimHash + hamming-radius candidate pairs.
+
+MinHash math: h_i(S) = min_{x in S} ((a_i * x + b_i) mod p), p = 2^61 - 1,
+(a_i, b_i) from a seeded generator. P[h_i(A)=h_i(B)] = J(A,B). Banding with
+r rows x b bands flags pairs with J >~ (1/b)^(1/r).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ct_mapreduce_spark.operators.text import shingles
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: canonical row = min doc_id (same
+    first-seen-wins contract as operators/dedup.py)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingle_table(docs: DataFrame, text_col: str, k: int) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(shingles(text_col, k)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity >= threshold over word k-gram shingle sets.
+
+    Plan: shingle inverted index -> self-join on shingle (co-occurrence
+    counts = |A∩B|) -> join per-doc sizes -> J = inter / (|A|+|B|-inter).
+    The division's operands are exact integers, so J is bit-identical
+    across engines.
+    """
+    sh = _shingle_table(docs, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return j.select("doc_a", "doc_b", "inter", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _minhash_params(n: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    rng = random.Random(seed)
+    a = [rng.randrange(1, MERSENNE_P) for _ in range(n)]
+    b = [rng.randrange(0, MERSENNE_P) for _ in range(n)]
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """doc_id -> array<long> of num_hashes MinHash values. Pure expression:
+    shingle hashes once via xxhash64, then one nested transform applies all
+    permutations. No shuffle at all (per-row computation)."""
+    a, b = _minhash_params(num_hashes, seed)
+    a_arr = F.array(*[F.lit(x) for x in a])
+    b_arr = F.array(*[F.lit(x) for x in b])
+    # Non-negative 61-bit base hash so (a*h + b) stays in unsigned range
+    # before the Mersenne mod (computed in decimal to avoid 64-bit overflow).
+    base = F.transform(
+        shingles(text_col, k), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
+    )
+    sig = F.transform(
+        F.arrays_zip(a_arr, b_arr),
+        lambda ab: F.array_min(
+            F.transform(
+                base,
+                lambda h: F.pmod(
+                    ab["0"].cast("decimal(38,0)") * h + ab["1"],
+                    F.lit(MERSENNE_P),
+                ).cast("long"),
+            )
+        ),
+    )
+    return docs.select("doc_id", sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over MinHash signatures.
+
+    r = num_hashes/bands rows per band; a pair collides if any band's
+    sub-signature matches exactly. Scale shape: explode -> groupBy band
+    bucket -> per-bucket pairing; hot buckets (boilerplate docs) are the
+    skew risk — AQE splits them, and callers should cap bucket width
+    upstream for adversarial corpora.
+
+    Output: (doc_a, doc_b, n_bands_matched, est_jaccard) where est_jaccard
+    is the signature-agreement fraction (unbiased J estimate).
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, k, num_hashes, seed)
+    banded = sigs.select(
+        "doc_id",
+        "minhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.sha1(
+                        F.concat_ws(",", F.slice("minhash", i * r + 1, r))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "minhash", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_bands_matched"),
+            F.first(
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("a.minhash"), F.col("b.minhash"), lambda x, y: x == y
+                        ),
+                        lambda eq: eq,
+                    )
+                )
+            ).alias("n_hash_agree"),
+        )
+        .withColumn(
+            "est_jaccard",
+            F.round(F.col("n_hash_agree").cast("double") / num_hashes, 6),
+        )
+    )
+    return pairs.select("doc_a", "doc_b", "n_bands_matched", "est_jaccard")
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc, materialized as four 16-bit chunk columns
+    c0..c3 (all integer arithmetic — no 64-bit-in-double precision traps).
+
+    Plan: explode distinct tokens -> xxhash64 -> one groupBy(doc_id) with
+    64 conditional-sum aggregates (sign counts per bit), then chunk
+    assembly is a pure projection. One shuffle keyed by doc_id; map-side
+    partial aggregation keeps the shuffle narrow.
+    """
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    tok_tbl = docs.select(
+        "doc_id", F.explode(F.transform(toks, lambda t: F.xxhash64(t))).alias("h")
+    )
+    aggs = []
+    for b in range(64):
+        bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{b}"))
+    sums = tok_tbl.groupBy("doc_id").agg(*aggs)
+    chunk_cols = []
+    for i in range(4):
+        expr = F.lit(0)
+        for j in range(16):
+            expr = expr + F.when(F.col(f"b{i * 16 + j}") > 0, F.lit(1 << j)).otherwise(0)
+        chunk_cols.append(expr.cast("long").alias(f"c{i}"))
+    return sums.select("doc_id", *chunk_cols)
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup candidates within a hamming radius.
+
+    Blocking: candidates must share at least one exact 16-bit chunk
+    (pigeonhole-complete for hamming <= 3; standard recall/cost trade for
+    radius 8). Hamming distance = sum of per-chunk xor popcounts —
+    integer-exact.
+    """
+    sigs = simhash_signatures(docs, text_col)
+    chunks = sigs.select(
+        "doc_id",
+        "c0",
+        "c1",
+        "c2",
+        "c3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("chunk"), F.col(f"c{i}").alias("ckey"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "c0", "c1", "c2", "c3", "cc.chunk", "cc.ckey")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.c{i}").alias(f"a_c{i}") for i in range(4)],
+            *[F.col(f"b.c{i}").alias(f"b_c{i}") for i in range(4)],
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.lit(0)
+    for i in range(4):
+        ham = ham + F.bit_count(F.col(f"a_c{i}").bitwiseXOR(F.col(f"b_c{i}")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,208 @@
+"""Similarity search over embedding columns (north-star surface).
+
+- cosine_topk:      exact brute-force top-k. Baseline and verification
+                    tier. Query side broadcast; per-row dot products stay
+                    in codegen (zip_with + aggregate); top-k per query via
+                    window rank on the joined result.
+- lsh_ann_topk:     random-hyperplane (sign) LSH: candidates from matching
+                    hash buckets (multi-probe via bands), exact re-rank of
+                    candidates only. The 100 TB tier: corpus side is hashed
+                    once (narrow), the join hits buckets, not the corpus.
+- ivf_topk:         IVF-flat: deterministic seeded centroid sample, assign
+                    each vector to nearest centroid (broadcast centroids),
+                    probe the query's nearest n_probe cells only.
+
+All cosine math in double; inputs are float32, so operands are identical
+across engines and the single-pass accumulation order is fixed
+(F.aggregate folds left-to-right).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (excluding self).
+
+    queries is expected to be small (it is broadcast); corpus is scanned
+    once, no shuffle of the corpus side — the only shuffle is the final
+    per-query top-k (k rows per query)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """array<int> of sign bits, one per hyperplane — all codegen."""
+    plane_arr = F.array(
+        *[F.array(*[F.lit(x) for x in p]) for p in planes]
+    )
+    return F.transform(
+        plane_arr,
+        lambda p: F.when(_dot(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_bits: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH banded into `bands`
+    buckets-per-vector; candidates = share >=1 band bucket; exact cosine
+    re-rank of candidates only."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    r = n_bits // bands
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        bits = signature_bits(F.col(vec_col), planes)
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda i: F.struct(
+                        i.alias("band"),
+                        F.array_join(F.slice(bits, i * r + 1, r), "").alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(f"{prefix}_id", f"{prefix}_vec", "bb.band", "bb.bucket")
+    cb = banded(corpus, "neighbor")
+    qb = banded(queries, "query")
+    cand = (
+        cb.join(
+            F.broadcast(qb),
+            (cb.band == qb.band)
+            & (cb.bucket == qb.bucket)
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", "query_vec", "neighbor_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine(F.col("query_vec"), F.col("neighbor_vec")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat ANN: centroids = deterministic hash-sampled corpus vectors
+    (cheap stand-in for k-means; same plan shape), vectors assigned to
+    nearest centroid, queries probe their n_probe nearest cells.
+
+    At scale the corpus->cell assignment is written bucketed by cell once;
+    queries then read only probed cells (partition pruning)."""
+    # Deterministic 'centroid' pick: lowest xxhash64 of id, n_cells rows.
+    cents = (
+        corpus.select(
+            F.col(id_col).alias("cell_src"),
+            F.col(vec_col).alias("centroid"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_cells)
+        .withColumn("cell", F.row_number().over(W.orderBy("h")) - 1)
+        .select("cell", "centroid")
+    )
+
+    def assign(df: DataFrame, prefix: str, n: int) -> DataFrame:
+        joined = df.crossJoin(F.broadcast(cents)).withColumn(
+            "dist", -cosine(F.col(vec_col), F.col("centroid"))
+        )
+        w = W.partitionBy(id_col).orderBy("dist", "cell")
+        return (
+            joined.withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= n)
+            .select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.col(vec_col).alias(f"{prefix}_vec"),
+                "cell",
+            )
+        )
+
+    ca = assign(corpus, "neighbor", 1)
+    qa = assign(queries, "query", n_probe)
+    cand = (
+        ca.join(F.broadcast(qa), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine(F.col("query_vec"), F.col("neighbor_vec")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

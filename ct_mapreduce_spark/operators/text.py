@@ -1,0 +1,117 @@
+"""Text-analysis operators for training-data pipelines (north-star surface).
+
+All hot-path logic is built-in Spark expressions (JVM, codegen) — no Python
+UDFs: at 100 TB a per-row Python hop on `documents.text` dominates runtime.
+
+Operators: token counting, quality scoring, language ID (stopword n-gram
+heuristic), document fingerprinting (shingle rolling-hash family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the heuristic language classifier.
+# Deliberately short and fixed: the classifier is a deterministic scoring
+# function, not a model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization: the baseline token counter."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish regex tokenization: word pieces, numbers, punctuation runs —
+    the GPT-2 pre-tokenizer shape without the learned merges."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+)"), 1)
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality/shape statistics, one pass, all codegen."""
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars_measured"),
+        n_tok.alias("n_tokens"),
+        F.size(bpe_ish_tokens(text_col)).alias("n_bpe_tokens"),
+        (F.length(t).cast("double") / n_tok).alias("chars_per_token"),
+        (
+            F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
+            / F.length(t)
+        ).alias("punct_ratio"),
+        (
+            F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("double") / F.length(t)
+        ).alias("upper_ratio"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+def lang_scores(text_col: str = "text") -> list[Column]:
+    """Stopword-hit count per language as `<lang>_score` columns."""
+    toks = tokens(text_col)
+    cols = []
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        cols.append(
+            F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).alias(
+                f"{lang}_score"
+            )
+        )
+    return cols
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of stopword-hit counts, alphabetical
+    tiebreak, 'und' (undetermined) when all scores are zero."""
+    scored = docs.select("doc_id", *lang_scores(text_col))
+    langs = sorted(STOPWORDS)  # alphabetical tiebreak order
+    best = F.greatest(*[F.col(f"{l}_score") for l in langs])
+    pred = F.lit("und")
+    for l in reversed(langs):  # earlier langs win ties -> apply last
+        pred = F.when(F.col(f"{l}_score") == best, F.lit(l)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return scored.select(
+        "doc_id", *[f"{l}_score" for l in langs], pred.alias("pred_lang")
+    )
+
+
+def shingles(text_col: str = "text", k: int = 3) -> Column:
+    """Distinct word k-gram shingles, as strings. Empty array for docs
+    shorter than k tokens (F.sequence(0, negative) would count down)."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    return F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Document fingerprint: min-hash over shingle md5s (rolling-hash
+    family / winnowing-lite). Two docs sharing their minimal shingle hash
+    collide — a cheap similarity blocking key."""
+    sh = shingles(text_col, k)
+    hashes = F.transform(sh, lambda s: F.md5(s))
+    return docs.select(
+        "doc_id",
+        F.array_min(hashes).alias("fp_min"),
+        F.size(sh).alias("n_shingles"),
+    )

@@ -33,6 +33,7 @@ from ct_mapreduce_spark.functions.codecs import (
 from ct_mapreduce_spark.functions.dates import exp_date_day, exp_date_hour
 from ct_mapreduce_spark.functions.urls import normalize_crl_dps
 from ct_mapreduce_spark.operators.dedup import first_seen
+from ct_mapreduce_spark.operators import dedup_fuzzy, multimodal, similarity, text
 from ct_mapreduce_spark.sources.tables import load_table
 
 
@@ -931,4 +932,247 @@ def t4c_sessionize(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star: text analysis over `documents` (SURVEY §7 Phase 4)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "docs_text_stats",
+    r"""
+    SELECT doc_id,
+           length(text) AS n_chars_measured,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+)', 1))
+             AS n_bpe_tokens,
+           CAST(length(text) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\s+')) AS chars_per_token,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+             / length(text) AS upper_ratio,
+           len(list_distinct(string_split_regex(trim(text), '\s+')))
+             AS n_distinct_tokens,
+           CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\s+')) AS distinct_ratio
+    FROM documents
+    """,
+    "text",
+)
+def docs_text_stats(spark, sf_dir):
+    """Token counting + quality scoring, all built-in expressions (no
+    Python in the loop — see operators/text.py)."""
+    return text.text_stats(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "docs_lang_id",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), scored AS (
+      SELECT doc_id,
+        len(list_filter(w, t -> list_contains(
+          ['der','die','das','und','ist','nicht','ein','zu'], t))) AS de_score,
+        len(list_filter(w, t -> list_contains(
+          ['the','and','of','to','a','in','is','that'], t))) AS en_score,
+        len(list_filter(w, t -> list_contains(
+          ['el','la','de','que','y','en','un','es'], t))) AS es_score,
+        len(list_filter(w, t -> list_contains(
+          ['le','la','et','les','des','un','une','est'], t))) AS fr_score,
+        len(list_filter(w, t -> list_contains(
+          ['的','是','了','在','和','有','我','不'], t))) AS zh_score
+      FROM toks
+    )
+    SELECT doc_id, de_score, en_score, es_score, fr_score, zh_score,
+           CASE WHEN greatest(de_score, en_score, es_score, fr_score, zh_score) = 0
+                THEN 'und'
+                WHEN de_score = greatest(de_score, en_score, es_score, fr_score, zh_score) THEN 'de'
+                WHEN en_score = greatest(de_score, en_score, es_score, fr_score, zh_score) THEN 'en'
+                WHEN es_score = greatest(de_score, en_score, es_score, fr_score, zh_score) THEN 'es'
+                WHEN fr_score = greatest(de_score, en_score, es_score, fr_score, zh_score) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM scored
+    """,
+    "text",
+)
+def docs_lang_id(spark, sf_dir):
+    """Heuristic language ID (stopword-hit argmax, alphabetical tiebreak)."""
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "docs_fingerprint",
+    r"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+2], ' ')) AS h
+      FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    )
+    SELECT doc_id, min(h) AS fp_min, CAST(count(*) AS BIGINT) AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+    "text",
+)
+def docs_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (min shingle hash + shingle
+    count) — the winnowing-style blocking key."""
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# North-star: deduplication over `documents`
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "docs_exact_dedup",
+    """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    "dedup",
+)
+def docs_exact_dedup(spark, sf_dir):
+    """Exact content dedup: hash-groupBy, canonical = min doc_id."""
+    return dedup_fuzzy.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "docs_ngram_jaccard",
+    r"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b,
+           round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.12
+    """,
+    "dedup",
+)
+def docs_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (verification tier): shingle
+    inverted-index self-join; integer-exact similarity."""
+    return dedup_fuzzy.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.12
+    )
+
+
+@q("docs_minhash_lsh_dedup", None, "dedup")
+def docs_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash + banded LSH near-dup candidates (the 100 TB tier). Not
+    SQL-expressible at reasonable cost (seeded permutation family) =>
+    rows-only driver check; tests/test_llm_ops.py asserts recall against
+    the exact-jaccard oracle instead."""
+    return dedup_fuzzy.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+@q("docs_simhash_pairs", None, "dedup")
+def docs_simhash_pairs(spark, sf_dir):
+    """SimHash 64-bit signatures + hamming<=8 candidates via 16-bit-chunk
+    blocking. Rows-only (bit-level signature family not worth replicating
+    in SQL); unit-tested for hamming correctness."""
+    return dedup_fuzzy.simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# North-star: similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "emb_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine
+      FROM q, c WHERE query_id <> neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+               AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    "similarity",
+)
+def emb_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k (baseline tier): corpus scanned once,
+    query side broadcast, dot products in codegen."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@q("emb_ann_lsh", None, "similarity")
+def emb_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN (scale tier): bucket join + exact re-rank
+    of candidates only. Approximate => rows-only; recall vs exact top-k is
+    asserted in tests/test_llm_ops.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.lsh_ann_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@q("emb_ann_ivf", None, "similarity")
+def emb_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN: probe n nearest cells only. Approximate => rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# North-star: multimodal column plumbing (stubbed codecs, real plumbing)
+# ---------------------------------------------------------------------------
+
+
+@q("mm_extract_features", None, "multimodal")
+def mm_extract_features(spark, sf_dir):
+    """Binary media -> feature vectors via Arrow-batched mapInPandas;
+    decode failures isolated per row. Deterministic stub codec (container
+    has no image/audio libs) => rows-only."""
+    media = multimodal.synthetic_media(spark, n=200)
+    feats = multimodal.extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("n_ok"),
+        F.round(F.sum(F.aggregate("features", F.lit(0.0), lambda a, v: a + v)), 4).alias(
+            "feat_checksum"
+        ),
+    )
+
+
+@q("mm_sample_frames", None, "multimodal")
+def mm_sample_frames(spark, sf_dir):
+    """Video frame sampling: 1 binary row in -> N frame rows out through
+    the batch-iterator contract. Rows-only."""
+    media = multimodal.synthetic_media(spark, n=200)
+    frames = multimodal.sample_frames(media)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_bytes").alias("total_bytes"),
     )

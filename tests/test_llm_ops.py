@@ -1,0 +1,147 @@
+"""Tests for the north-star LLM-pipeline operators: recall of approximate
+tiers against exact oracles, and multimodal plumbing mechanics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ct_mapreduce_spark.operators import dedup_fuzzy, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """LSH candidates must recover the clearly-similar pairs the exact
+    jaccard tier finds (J >= 0.35 -> expected band-collision prob >= ~99%
+    at 16 bands x 4 rows)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_fuzzy.ngram_jaccard_pairs(docs, threshold=0.35).collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_fuzzy.minhash_lsh_pairs(docs).collect()
+    }
+    if exact:
+        recall = len(exact & cand) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall} over {len(exact)} pairs"
+
+
+def test_minhash_estimate_tracks_exact(spark, docs):
+    """est_jaccard from signature agreement should correlate with exact J
+    on flagged pairs (loose band: +-0.25 absolute)."""
+    exact = dedup_fuzzy.ngram_jaccard_pairs(docs, threshold=0.1).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    est = dedup_fuzzy.minhash_lsh_pairs(docs).select("doc_a", "doc_b", "est_jaccard")
+    joined = exact.join(est, ["doc_a", "doc_b"]).collect()
+    for r in joined:
+        assert abs(r.jaccard - r.est_jaccard) < 0.25, dict(r.asDict())
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=2, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=3, text="totally different words entirely unrelated content"),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup_fuzzy.simhash_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_exact_dedup_counts(spark):
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(["x y z", "x y z", "a b c"])]
+    out = {
+        r.canonical_doc_id: r.n_copies
+        for r in dedup_fuzzy.exact_dedup(spark.createDataFrame(rows)).collect()
+    }
+    assert out == {0: 2, 2: 1}
+
+
+def test_ann_lsh_recall_vs_exact(spark, emb):
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_ann_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"ANN-LSH recall@5 = {recall}"  # random vectors: low bar
+
+
+def test_ivf_probes_subset(spark, emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    out = similarity.ivf_topk(emb, queries, k=5).collect()
+    assert len(out) == 50
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_cosine_topk_self_excluded_and_sane(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    out = similarity.cosine_topk(emb, queries, k=5).collect()
+    assert len(out) == 15
+    assert all(r.query_id != r.neighbor_id for r in out)
+    assert all(-1.0 <= r.cosine <= 1.0 for r in out)
+
+
+def test_lang_id_deterministic_golden(spark):
+    rows = [
+        Row(doc_id=1, text="the cat and the dog of a house is that"),
+        Row(doc_id=2, text="der hund ist nicht ein katze und zu"),
+        Row(doc_id=3, text="qqq www eee"),
+    ]
+    out = {r.doc_id: r.pred_lang for r in text.lang_id(spark.createDataFrame(rows)).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=120)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 120
+    bad = [r for r in rows if not r.decode_ok]
+    assert len(bad) == len([i for i in range(120) if i % 37 == 0])
+    ok = [r for r in rows if r.decode_ok]
+    assert all(r.feat_dim == 16 for r in ok)
+    # determinism: same payload -> same features
+    again = {r.media_id: r.features for r in multimodal.extract_features(media).collect() if r.decode_ok}
+    for r in ok:
+        assert again[r.media_id] == r.features
+
+
+def test_multimodal_frame_fanout(spark):
+    media = multimodal.synthetic_media(spark, n=60)
+    frames = multimodal.sample_frames(media).collect()
+    assert all(r.frame_bytes <= 1024 for r in frames)
+    vids = {r["media_id"] for r in media.where("kind='video' and n_bytes >= 1024").collect()}
+    assert {r.media_id for r in frames} == vids
+
+
+def test_repartition_by_bytes(spark):
+    media = multimodal.synthetic_media(spark, n=120)
+    out = multimodal.repartition_by_bytes(media, target_bytes=64 << 10)
+    assert out.rdd.getNumPartitions() >= 2
+    assert out.count() == 120
