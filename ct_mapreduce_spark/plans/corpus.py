@@ -1176,3 +1176,291 @@ def mm_sample_frames(spark, sf_dir):
         F.count(F.lit(1)).alias("n_frames"),
         F.sum("frame_bytes").alias("total_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 3: remaining §2 inventory — outer joins, cube/pivot, quantiles,
+# sorts, incremental scan, ingest-filter goldens, PEM projection
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "s2_incremental_scan",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id > 9900
+    """,
+    "scan",
+)
+def s2_incremental_scan(spark, sf_dir):
+    """S2 (ct-fetch.go:288-305): resume-from-cursor = high-watermark
+    predicate on the monotone entry id; pushed to the parquet scan."""
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") > 9900)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@q(
+    "p1p5_ingest_filter",
+    """
+    SELECT name FROM (VALUES
+        ('ok',            false, true,  TIMESTAMP '2030-01-01 00:00:00', 'Lets Encrypt R3', 2),
+        ('ca_dropped',    true,  true,  TIMESTAMP '2030-01-01 00:00:00', 'Lets Encrypt R3', 2),
+        ('ca_bc_invalid', true,  false, TIMESTAMP '2030-01-01 00:00:00', 'Lets Encrypt R3', 2),
+        ('expired',       false, true,  TIMESTAMP '2020-01-01 00:00:00', 'Lets Encrypt R3', 2),
+        ('wrong_cn',      false, true,  TIMESTAMP '2030-01-01 00:00:00', 'Other CA',        2),
+        ('no_chain',      false, true,  TIMESTAMP '2030-01-01 00:00:00', 'Lets Encrypt R3', 0)
+      ) AS t(name, is_ca, basic_constraints_valid, not_after, issuer_cn, chain_len)
+    WHERE NOT (basic_constraints_valid AND is_ca)
+      AND not_after >= TIMESTAMP '2024-01-02 00:00:00'
+      AND (issuer_cn LIKE 'Lets Encrypt%' OR issuer_cn LIKE 'ISRG%')
+      AND chain_len >= 1
+    """,
+    "projection",
+)
+def p1p5_ingest_filter(spark, sf_dir):
+    """P1-P5 (ct-fetch.go:44-70): the combined ingest filter on a golden
+    truth table — CA drop, expiry, CN prefix keep-set, chain guard.
+    ('ca_bc_invalid' passes: P1 drops only *valid* CA constraints.)"""
+    import datetime as dt
+
+    from ct_mapreduce_spark.plans.ingest import ingest_filter
+
+    rows = [
+        ("ok", False, True, dt.datetime(2030, 1, 1), "Lets Encrypt R3", 2),
+        ("ca_dropped", True, True, dt.datetime(2030, 1, 1), "Lets Encrypt R3", 2),
+        ("ca_bc_invalid", True, False, dt.datetime(2030, 1, 1), "Lets Encrypt R3", 2),
+        ("expired", False, True, dt.datetime(2020, 1, 1), "Lets Encrypt R3", 2),
+        ("wrong_cn", False, True, dt.datetime(2030, 1, 1), "Other CA", 2),
+        ("no_chain", False, True, dt.datetime(2030, 1, 1), "Lets Encrypt R3", 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "name string, is_ca boolean, basic_constraints_valid boolean, "
+        "not_after timestamp, issuer_cn string, chain_len int",
+    )
+    return df.where(
+        ingest_filter(
+            now=dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc),
+            cn_prefixes=["Lets Encrypt", "ISRG"],
+        )
+    ).select("name")
+
+
+@q(
+    "p9_pem_encode",
+    """
+    SELECT name, pem FROM (VALUES
+      ('short', '-----BEGIN CERTIFICATE-----' || chr(10) || 'AQID' || chr(10)
+                || '-----END CERTIFICATE-----' || chr(10)),
+      ('wrapped', '-----BEGIN CERTIFICATE-----' || chr(10)
+                || repeat('QUFB', 16) || chr(10) || repeat('QUFB', 4) || chr(10)
+                || '-----END CERTIFICATE-----' || chr(10))
+    ) AS t(name, pem)
+    """,
+    "projection",
+)
+def p9_pem_encode(spark, sf_dir):
+    """P9 (filesystemdatabase.go:167-175): PEM block projection, 64-char
+    body wrap, golden strings. 'wrapped' input is 60 'A' bytes -> base64
+    'AAAA'x20 split 64/16."""
+    rows = [("short", bytes([1, 2, 3])), ("wrapped", b"A" * 60)]
+    df = spark.createDataFrame(rows, "name string, der binary")
+    from ct_mapreduce_spark.functions.codecs import pem_encode
+
+    return df.select("name", pem_encode("der").alias("pem"))
+
+
+@q(
+    "j5_left_outer",
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey AND n_nationkey < 10
+    """,
+    "join",
+)
+def j5_left_outer(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return sup.join(
+        F.broadcast(nat),
+        (sup.s_nationkey == nat.n_nationkey) & (nat.n_nationkey < 10),
+        "left",
+    ).select("s_suppkey", "s_name", "n_name")
+
+
+@q(
+    "j6_full_outer",
+    """
+    SELECT n_nationkey, n_name, r_regionkey, r_name
+    FROM nation FULL OUTER JOIN region
+      ON n_regionkey = r_regionkey AND r_regionkey < 3
+    """,
+    "join",
+)
+def j6_full_outer(spark, sf_dir):
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return nat.join(
+        reg,
+        (nat.n_regionkey == reg.r_regionkey) & (reg.r_regionkey < 3),
+        "full_outer",
+    ).select("n_nationkey", "n_name", "r_regionkey", "r_name")
+
+
+@q(
+    "a5_set_membership",
+    """
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    """,
+    "agg",
+)
+def a5_set_membership(spark, sf_dir):
+    """A5 (rediscache.go:74-78 SISMEMBER): membership probe = semi join
+    against the set's table form."""
+    o = _t(spark, sf_dir, "orders")
+    rich = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    return o.join(
+        F.broadcast(rich), o.o_custkey == rich.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_orderstatus")
+
+
+@q(
+    "a6_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg",
+)
+def a6_pivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"))
+        .withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("F", "qty_f")
+    )
+
+
+@q(
+    "a7_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_prio
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "agg",
+)
+def a7_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+    )
+
+
+@q(
+    "a8_quantiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+           CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(max(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg",
+)
+def a8_quantiles(spark, sf_dir):
+    """Exact continuous quantiles (both engines: linear interpolation).
+    approx_percentile is the 100 TB variant (not oracle-comparable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+    )
+
+
+@q(
+    "o1_sort_multi",
+    """
+    SELECT p_partkey, p_brand, p_size FROM part
+    ORDER BY p_brand, p_size DESC, p_partkey LIMIT 50
+    """,
+    "order",
+)
+def o1_sort_multi(spark, sf_dir):
+    """O1: multi-key sort (types.go:257-271 sort.Interface analog)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_size")
+        .orderBy("p_brand", F.desc("p_size"), "p_partkey")
+        .limit(50)
+    )
+
+
+@q(
+    "d4_distinct_idempotent",
+    """
+    SELECT user_id, event_type FROM (
+      SELECT user_id, event_type FROM events
+      UNION ALL
+      SELECT user_id, event_type FROM events
+    ) t GROUP BY user_id, event_type
+    """,
+    "dedup",
+)
+def d4_distinct_idempotent(spark, sf_dir):
+    """D4 (knowncertificates.go:65-96): sources may repeat (Redis SSCAN
+    duplicates) — reading layer stays idempotent via distinct over a
+    doubled input."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return ev.unionByName(ev).distinct()
+
+
+@q(
+    "scalar_nulls",
+    """
+    SELECT s_suppkey,
+           coalesce(n_name, 'UNKNOWN') AS nation_or_unknown,
+           (n_name IS NULL) AS was_null,
+           nullif(s_nationkey, 0) AS nationkey_nz,
+           CASE WHEN s_acctbal < 0 THEN 'neg'
+                WHEN s_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_band
+    FROM supplier LEFT JOIN nation
+      ON s_nationkey = n_nationkey AND n_nationkey % 2 = 0
+    """,
+    "scalar",
+)
+def scalar_nulls(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    j = sup.join(
+        F.broadcast(nat),
+        (sup.s_nationkey == nat.n_nationkey) & (nat.n_nationkey % 2 == 0),
+        "left",
+    )
+    return j.select(
+        "s_suppkey",
+        F.coalesce("n_name", F.lit("UNKNOWN")).alias("nation_or_unknown"),
+        F.col("n_name").isNull().alias("was_null"),
+        F.nullif("s_nationkey", F.lit(0)).alias("nationkey_nz"),
+        F.when(F.col("s_acctbal") < 0, "neg")
+        .when(F.col("s_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+    )
