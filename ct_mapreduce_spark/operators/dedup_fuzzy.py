@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ct_mapreduce_spark.operators.text import shingles
+from ct_mapreduce_spark.operators.util import fan_out
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup by content hash: canonical row = min doc_id (same
@@ -188,13 +189,8 @@ def minhash_lsh_pairs(
     is the signature-agreement fraction (unbiased J estimate).
     """
     r = num_hashes // bands
-    # Signature computation is CPU-dense per-row work; input partitioning is
-    # IO-sized (one small parquet file -> one partition -> one core). Fan
-    # out to the cluster's parallelism before computing.
-    sc = docs.sparkSession.sparkContext
-    sigs = minhash_signatures(
-        docs.repartition(sc.defaultParallelism), text_col, k, num_hashes, seed
-    )
+    # Signature computation is CPU-dense per-row work: fan out first.
+    sigs = minhash_signatures(fan_out(docs), text_col, k, num_hashes, seed)
     banded = sigs.select(
         "doc_id",
         "minhash",
@@ -210,6 +206,10 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "minhash", "bb.band", "bb.bucket")
+    # The banded frame feeds both sides of the self-join; without a
+    # materialization point the narrow signature computation (the expensive
+    # part) would execute twice — there is no shuffle for Spark to reuse.
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ct_mapreduce_spark.operators.util import fan_out
+
 # Tiny per-language stopword lists for the heuristic language classifier.
 # Deliberately short and fixed: the classifier is a deterministic scoring
 # function, not a model.
@@ -42,7 +44,7 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     toks = tokens(text_col)
     n_tok = F.size(toks)
-    return docs.select(
+    return fan_out(docs).select(
         "doc_id",
         F.length(t).alias("n_chars_measured"),
         n_tok.alias("n_tokens"),
@@ -79,7 +81,7 @@ def lang_scores(text_col: str = "text") -> list[Column]:
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of stopword-hit counts, alphabetical
     tiebreak, 'und' (undetermined) when all scores are zero."""
-    scored = docs.select("doc_id", *lang_scores(text_col))
+    scored = fan_out(docs).select("doc_id", *lang_scores(text_col))
     langs = sorted(STOPWORDS)  # alphabetical tiebreak order
     best = F.greatest(*[F.col(f"{l}_score") for l in langs])
     pred = F.lit("und")
@@ -110,7 +112,7 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
     collide — a cheap similarity blocking key."""
     sh = shingles(text_col, k)
     hashes = F.transform(sh, lambda s: F.md5(s))
-    return docs.select(
+    return fan_out(docs).select(
         "doc_id",
         F.array_min(hashes).alias("fp_min"),
         F.size(sh).alias("n_shingles"),

@@ -1464,3 +1464,94 @@ def scalar_nulls(spark, sf_dir):
         .otherwise("high")
         .alias("bal_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: as-of / range joins and approximate tiers
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "j7_asof_join",
+    """
+    SELECT a.event_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           a.user_id,
+           CAST(floor(epoch(a.ts) - epoch(b.ts)) AS BIGINT) AS secs_since_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+    "join",
+)
+def j7_asof_join(spark, sf_dir):
+    """As-of join (engine extension; DuckDB oracle uses its native ASOF
+    JOIN): each purchase matched to the user's most recent prior click.
+    Spark composition: tagged union + last_value(ignorenulls) window —
+    one shuffle, no range explosion (operators/joins.py)."""
+    from ct_mapreduce_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts",
+        right_cols=["ts"],
+    )
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "user_id",
+        F.floor(
+            F.col("ts").cast("double") - F.col("asof_ts").cast("double")
+        ).cast("long").alias("secs_since_click"),
+    )
+
+
+@q(
+    "j8_range_join",
+    """
+    SELECT band, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem LEFT JOIN (VALUES
+        (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'), (25.0, 100.0, 'high')
+      ) AS r(lo, hi, band)
+      ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    """,
+    "join",
+)
+def j8_range_join(spark, sf_dir):
+    """Range/band join (engine extension): fact value -> interval dim,
+    broadcast non-equi join."""
+    from ct_mapreduce_spark.operators.joins import range_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    ranges = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 100.0, "high")],
+        "lo double, hi double, band string",
+    )
+    return (
+        range_join(li, ranges, "l_quantity")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@q("a9_approx_distinct", None, "agg")
+def a9_approx_distinct(spark, sf_dir):
+    """The 100 TB tier of A1/A2: HLL sketches instead of exact distinct
+    sets (fixed-size shuffle payload). Approximate by construction =>
+    rows-only check; exactness is covered by a1/a3."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct(F.concat_ws("|", "user_id", "event_id")).alias(
+            "approx_pairs"
+        ),
+    )

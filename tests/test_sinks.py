@@ -1,0 +1,60 @@
+"""Sink-contract tests (SURVEY §5 item b): log-state blank-on-missing +
+upsert (S6/J3), noop sink (S12)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from ct_mapreduce_spark.schemas import LOG_STATES
+from ct_mapreduce_spark.sources.sinks import (
+    read_log_states,
+    upsert_log_state,
+    write_log_states,
+    write_noop,
+)
+
+
+def test_log_state_blank_on_missing(spark, tmp_path):
+    # storagebackend_tests.go:103-169: missing state reads as empty
+    out = read_log_states(spark, str(tmp_path / "nope"))
+    assert out.count() == 0
+    assert out.schema == LOG_STATES
+
+
+def test_log_state_upsert_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "states")
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    first = spark.createDataFrame(
+        [
+            Row(url="log.example.com/2525", max_entry=9, last_entry_time=t0, last_update_time=t0),
+            Row(url="other.example/x", max_entry=0xDEADBEEF, last_entry_time=None, last_update_time=t0),
+        ],
+        LOG_STATES,
+    )
+    write_log_states(upsert_log_state(spark, path, first), path)
+    t1 = dt.datetime(2024, 1, 2, 12, 0)
+    update = spark.createDataFrame(
+        [Row(url="log.example.com/2525", max_entry=2525, last_entry_time=t1, last_update_time=t1)],
+        LOG_STATES,
+    )
+    merged = upsert_log_state(spark, path, update)
+    got = {r.url: r.max_entry for r in merged.collect()}
+    # updated row wins; untouched row survives (read-through semantics,
+    # filesystemdatabase.go:110-139)
+    assert got == {"log.example.com/2525": 2525, "other.example/x": 0xDEADBEEF}
+    # include MaxInt64 edge (storagebackend_tests.go fixtures)
+    big = spark.createDataFrame(
+        [Row(url="big", max_entry=(1 << 63) - 1, last_entry_time=None, last_update_time=None)],
+        LOG_STATES,
+    )
+    write_log_states(upsert_log_state(spark, path, big), path)
+    assert {
+        r.max_entry for r in read_log_states(spark, path).collect()
+    } >= {(1 << 63) - 1}
+
+
+def test_noop_sink_executes(spark):
+    df = spark.range(1000).selectExpr("id", "id * 2 AS x")
+    write_noop(df)  # full execution, no output — just must not raise
