@@ -1555,3 +1555,22 @@ def a9_approx_distinct(spark, sf_dir):
             "approx_pairs"
         ),
     )
+
+
+@q(
+    "a10_salted_distinct",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+    "agg",
+)
+def a10_salted_distinct(spark, sf_dir):
+    """Skew-resistant two-phase distinct count (operators/skew.py): same
+    answer as a plain count_distinct — the oracle proves exactness — but
+    the hot key fans out over salt buckets at scale."""
+    from ct_mapreduce_spark.operators.skew import salted_count_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_count_distinct(ev, ["event_type"], "user_id", buckets=16)
+    return out.select("event_type", F.col("n_distinct").cast("long").alias("n_distinct"))
