@@ -1574,3 +1574,249 @@ def a10_salted_distinct(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = salted_count_distinct(ev, ["event_type"], "user_id", buckets=16)
     return out.select("event_type", F.col("n_distinct").cast("long").alias("n_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# Wave 5: TPC-H query-shape breadth + window-function family
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    "tpch",
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS correlated subquery -> left-semi join."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@q(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "tpch",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: highly-selective scan + single aggregate, expressed
+    through the spark.sql API (temp view) to exercise the SQL surface —
+    Catalyst produces the same plan as the DataFrame form."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+               count(*) AS n
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+@q(
+    "q12_shipmode_priority",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    "tpch",
+)
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: conditional-sum pivot over a join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "q14_promo_effect",
+    """
+    SELECT CAST(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                    ELSE CAST(0 AS DECIMAL(20,6)) END)
+           / sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+      AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    "tpch",
+)
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: conditional revenue ratio; part dim broadcast.
+    The final division is one double op over exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    px = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    rev = px * (F.lit(1) - disc)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(20,6)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo) / F.sum(rev))
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+@q(
+    "q18_large_orders",
+    """
+    SELECT c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    )
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+    "tpch",
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING subquery -> aggregated semi join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("q"))
+        .where(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            F.col("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total_qty"))
+    )
+
+
+@q(
+    "q19_disjunctive_filter",
+    """
+    SELECT count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+       OR (p_type = 'ECONOMY' AND l_quantity >= 20)
+    """,
+    "tpch",
+)
+def q19_disjunctive_filter(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicate across both join sides."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11) & (F.col("p_size") <= 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20) & (F.col("p_size") <= 10))
+        | ((F.col("p_type") == "ECONOMY") & (F.col("l_quantity") >= 20))
+    )
+    return j.where(cond).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("sum_price"),
+    )
+
+
+@q(
+    "w4_window_family",
+    """
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER wv AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER wv AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           lag(event_id, 1) OVER w AS prev_event,
+           lead(event_id, 1) OVER w AS next_event,
+           first_value(event_id) OVER w AS first_event,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_user_events
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
+           wv AS (PARTITION BY user_id ORDER BY event_type, event_id)
+    """,
+    "window",
+)
+def w4_window_family(spark, sf_dir):
+    """The full window-function family on deterministic integer orderings
+    (rank ties broken by event_id)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = W.partitionBy("user_id").orderBy("event_id")
+    wv = W.partitionBy("user_id").orderBy("event_type", "event_id")
+    wall = W.partitionBy("user_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(wv).cast("long").alias("rnk"),
+        F.dense_rank().over(wv).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lag("event_id", 1).over(w).alias("prev_event"),
+        F.lead("event_id", 1).over(w).alias("next_event"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_user_events"),
+    )
