@@ -131,7 +131,7 @@ def a3_stats_rollup(spark, sf_dir):
     "a4_group_keys_by_issuer",
     """
     SELECT source,
-           list_sort(list(DISTINCT lang)) AS lang_set,
+           array_to_string(list_sort(list(DISTINCT lang)), ',') AS lang_set,
            count(DISTINCT doc_id) AS n_docs
     FROM documents GROUP BY source
     """,
@@ -143,7 +143,7 @@ def a4_group_keys_by_issuer(spark, sf_dir):
     deterministic comparison."""
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
-        F.array_sort(F.collect_set("lang")).alias("lang_set"),
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("lang_set"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
 
@@ -1820,3 +1820,98 @@ def w4_window_family(spark, sf_dir):
         F.first("event_id").over(w).alias("first_event"),
         F.count(F.lit(1)).over(wall).cast("long").alias("n_user_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 6: Structured-Streaming queries under the batch oracle — the
+# streaming results are arrival-order independent, so the DuckDB batch
+# equivalent hash-matches (T1-T4 through the driver's correctness gate).
+# ---------------------------------------------------------------------------
+
+
+def _stream_src(spark, sf_dir: str) -> str:
+    """Materialize events as a multi-file replay source (idempotent)."""
+    import hashlib as _h
+    import os
+
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/ctspark_stream_src_{tag}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        _t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_stream(spark, df, name: str):
+    import tempfile
+
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ck_{name}_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+@q(
+    "t3_stream_dedup_keys",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "streaming",
+)
+def t3_stream_dedup_keys(spark, sf_dir):
+    """T3 (knowncertificates.go:36-55 streaming form): stateful streaming
+    dropDuplicates over a file-replay source. Key set is arrival-order
+    independent, so the batch DISTINCT oracle hash-matches."""
+    src = _stream_src(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    import tempfile
+
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t3_dedup_keys")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_t3_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("t3_dedup_keys")
+
+
+@q(
+    "t4d_stream_tumbling",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "streaming",
+)
+def t4d_stream_tumbling(spark, sf_dir):
+    """T4 streaming form: the tumbling-window aggregate actually executed
+    as a Structured Streaming query (complete mode); counts/sums are
+    arrival-order independent -> batch oracle applies."""
+    from ct_mapreduce_spark.streaming.ingest_stream import streaming_event_windows
+
+    src = _stream_src(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    return _run_stream(spark, streaming_event_windows(stream), "t4d_tumbling")
