@@ -1915,3 +1915,33 @@ def t4d_stream_tumbling(spark, sf_dir):
         .parquet(src)
     )
     return _run_stream(spark, streaming_event_windows(stream), "t4d_tumbling")
+
+
+@q(
+    "emb_cosine_near_dup",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE vec_id < 300)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.25
+    """,
+    "dedup",
+)
+def emb_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup tier):
+    all pairs above a cosine threshold within a bounded corpus slice. At
+    scale the pair generation runs per LSH/IVF bucket, not as a cross
+    join — this query is the exactness witness for that path."""
+    from ct_mapreduce_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.withColumn("cosine", cosine(F.col("ea"), F.col("eb")))
+    return (
+        scored.where(F.col("cosine") >= 0.25)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
