@@ -19,6 +19,13 @@ def bucketed_tables(spark, tmp_path_factory):
     o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     spark.sql("DROP TABLE IF EXISTS li_bkt")
     spark.sql("DROP TABLE IF EXISTS o_bkt")
+    # the catalog is per-session but the warehouse dir persists on disk;
+    # a leftover location fails CREATE with LOCATION_ALREADY_EXISTS
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("li_bkt", "o_bkt"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     (
         li.write.bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
