@@ -80,5 +80,16 @@ def write_store(deduped: DataFrame, path: str, mode: str = "overwrite") -> None:
     At 100 TB the (exp_date, issuer_id) directory tree has the same shape
     the reference chose for pruning; files within a partition stay
     task-sized rather than one-row.
+
+    The repartition on the partition keys before the write is load-bearing:
+    without it every shuffle partition holds rows for most (date, issuer)
+    combinations, so N_tasks x N_partitions tiny files get opened — the
+    small-file explosion that kills partitioned stores at scale. Clustered,
+    each task writes only its own directories (one file per dir).
     """
-    deduped.write.partitionBy("exp_date", "issuer_id").mode(mode).parquet(path)
+    (
+        deduped.repartition("exp_date", "issuer_id")
+        .write.partitionBy("exp_date", "issuer_id")
+        .mode(mode)
+        .parquet(path)
+    )
