@@ -147,3 +147,62 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8)
             )
 
     return df.where(F.col("kind") == "video").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, resized_payload binary, orig_bytes long, "
+    "resized_bytes long, resize_ok boolean"
+)
+
+
+def _resize_stub(payload: bytes, target_bytes: int) -> bytes:
+    """Deterministic fake 'decode -> resize -> re-encode'. A real impl
+    would be Pillow's Image.resize; the container has no image libs. The
+    stub preserves the real op's contract: output size bounded by target,
+    deterministic for identical inputs, raises on undecodable input."""
+    if not payload:
+        raise ValueError("empty payload")
+    if len(payload) <= target_bytes:
+        return payload
+    # keep an evenly-strided sample of the bytes — shape-preserving, like
+    # a nearest-neighbor downsample
+    stride = len(payload) / target_bytes
+    return bytes(payload[int(i * stride)] for i in range(target_bytes))
+
+
+def resize_images(df: DataFrame, target_bytes: int = 512) -> DataFrame:
+    """Image resize over the binary column via mapInPandas (narrow; no
+    payload shuffle). Failure rows flagged, not dropped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                try:
+                    rp = _resize_stub(row["payload"], target_bytes)
+                    ok = True
+                except Exception:
+                    rp, ok = None, False
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "resized_payload": rp,
+                        "orig_bytes": row["n_bytes"],
+                        "resized_bytes": len(rp) if rp is not None else 0,
+                        "resize_ok": ok,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "resized_payload",
+                    "orig_bytes",
+                    "resized_bytes",
+                    "resize_ok",
+                ],
+            )
+
+    return df.where(F.col("kind") == "image").mapInPandas(run, schema=RESIZED_SCHEMA)

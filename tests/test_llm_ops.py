@@ -145,3 +145,20 @@ def test_repartition_by_bytes(spark):
     out = multimodal.repartition_by_bytes(media, target_bytes=64 << 10)
     assert out.rdd.getNumPartitions() >= 2
     assert out.count() == 120
+
+
+def test_multimodal_resize(spark):
+    media = multimodal.synthetic_media(spark, n=90)
+    out = multimodal.resize_images(media, target_bytes=256).collect()
+    imgs = media.where("kind='image'").count()
+    assert len(out) == imgs
+    ok = [r for r in out if r.resize_ok]
+    assert all(r.resized_bytes <= 256 for r in ok)
+    assert all(r.resized_bytes <= r.orig_bytes for r in ok)
+    bad = [r for r in out if not r.resize_ok]
+    assert all(r.orig_bytes == 0 for r in bad)
+    # determinism
+    again = {r.media_id: bytes(r.resized_payload) for r in
+             multimodal.resize_images(media, target_bytes=256).collect() if r.resize_ok}
+    for r in ok:
+        assert again[r.media_id] == bytes(r.resized_payload)

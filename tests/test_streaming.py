@@ -148,3 +148,33 @@ def test_streaming_session_window(spark, tmp_path):
     rows = spark.sql("SELECT * FROM sess_out").collect()
     assert rows and all(r.n_events >= 1 for r in rows)
     assert sum(r.n_events for r in rows) == 500
+
+
+def test_telemetry_listener(spark, tmp_path):
+    """T6: StreamingQueryListener collects batch/row counters and the
+    staleness health rule works (telemetry.go analog)."""
+    import time
+
+    from ct_mapreduce_spark.streaming.telemetry import IngestTelemetryListener
+
+    ev = load_table(spark, "events", SF).limit(200)
+    src = str(tmp_path / "tele_src")
+    ev.write.mode("overwrite").parquet(src)
+    listener = IngestTelemetryListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            stream.groupBy("event_type").count()
+            .writeStream.outputMode("complete")
+            .format("memory").queryName("tele_out").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        time.sleep(1)  # listener events are delivered async
+        m = listener.metrics()
+        assert any(s["n_rows"] >= 200 for s in m.values()), m
+        assert listener.is_healthy(max_staleness_seconds=60)
+        assert not listener.is_healthy(max_staleness_seconds=0.0001)
+    finally:
+        spark.streams.removeListener(listener)
