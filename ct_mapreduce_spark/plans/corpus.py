@@ -1945,3 +1945,26 @@ def emb_cosine_near_dup(spark, sf_dir):
         scored.where(F.col("cosine") >= 0.25)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+@q(
+    "a11_unpivot",
+    """
+    SELECT p_partkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    ) t
+    """,
+    "agg",
+)
+def a11_unpivot(spark, sf_dir):
+    """Unpivot/melt — the inverse of a6_pivot (wide -> long)."""
+    p = _t(spark, sf_dir, "part")
+    return p.unpivot(
+        "p_partkey",
+        [F.col("p_retailprice").alias("retail"), F.col("p_size").cast("double").alias("size")],
+        "metric",
+        "val",
+    )
