@@ -44,9 +44,29 @@ def serial_bigint(c: Column | str) -> Column:
     """Big-integer rendering of a serial (storage/types.go:251-255
     Serial.Cmp/big.Int). Returned as DECIMAL(38,0) — callers must not use
     this as an identity key (17-byte serials exist: types_test.go:130-150);
-    it is a display/interop projection only. Serials wider than decimal38
-    (> ~2^126) come back NULL rather than wrong."""
-    return F.try_to_number(F.conv(F.hex(_col(c)), 16, 10), F.lit("9" * 38))
+    it is a display/interop projection only.
+
+    Serials wider than 15 bytes come back NULL rather than wrong (15 bytes
+    = 2^120 always fits DECIMAL(38,0) ~ 2^126; beyond that Spark decimals
+    can't represent the value exactly). A plain ``conv(hex, 16, 10)`` is
+    NOT usable here: it computes in unsigned 64-bit, so any serial over 8
+    bytes throws under ANSI mode (Spark 4 default). Instead the hex string
+    is split into 7-byte chunks and folded with exact decimal arithmetic:
+    v = (c0 * 2^56 + c1) * 2^56 + c2 — every conv input is < 2^56 and every
+    intermediate < 2^120, so no overflow path exists."""
+    col = _col(c)
+    p56 = F.lit(1 << 56).cast("decimal(38,0)")
+    chunks = F.regexp_extract_all(
+        F.lpad(F.hex(col), 42, "0"), F.lit("(.{14})"), 1
+    )
+    val = F.aggregate(
+        chunks,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, ch: acc * p56 + F.conv(ch, 16, 10).cast("decimal(38,0)"),
+    )
+    return F.when(F.length(col) <= 15, val).otherwise(
+        F.lit(None).cast("decimal(38,0)")
+    )
 
 
 def spki_issuer_id(spki: Column | str) -> Column:

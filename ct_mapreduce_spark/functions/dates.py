@@ -38,9 +38,11 @@ def bucket_end(not_after: Column | str, resolution: str = "hour") -> Column:
 
 def is_expired_at(not_after: Column | str, at: Column, resolution: str = "hour") -> Column:
     """ExpDate.IsExpiredAt (types.go:348-369): the bucket's last good
-    instant is bucket_end - 1ms; expired iff at > last_good, i.e.
-    at >= bucket_end (millisecond granularity)."""
-    return at >= bucket_end(not_after, resolution)
+    instant is bucket_end - 1ms; expired iff at > last_good. Spark
+    timestamps are microsecond-resolution, so this is evaluated exactly as
+    `at > bucket_end - 1ms` — times in the open interval (end-1ms, end)
+    count as expired, matching the reference's strict Before(lastGood)."""
+    return at > bucket_end(not_after, resolution) - F.expr("INTERVAL 1 MILLISECOND")
 
 
 def parse_exp_date(s: Column | str) -> Column:

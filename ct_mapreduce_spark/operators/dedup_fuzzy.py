@@ -21,12 +21,15 @@ flags pairs with J >~ (1/b)^(1/r).
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_LOG = logging.getLogger(__name__)
 
 from ct_mapreduce_spark.operators.text import shingles
 from ct_mapreduce_spark.operators.util import fan_out
@@ -74,9 +77,13 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # No broadcast hint on the sizes table: it has one row per document, so
+    # forcing a broadcast is a driver/executor OOM at corpus scale. AQE
+    # broadcasts it when the (filtered) build side is genuinely small and
+    # falls back to a shuffle join otherwise.
     j = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -120,9 +127,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """doc_id -> array<long> of num_hashes MinHash values.
 
-    Arrow-batched pandas UDF with the hot loop in numpy uint64: the
-    classical family h_i(x) = (a_i * x + b_i) mod (2^61 - 1) evaluated as
-    one (num_hashes x n_shingles) vectorized broadcast per doc. Measured
+    Arrow-batched pandas UDF with the hot loop in numpy uint64. The hash
+    family is h_i(x) = ((a_i * x + b_i) mod 2^64) mod (2^61 - 1): numpy
+    uint64 arithmetic wraps the product mod 2^64 *before* the mod-p, so
+    this is NOT the textbook universal family (a*x+b) mod p — the strict
+    P[h(A)=h(B)] = J(A,B) guarantee holds only approximately. It is
+    deterministic, well-mixed in practice (recall >= 0.9 vs exact Jaccard
+    in tests), and one vectorized (num_hashes x n_shingles) broadcast per
+    doc; exact mod-p would need 128-bit splitting for no measured recall
+    gain. Measured
     ~3x faster than the pure-expression form at sf0.1 (interpreted
     higher-order functions vs numpy) — the sanctioned use of the Python
     path: vectorized, no per-row overhead.
@@ -176,14 +189,21 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    max_bucket_width: int | None = 4096,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
     r = num_hashes/bands rows per band; a pair collides if any band's
     sub-signature matches exactly. Scale shape: explode -> groupBy band
-    bucket -> per-bucket pairing; hot buckets (boilerplate docs) are the
-    skew risk — AQE splits them, and callers should cap bucket width
-    upstream for adversarial corpora.
+    bucket -> per-bucket pairing.
+
+    Hot buckets (boilerplate-heavy corpora put millions of docs in one
+    bucket, making the pairing quadratic) are capped at `max_bucket_width`
+    members by a deterministic top-N-by-hash truncation: members ranked by
+    xxhash64(doc_id, seed) keep their slot, the tail is dropped from that
+    band only (the doc still pairs through its other bands). The number of
+    saturated buckets is logged after materialization; pass
+    max_bucket_width=None to disable.
 
     Output: (doc_a, doc_b, n_bands_matched, est_jaccard) where est_jaccard
     is the signature-agreement fraction (unbiased J estimate).
@@ -206,10 +226,36 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "minhash", "bb.band", "bb.bucket")
+    if max_bucket_width is not None:
+        # Deterministic truncation: rank within (band, bucket) by a seeded
+        # hash of doc_id (ties broken by doc_id) so retries and engines
+        # agree on which members survive. The window's hash partitioning on
+        # (band, bucket) is the same clustering the self-join needs, so
+        # this costs no extra exchange.
+        w = Window.partitionBy("band", "bucket").orderBy(
+            F.xxhash64("doc_id", F.lit(seed)), "doc_id"
+        )
+        banded = banded.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") <= max_bucket_width
+        )
     # The banded frame feeds both sides of the self-join; without a
     # materialization point the narrow signature computation (the expensive
-    # part) would execute twice — there is no shuffle for Spark to reuse.
-    banded = banded.persist()
+    # part) would execute twice — the two join sides don't canonicalize to
+    # a reusable exchange. localCheckpoint rather than persist(): blocks
+    # are owned by the RDD and freed by the ContextCleaner when the result
+    # is garbage collected, instead of leaking a CacheManager entry per
+    # invocation in a long-lived session.
+    banded = banded.localCheckpoint(eager=True)
+    if max_bucket_width is not None:
+        n_sat = banded.where(F.col("_rn") == max_bucket_width).count()
+        if n_sat:
+            _LOG.warning(
+                "minhash_lsh_pairs: %d band-buckets hit max_bucket_width=%d; "
+                "tail members beyond the cap were dropped from those bands",
+                n_sat,
+                max_bucket_width,
+            )
+        banded = banded.drop("_rn")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -35,6 +35,12 @@ def asof_join(
     are included — then last_value(ignorenulls) carries the most recent
     right values forward onto each left row.
     """
+    # The right-side payload struct carries right_time under a reserved
+    # name so the tolerance check compares against the actual time column,
+    # not positionally against right_cols[0].
+    r_struct = F.struct(
+        *[F.col(c) for c in right_cols], F.col(right_time).alias("__asof_t")
+    )
     lt = F.col(left_time)
     l_tagged = left.select(
         F.col(on).alias("_k"),
@@ -42,9 +48,7 @@ def asof_join(
         F.lit(1).alias("_side"),
         F.struct(*left.columns).alias("_l"),
         F.lit(None).cast(
-            right.select(F.struct(*[F.col(c) for c in right_cols]).alias("s")).schema[
-                "s"
-            ].dataType
+            right.select(r_struct.alias("s")).schema["s"].dataType
         ).alias("_r"),
     )
     r_tagged = right.select(
@@ -52,7 +56,7 @@ def asof_join(
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
+        r_struct.alias("_r"),
     )
     w = (
         W.partitionBy("_k")
@@ -67,7 +71,7 @@ def asof_join(
         out = out.withColumn(
             "_match",
             F.when(
-                F.col("_t").cast("double") - F.col("_match." + right_cols[0]).cast("double")
+                F.col("_t").cast("double") - F.col("_match.__asof_t").cast("double")
                 <= tolerance_seconds,
                 F.col("_match"),
             ),

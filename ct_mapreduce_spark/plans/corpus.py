@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ct_mapreduce_spark.functions.codecs import (
     base64url,
+    serial_bigint,
     serial_hex,
     spki_issuer_id,
     spki_or_fallback,
@@ -267,24 +268,31 @@ def p6_crl_normalize(spark, sf_dir):
            replace(replace(to_base64(b), '+', '-'), '/', '_') AS serial_id,
            d AS spki_sha256,
            replace(replace(to_base64(unhex(d)), '+', '-'), '/', '_')
-             AS issuer_id
-    FROM (SELECT t.name, unhex(t.h) AS b, t.d FROM (VALUES
+             AS issuer_id,
+           sb AS serial_bigint
+    FROM (SELECT t.name, unhex(t.h) AS b, t.d, t.sb FROM (VALUES
             ('deadbeef', 'DEADBEEF',
-             '5f78c33274e43fa9de5659265c1d917e25c03722dcb0b8d27db8d5feaa813953'),
+             '5f78c33274e43fa9de5659265c1d917e25c03722dcb0b8d27db8d5feaa813953',
+             '3735928559'),
             ('leading_zero', '00AA',
-             'd2c79d9973bfdaa70e406338d4f4b77e4941dbf90fa84bbbe6769808587528ad'),
+             'd2c79d9973bfdaa70e406338d4f4b77e4941dbf90fa84bbbe6769808587528ad',
+             '170'),
             ('spki_ff', 'FF',
-             'a8100ae6aa1940d0b663bb31cd466142ebbdbd5187131b92d93818987832eb89'),
+             'a8100ae6aa1940d0b663bb31cd466142ebbdbd5187131b92d93818987832eb89',
+             '255'),
             ('long', '0102030405060708090A0B0C0D0E0F1011',
-             'a9ce213e0c75b432a9e5c166e4f38e661ec95a3370cd111c72688ecb4b503205')
-          ) AS t(name, h, d)) s
+             'a9ce213e0c75b432a9e5c166e4f38e661ec95a3370cd111c72688ecb4b503205',
+             NULL)
+          ) AS t(name, h, d, sb)) s
     """,
     "projection",
 )
 def p7_key_derivations(spark, sf_dir):
     """P7 (storage/types.go:210-224,147-159,124-130): the key-derivation
     codec family on golden byte vectors (types_test.go:41-101). Includes a
-    17-byte serial (types_test.go:130-150) — identity stays binary/hex."""
+    17-byte serial (types_test.go:130-150) — identity stays binary/hex and
+    serial_bigint goes NULL past its exact-decimal range (the oracle
+    carries the big.Int goldens as literals)."""
     rows = [
         ("deadbeef", bytes.fromhex("DEADBEEF")),
         ("leading_zero", bytes.fromhex("00AA")),
@@ -298,6 +306,9 @@ def p7_key_derivations(spark, sf_dir):
         base64url("b").alias("serial_id"),
         F.sha2("b", 256).alias("spki_sha256"),
         spki_issuer_id("b").alias("issuer_id"),
+        # string-rendered: DECIMAL(38,0) crosses engine/pandas boundaries
+        # as float and breaks value comparison; the digits are the payload
+        serial_bigint("b").cast("string").alias("serial_bigint"),
     )
 
 
@@ -355,6 +366,83 @@ def p7b_unique_cert_id(spark, sf_dir):
     ]
     df = spark.createDataFrame(rows, "exp_date string, issuer string, serial binary")
     return df.select(unique_cert_id("exp_date", "issuer", "serial").alias("cert_key"))
+
+
+@q(
+    "p4_parse_cert",
+    """
+    SELECT * FROM (VALUES
+      ('leading_zero_serial', TRUE, '00aa', 'CN=My First Issuer (tm)',
+       'leadingZeros', TIMESTAMP '2019-04-27 22:00:00',
+       TIMESTAMP '2019-04-28 22:15:32', FALSE, FALSE, CAST(NULL AS VARCHAR),
+       '6e2b930bb9b1835bd9c3c724542de9cfdc92f62b9ecb2fb8a126e1e74ac7a5b8',
+       CAST([] AS VARCHAR[])),
+      ('end_entity', TRUE, '0104aaff', 'CN=My First Issuer (tm)',
+       'www.example.com', TIMESTAMP '2019-04-27 22:00:00',
+       TIMESTAMP '2019-04-28 22:15:32', FALSE, TRUE, '0102030405060708090a',
+       '6e2b930bb9b1835bd9c3c724542de9cfdc92f62b9ecb2fb8a126e1e74ac7a5b8',
+       ['http://a/crl', 'ldap://d/cn=x']),
+      ('ca_cert', TRUE, '02', 'CN=My First Issuer (tm)',
+       'My First Issuer (tm)', TIMESTAMP '2019-04-27 22:00:00',
+       TIMESTAMP '2019-04-28 22:15:32', TRUE, TRUE, 'aabbccddeeff00112233',
+       '6e2b930bb9b1835bd9c3c724542de9cfdc92f62b9ecb2fb8a126e1e74ac7a5b8',
+       ['https://b/int.crl']),
+      ('short_skid', TRUE, '03', 'CN=My First Issuer (tm)',
+       'short-skid', TIMESTAMP '2019-04-27 22:00:00',
+       TIMESTAMP '2019-04-28 22:15:32', FALSE, TRUE, '010203',
+       '6e2b930bb9b1835bd9c3c724542de9cfdc92f62b9ecb2fb8a126e1e74ac7a5b8',
+       CAST([] AS VARCHAR[])),
+      ('no_bc', TRUE, '04', 'CN=My First Issuer (tm)',
+       'no-bc', TIMESTAMP '2019-04-27 22:00:00',
+       TIMESTAMP '2019-04-28 22:15:32', FALSE, FALSE, CAST(NULL AS VARCHAR),
+       '6e2b930bb9b1835bd9c3c724542de9cfdc92f62b9ecb2fb8a126e1e74ac7a5b8',
+       CAST([] AS VARCHAR[])),
+      ('serial_17_bytes', TRUE, '0102030405060708090a0b0c0d0e0f1011',
+       'CN=My First Issuer (tm)', 'wide-serial',
+       TIMESTAMP '2019-04-27 22:00:00', TIMESTAMP '2019-04-28 22:15:32',
+       FALSE, TRUE, CAST(NULL AS VARCHAR),
+       '6e2b930bb9b1835bd9c3c724542de9cfdc92f62b9ecb2fb8a126e1e74ac7a5b8',
+       CAST([] AS VARCHAR[])),
+      ('not_a_cert', FALSE, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS BOOLEAN),
+       CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR[]))
+    ) AS t(name, parsed, serial_hex, issuer_dn, subject_cn, not_before,
+           not_after, is_ca, basic_constraints_valid, skid_hex, spki_sha256,
+           crl_dps)
+    """,
+    "projection",
+)
+def p4_parse_cert(spark, sf_dir):
+    """P4/§2.9: DER -> struct end-to-end through the Arrow pandas UDF —
+    the reference's only irreducible logic (x509.ParseCertificate,
+    ct-fetch.go:198-225; raw-serial extraction types.go:165-178). The
+    fixtures are generated at runtime from a key *derived* from a fixed
+    scalar (functions/x509_fixtures.py), so every parsed field is
+    byte-stable across runs and the oracle carries them as golden
+    literals — serial leading-zero preservation (types_test.go:81-101),
+    17-byte serial (types_test.go:130-150), SKID, CRL DPs, CA flags, and
+    the NULL-struct parse-failure tolerance (ct-fetch.go:452-459)."""
+    from ct_mapreduce_spark.functions.x509 import parse_cert
+    from ct_mapreduce_spark.functions.x509_fixtures import make_fixture_certs
+
+    df = spark.createDataFrame(make_fixture_certs(), "name string, der binary")
+    c = parse_cert("der")
+    return df.select(
+        "name",
+        c["serial"].isNotNull().alias("parsed"),
+        F.lower(F.hex(c["serial"])).alias("serial_hex"),
+        c["issuer_dn"].alias("issuer_dn"),
+        c["subject_cn"].alias("subject_cn"),
+        c["not_before"].alias("not_before"),
+        c["not_after"].alias("not_after"),
+        c["is_ca"].alias("is_ca"),
+        c["basic_constraints_valid"].alias("basic_constraints_valid"),
+        F.lower(F.hex(c["skid"])).alias("skid_hex"),
+        F.sha2(c["spki_raw"], 256).alias("spki_sha256"),
+        c["crl_dps"].alias("crl_dps"),
+    )
 
 
 @q(

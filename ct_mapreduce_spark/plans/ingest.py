@@ -81,14 +81,23 @@ def write_store(deduped: DataFrame, path: str, mode: str = "overwrite") -> None:
     the reference chose for pruning; files within a partition stay
     task-sized rather than one-row.
 
-    The repartition on the partition keys before the write is load-bearing:
+    Clustering rows by the partition keys before the write is load-bearing:
     without it every shuffle partition holds rows for most (date, issuer)
     combinations, so N_tasks x N_partitions tiny files get opened — the
-    small-file explosion that kills partitioned stores at scale. Clustered,
-    each task writes only its own directories (one file per dir).
+    small-file explosion that kills partitioned stores at scale.
+
+    The clustering uses an AQE REBALANCE hint rather than a plain
+    `repartition(keys)`: a hash repartition serializes each hot (date,
+    issuer) pair into a single task (measured 2x ingest wall-clock at
+    sf0.1), while REBALANCE clusters by the keys but lets AQE split
+    oversized partitions into multiple tasks and coalesce tiny ones — so
+    each directory gets a small bounded number of right-sized files and
+    parallelism survives skewed issuers. This is the posture that holds at
+    100 TB: file count per partition stays O(data volume / target file
+    size), not O(shuffle partitions).
     """
     (
-        deduped.repartition("exp_date", "issuer_id")
+        deduped.hint("rebalance", "exp_date", "issuer_id")
         .write.partitionBy("exp_date", "issuer_id")
         .mode(mode)
         .parquet(path)

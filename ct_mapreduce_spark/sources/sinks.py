@@ -36,8 +36,25 @@ def write_noop(df: DataFrame) -> None:
 
 def write_log_states(states: DataFrame, path: str) -> None:
     """S6: the ingest-cursor table. Tiny; coalesce(1) keeps it a single
-    file like the reference's per-log JSON blobs."""
-    states.coalesce(1).write.mode("overwrite").parquet(path)
+    file like the reference's per-log JSON blobs.
+
+    Crash-safe write: the new table is fully written to a sibling temp
+    directory first, then swapped into place, so a mid-write failure never
+    destroys the existing cursor table (the reference's per-log JSON write
+    has the same replace-not-append contract, localdiskbackend.go:201-210).
+    The input plan may read from `path` itself (upsert_log_state does) —
+    the temp-dir indirection also removes the read-then-overwrite hazard.
+    """
+    spark = states.sparkSession
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + "__tmp__")
+    fs = dst.getFileSystem(hconf)
+    states.coalesce(1).write.mode("overwrite").parquet(path + "__tmp__")
+    fs.delete(dst, True)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"log-state swap failed: could not rename {tmp} -> {dst}")
 
 
 def read_log_states(spark: SparkSession, path: str) -> DataFrame:

@@ -65,9 +65,20 @@ def test_base64url_long_input_no_wrap(spark):
 
 def test_serial_bigint(spark):
     # types_test.go:251-255 big-int view; 17-byte serials must not be
-    # silently wrong (they fit decimal38 up to ~2^126).
+    # silently wrong, and >8-byte serials must not hit conv()'s uint64
+    # ANSI overflow throw.
     assert one(spark, serial_bigint(F.lit(b"\x01\x00"))) == 256
     assert one(spark, serial_bigint(F.lit(bytes([0xDE, 0xAD, 0xBE, 0xEF])))) == 0xDEADBEEF
+    assert one(spark, serial_bigint(F.lit(b""))) == 0
+    # 9 bytes: past uint64, must be exact
+    nine = bytes.fromhex("0102030405060708090A")[:9]
+    assert one(spark, serial_bigint(F.lit(nine))) == int.from_bytes(nine, "big")
+    # 15 bytes: the widest exact width
+    fifteen = bytes(range(1, 16))
+    assert one(spark, serial_bigint(F.lit(fifteen))) == int.from_bytes(fifteen, "big")
+    # 17 bytes (types_test.go:130-150): NULL, never a wrong number
+    seventeen = bytes.fromhex("0102030405060708090A0B0C0D0E0F1011")
+    assert one(spark, serial_bigint(F.lit(seventeen))) is None
 
 
 def test_unique_cert_id_roundtrip(spark):

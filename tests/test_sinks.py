@@ -44,15 +44,25 @@ def test_log_state_upsert_roundtrip(spark, tmp_path):
     # updated row wins; untouched row survives (read-through semantics,
     # filesystemdatabase.go:110-139)
     assert got == {"log.example.com/2525": 2525, "other.example/x": 0xDEADBEEF}
+    # Write the merged frame back to the SAME path it was read from — the
+    # read-modify-write cycle the production ingest loop performs — and
+    # assert FULL table equality (not a superset), so a dropped row from
+    # the overwrite-while-reading hazard would fail loudly.
+    write_log_states(merged, path)
+    after = {r.url: r.max_entry for r in read_log_states(spark, path).collect()}
+    assert after == {"log.example.com/2525": 2525, "other.example/x": 0xDEADBEEF}
     # include MaxInt64 edge (storagebackend_tests.go fixtures)
     big = spark.createDataFrame(
         [Row(url="big", max_entry=(1 << 63) - 1, last_entry_time=None, last_update_time=None)],
         LOG_STATES,
     )
     write_log_states(upsert_log_state(spark, path, big), path)
-    assert {
-        r.max_entry for r in read_log_states(spark, path).collect()
-    } >= {(1 << 63) - 1}
+    after2 = {r.url: r.max_entry for r in read_log_states(spark, path).collect()}
+    assert after2 == {
+        "log.example.com/2525": 2525,
+        "other.example/x": 0xDEADBEEF,
+        "big": (1 << 63) - 1,
+    }
 
 
 def test_noop_sink_executes(spark):
