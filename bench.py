@@ -35,6 +35,9 @@ HEADLINE = [
     "docs_minhash_lsh_dedup",
     "emb_cosine_topk",
     "docs_text_stats",
+    # round-2 additions (first recorded run = their baseline)
+    "q18_large_orders",
+    "j7_asof_join",
 ]
 
 ITERATIONS = 2

@@ -94,3 +94,33 @@ def test_store_partition_pruning_plan(spark, certs, tmp_path):
     # post-scan filter
     pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "exp_date" in pf_line and "issuer_id" in pf_line
+
+
+def test_store_write_file_count_bounded(spark, certs, tmp_path):
+    """Guard for the small-file fix (round-1 review, wrong #1): the
+    REBALANCE clustering must keep files per (exp_date, issuer_id)
+    directory O(partition bytes / target file size) — at test scale that
+    means a handful per directory, NOT one file per shuffle task.
+
+    Without clustering, every shuffle partition touches most (date, issuer)
+    pairs, producing ~n_shuffle_partitions files per directory; with it,
+    AQE coalesces each pair's rows into few right-sized output files."""
+    import datetime as dt
+    from collections import Counter
+    from pathlib import Path
+
+    from ct_mapreduce_spark.plans.ingest import ingest_batch, write_store
+
+    deduped = ingest_batch(certs, now=dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc))
+    path = str(tmp_path / "store")
+    write_store(deduped, path)
+
+    per_dir: Counter[str] = Counter()
+    for f in Path(path).rglob("*.parquet"):
+        per_dir[str(f.parent)] += 1
+    assert per_dir, "store wrote no parquet files"
+    n_pairs = deduped.select("exp_date", "issuer_id").distinct().count()
+    assert len(per_dir) == n_pairs  # one directory per (date, issuer)
+    # Bounded: no directory exploded into per-task files (shuffle
+    # partitions is 8 in tests; unclustered writes give ~8 per dir).
+    assert max(per_dir.values()) <= 4, per_dir.most_common(5)

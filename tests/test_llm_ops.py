@@ -55,6 +55,35 @@ def test_minhash_estimate_tracks_exact(spark, docs):
         assert abs(r.jaccard - r.est_jaccard) < 0.25, dict(r.asDict())
 
 
+def test_minhash_lsh_hot_bucket_cap(spark):
+    """Adversarial corpus: 1k identical boilerplate docs land in ONE bucket
+    per band. The deterministic cap must bound per-band pair fan-out to
+    C(cap, 2) instead of C(1000, 2), and the run must finish quickly."""
+    n, cap, bands = 1000, 32, 16
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    df = spark.createDataFrame([Row(doc_id=i, text=boiler) for i in range(n)])
+    pairs = dedup_fuzzy.minhash_lsh_pairs(df, max_bucket_width=cap)
+    got = pairs.count()
+    # All bands share the same surviving cap-member set (same signature,
+    # same rank hash), so distinct pairs <= C(cap,2); a quadratic blowup
+    # would be C(1000,2) = 499_500.
+    assert 0 < got <= cap * (cap - 1) // 2, got
+    # Uncapped-but-bounded control: cap=None on a small corpus still works.
+    small = spark.createDataFrame([Row(doc_id=i, text=boiler) for i in range(20)])
+    assert dedup_fuzzy.minhash_lsh_pairs(small, max_bucket_width=None).count() == 190
+
+
+def test_ngram_jaccard_no_forced_broadcast(spark, docs):
+    """Scale guard (round-1 review, wrong #2): the per-document sizes table
+    must not carry a broadcast hint — at corpus scale a forced broadcast of
+    a documents-cardinality aggregate OOMs the driver. AQE may still choose
+    a broadcast at tiny SF from measured sizes; what we assert is that the
+    *plan we declare* doesn't force it."""
+    j = dedup_fuzzy.ngram_jaccard_pairs(docs, threshold=0.35)
+    analyzed = j._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+
+
 def test_simhash_identical_docs_zero_hamming(spark):
     rows = [
         Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),

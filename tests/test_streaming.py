@@ -150,6 +150,86 @@ def test_streaming_session_window(spark, tmp_path):
     assert sum(r.n_events for r in rows) == 500
 
 
+def test_streaming_late_duplicate_dropped_state_bounded(spark, tmp_path):
+    """D2/T5: a duplicate arriving beyond the watermark is dropped, and the
+    dedup state stays bounded (evicted keys don't accumulate) — the analog
+    of the reference's EXPIREAT-at-bucket-expiry TTL
+    (storage/knowncertificates.go:98-104, knowncertificates_test.go:85-110).
+
+    Three waves replayed in order via file mtime + maxFilesPerTrigger=1:
+      wave 1: fresh certs at T0
+      wave 2: different certs at T0+12h  (watermark advances to ~T0+11h,
+              evicting wave-1 state under the 1h delay)
+      wave 3: an exact duplicate of a wave-1 cert, stamped with its original
+              old entry_ts — now far below the watermark
+    The wave-3 row must NOT produce a second store row for its key, and the
+    final state row count must be < total distinct keys (wave-1 evicted).
+    """
+    import time
+
+    src = str(tmp_path / "late_src")
+    store = str(tmp_path / "late_store")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    pdf = synthetic_certificates(spark, n=80, seed=3).toPandas()
+    # Make all certs pass the ingest filter deterministically.
+    pdf["is_ca"] = False
+    pdf["chain_len"] = 2
+    pdf["not_after"] = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    wave1 = pdf.iloc[:40].copy()
+    wave1["entry_ts"] = t0
+    wave2 = pdf.iloc[40:].copy()
+    wave2["entry_ts"] = t0 + dt.timedelta(hours=12)
+    dup = wave1.iloc[[0]].copy()  # same (exp bucket, issuer, serial) key
+    dup["entry_id"] = 10_000
+    dup["entry_ts"] = t0  # far below the advanced watermark
+
+    from ct_mapreduce_spark.schemas import CERTIFICATES
+
+    def _append(wave_pdf):
+        spark.createDataFrame(wave_pdf, schema=CERTIFICATES).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)  # distinct file mtimes => deterministic batch order
+
+    _append(wave1)
+    _append(wave2)
+    _append(dup)
+
+    stream = read_cert_stream(spark, src, max_files_per_trigger=1)
+    deduped = streaming_ingest(stream, now=NOW, watermark_delay="1 hour")
+    q = start_ingest_query(deduped, store, ckpt)
+    q.processAllAvailable()
+    progresses = [p for p in q.recentProgress if p and p["numInputRows"] > 0]
+    q.stop()
+
+    got = spark.read.parquet(store)
+    keys = ["exp_date", "issuer_id", "serial"]
+    # The late duplicate added no row: every key appears exactly once.
+    assert got.count() == got.select(*keys).distinct().count()
+    dup_key_rows = got.where(
+        (F.col("serial") == bytes(dup["serial"].iloc[0]))
+        & (F.col("issuer_id") == dup["issuer_id"].iloc[0])
+    )
+    assert dup_key_rows.count() == 1
+
+    # State is bounded: after the watermark passed wave 1, its keys were
+    # evicted, so the final batch's state rows < total distinct keys.
+    total_keys = got.count()
+    final_state = progresses[-1]["stateOperators"][0]
+    assert final_state["numRowsTotal"] < total_keys, (
+        final_state,
+        total_keys,
+    )
+    # And eviction actually happened at some point (rows removed from state).
+    assert any(
+        so["numRowsRemoved"] > 0
+        for p in progresses
+        for so in p["stateOperators"]
+    ), [p["stateOperators"] for p in progresses]
+
+
 def test_telemetry_listener(spark, tmp_path):
     """T6: StreamingQueryListener collects batch/row counters and the
     staleness health rule works (telemetry.go analog)."""
