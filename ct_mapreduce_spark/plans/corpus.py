@@ -2035,6 +2035,679 @@ def emb_cosine_near_dup(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Wave 7: the rest of the TPC-H query family, adapted to the driver schema
+# (no partsupp table — the part<->supplier relation derives from lineitem;
+# no receipt/commit dates, phone, or comment columns — filters use the
+# columns that exist, keeping each query's *plan shape* intact: correlated
+# subqueries, scalar-subquery thresholds, exists/not-exists, anti-joins,
+# outer-join distributions).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+      SELECT c.l_partkey, c.l_suppkey, c.cost, s_name, s_acctbal, n_name
+      FROM costs c
+      JOIN supplier ON s_suppkey = c.l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
+           round(cost, 6) AS cost
+    FROM eu JOIN part ON p_partkey = eu.l_partkey
+    WHERE p_size <= 5
+      AND cost = (SELECT min(e2.cost) FROM eu e2
+                  WHERE e2.l_partkey = eu.l_partkey)
+    """,
+    "tpch",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated MIN subquery over a 4-way dim join.
+    partsupp is derived from lineitem (cost = min unit price observed).
+    The correlated min decorrelates to a per-part window over only the
+    region-filtered, part-filtered rows — filter first, then min."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 5)
+    # Pre-filter BEFORE the aggregate: per-(part, supp) min depends only on
+    # that pair's own rows, so restricting to EU suppliers and small parts
+    # first is semantics-preserving and shrinks the groupBy shuffle ~10x —
+    # Catalyst won't push a join below an aggregation on its own.
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(sup.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+    )
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    eu = costs.join(F.broadcast(sup), costs.l_suppkey == sup.s_suppkey)
+    w = W.partitionBy("l_partkey")
+    return (
+        eu.join(F.broadcast(p), eu.l_partkey == p.p_partkey)
+        .withColumn("_min_cost", F.min("cost").over(w))
+        .where(F.col("cost") == F.col("_min_cost"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            F.round("cost", 6).alias("cost"),
+        )
+    )
+
+
+@q(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(6,4))) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY 1, 2, 3
+    """,
+    "tpch",
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: two roles of the same dim (supplier nation vs
+    customer nation), disjunctive nation-pair filter, yearly rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair_ok)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                    ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(6,4))) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    "tpch",
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of regional revenue per year —
+    conditional-sum ratio over a 6-way star join; exact decimal sums, one
+    double division at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+    share = F.when(F.col("nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(20,6)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (F.sum(share).cast("double") / F.sum(vol).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+@q(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(6,4)))
+             - CAST(p_retailprice AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY 1, 2
+    """,
+    "tpch",
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit per nation-year; supply cost proxied by
+    p_retailprice * quantity (no partsupp in schema). LIKE filter pushes
+    into the part scan; dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    amount = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    ) - F.col("p_retailprice").cast("decimal(12,2)") * F.col("l_quantity").cast(
+        "decimal(12,2)"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@q(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "tpch",
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter; deterministic tiebreak (c_custkey) so LIMIT is stable."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@q(
+    "q11_important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_0'
+      GROUP BY 1
+    )
+    SELECT l_partkey, CAST(value AS DOUBLE) AS value
+    FROM pv
+    WHERE CAST(value AS DOUBLE) >
+          (SELECT CAST(sum(value) AS DOUBLE) * 0.001 FROM pv)
+    """,
+    "tpch",
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: per-part value filtered by a scalar-subquery
+    threshold (0.1% of the grand total). The scalar aggregate becomes a
+    1-row broadcast cross join — no driver-side collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_0")
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("_value"))
+    )
+    thr = pv.agg(
+        (F.sum("_value").cast("double") * F.lit(0.001)).alias("_thr")
+    )
+    return (
+        pv.join(F.broadcast(thr))
+        .where(F.col("_value").cast("double") > F.col("_thr"))
+        .select("l_partkey", F.col("_value").cast("double").alias("value"))
+    )
+
+
+@q(
+    "q13_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders ON c_custkey = o_custkey
+           AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    "tpch",
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: outer join with a join-side filter, then a
+    distribution-of-counts double aggregation (customers with zero
+    surviving orders must appear — hence outer, not inner)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@q(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    "tpch",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: view + scalar MAX subquery; equality is on exact
+    decimals, so the argmax set is engine-independent."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(6,4)"))
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@q(
+    "q16_part_supplier_variety",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 2, 3, 4, 5)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    "tpch",
+)
+def q16_part_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute with a
+    NOT-IN exclusion (suppliers in deficit), expressed as an anti-join —
+    the part<->supplier relation derives from lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q17_small_qty_revenue",
+    """
+    WITH pq AS (
+      SELECT l_partkey AS pq_partkey,
+             0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                    / count(*)) AS qty_thr
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           count(*) AS n
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq ON pq_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < qty_thr
+    """,
+    "tpch",
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated AVG subquery (l_quantity below 20% of
+    the part's average) decorrelated to a grouped aggregate + join — the
+    exact plan Catalyst produces for the correlated form. Quantities are
+    integral doubles, so sum-as-decimal / count is the exact average."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    li = _t(spark, sf_dir, "lineitem")
+    # The per-part average is only consumed for Brand#1 parts: semi-join
+    # the fact table down BEFORE the grouped aggregate (the decorrelated
+    # subquery would otherwise shuffle every part's rows).
+    li_b1 = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    pq = li_b1.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_thr")
+    )
+    return (
+        li_b1.join(F.broadcast(p), li_b1.l_partkey == p.p_partkey)
+        .join(pq, F.col("l_partkey") == F.col("pq_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "q20_excess_parts",
+    """
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_4'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%blue%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 30
+      )
+    ORDER BY s_name
+    """,
+    "tpch",
+)
+def q20_excess_parts(spark, sf_dir):
+    """TPC-H Q20 shape: nested IN subqueries -> semi-join chain (suppliers
+    who moved >30 units of a matching part in the year)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%blue%"))
+    movers = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("q"))
+        .where(F.col("q") > 30)
+        .select("l_suppkey")
+    )
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_4")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@q(
+    "q21_waiting_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_5'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    """,
+    "tpch",
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact table ->
+    left-semi then left-anti self-joins. Without receipt/commit dates the
+    'kept everyone waiting' supplier is the strictly-latest shipper in a
+    multi-supplier finalized order."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    s = _t(spark, sf_dir, "supplier")
+    l1 = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .alias("l1")
+    )
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.select("l_orderkey", "l_suppkey", "l_shipdate").alias("l3")
+    with_other = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    latest = with_other.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    return (
+        latest.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@q(
+    "q22_idle_customers",
+    """
+    WITH pos AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer
+      WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'HOUSEHOLD')
+        AND c_acctbal > 0
+    ), thr AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*) AS avg_bal
+      FROM pos
+    )
+    SELECT c_mktsegment, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM pos, thr
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      )
+    GROUP BY c_mktsegment
+    """,
+    "tpch",
+)
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average account balance (scalar AVG
+    subquery over the positive-balance population, decimal-exact) with a
+    NOT-EXISTS anti-join (no orders since 1999)."""
+    pos = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY", "HOUSEHOLD")
+        & (F.col("c_acctbal") > 0)
+    )
+    thr = pos.agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    )
+    return (
+        pos.join(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, pos.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+@q(
+    "scalar_glob",
+    """
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE source LIKE 'src1%'
+       OR regexp_matches(source, '^src[0-9]$')
+    """,
+    "scalar",
+)
+def scalar_glob(spark, sf_dir):
+    """Glob/pattern matching (SURVEY §2.7, mockcache.go:157 KeysToChan
+    SCAN pattern analog): LIKE prefix glob + anchored regex, both pushed
+    into the scan as a single OR predicate."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(
+        F.col("source").like("src1%") | F.col("source").rlike("^src[0-9]$")
+    ).select("doc_id", "source", "lang")
+
+
 @q(
     "a11_unpivot",
     """
