@@ -1929,11 +1929,11 @@ def _stream_src(spark, sf_dir: str) -> str:
     return path
 
 
-def _run_stream(spark, df, name: str):
+def _run_stream(spark, df, name: str, mode: str = "complete"):
     import tempfile
 
     q = (
-        df.writeStream.outputMode("complete")
+        df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ck_{name}_"))
@@ -2003,6 +2003,55 @@ def t4d_stream_tumbling(spark, sf_dir):
         .parquet(src)
     )
     return _run_stream(spark, streaming_event_windows(stream), "t4d_tumbling")
+
+
+@q(
+    "t5_stateful_ttl_dedup",
+    """
+    SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           user_id, event_type
+    FROM events
+    """,
+    "streaming",
+)
+def t5_stateful_ttl_dedup(spark, sf_dir):
+    """D2/T3 custom-stateful form (applyInPandasWithState): first-seen
+    dedup whose state TTL is the data-derived BUCKET EXPIRY — the
+    reference's EXPIREAT contract (knowncertificates.go:98-104) — rather
+    than dropDuplicatesWithinWatermark's delay-after-last-arrival. The
+    watermark delay exceeds the table's time span, so no key is evicted
+    or dropped mid-replay and the emitted set equals the batch DISTINCT
+    (arrival-order independent -> the DuckDB oracle hash-matches);
+    eviction/re-admission behavior is asserted separately in
+    tests/test_streaming.py::test_ttl_first_seen_evicts_at_bucket_expiry.
+    """
+    from ct_mapreduce_spark.streaming.stateful import (
+        day_bucket_expiry,
+        ttl_first_seen,
+    )
+
+    src = _stream_src(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    prepared = stream.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+        "event_type",
+        "ts",
+    )
+    out = ttl_first_seen(
+        prepared,
+        keys=["day", "user_id"],
+        member_col="event_type",
+        expiry_fn=day_bucket_expiry,
+        watermark_col="ts",
+        watermark_delay="3650 days",
+    )
+    return _run_stream(spark, out, "t5_ttl_dedup", mode="append")
 
 
 @q(

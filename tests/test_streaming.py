@@ -230,6 +230,99 @@ def test_streaming_late_duplicate_dropped_state_bounded(spark, tmp_path):
     ), [p["stateOperators"] for p in progresses]
 
 
+def test_ttl_first_seen_evicts_at_bucket_expiry(spark, tmp_path):
+    """Custom stateful dedup (applyInPandasWithState): state for a bucket
+    is dropped when the watermark passes the BUCKET EXPIRY (data-derived,
+    the reference's EXPIREAT contract) — not a fixed delay after last
+    arrival. After eviction a re-arrival is 'unknown' again and re-emits,
+    exactly like a fresh SADD once the Redis set evaporated
+    (knowncertificates_test.go:85-110)."""
+    import time
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ct_mapreduce_spark.streaming.stateful import (
+        cert_bucket_expiry,
+        ttl_first_seen,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("exp_date", T.StringType()),
+            T.StructField("issuer_id", T.StringType()),
+            T.StructField("serial", T.BinaryType()),
+            T.StructField("entry_id", T.LongType()),
+            T.StructField("entry_ts", T.TimestampType()),
+        ]
+    )
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m, tzinfo=dt.timezone.utc)
+    # Bucket A expires at 07:00. Wave 2 advances the watermark past it;
+    # wave 3 gives bucket A an input-free batch so its event-time timeout
+    # fires (timeouts only trigger for groups without data in the batch);
+    # wave 4 then replays a bucket-A serial with a fresh (non-late)
+    # entry_ts.
+    waves = [
+        [("2024-01-01-06", "iss1", b"\x01", 1, t(5)),
+         ("2024-01-01-06", "iss1", b"\x02", 2, t(5, 1)),
+         ("2024-01-01-06", "iss1", b"\x01", 3, t(5, 2))],  # in-stream dup
+        [("2024-01-20-00", "iss2", b"\x03", 4, t(10))],     # watermark -> 09:00
+        [("2024-01-20-00", "iss2", b"\x04", 6, t(10, 5))],  # A times out here
+        [("2024-01-01-06", "iss1", b"\x01", 5, t(10, 30))], # post-eviction replay
+    ]
+    src = str(tmp_path / "ttl_src")
+    for w in waves:
+        pdf = pd.DataFrame(
+            w, columns=["exp_date", "issuer_id", "serial", "entry_id", "entry_ts"]
+        )
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = ttl_first_seen(
+        stream,
+        keys=["exp_date", "issuer_id"],
+        member_col="serial",
+        expiry_fn=cert_bucket_expiry,
+        watermark_col="entry_ts",
+        watermark_delay="1 hour",
+        carry_cols=["entry_id"],
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_out")
+        .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    progresses = [p for p in q.recentProgress if p and p["numInputRows"] > 0]
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM ttl_out ORDER BY entry_id").collect()
+    got = [(r.exp_date, bytes(r.serial).hex(), r.entry_id) for r in rows]
+    # Wave 1: 01 and 02 emitted once (entry 3 deduped). Wave 4: 01
+    # re-emitted because bucket A's state was evicted at expiry.
+    assert got == [
+        ("2024-01-01-06", "01", 1),
+        ("2024-01-01-06", "02", 2),
+        ("2024-01-20-00", "03", 4),
+        ("2024-01-01-06", "01", 5),
+        ("2024-01-20-00", "04", 6),
+    ], got
+    assert any(
+        so["numRowsRemoved"] > 0
+        for p in progresses
+        for so in p["stateOperators"]
+    ), [p["stateOperators"] for p in progresses]
+
+
 def test_telemetry_listener(spark, tmp_path):
     """T6: StreamingQueryListener collects batch/row counters and the
     staleness health rule works (telemetry.go analog)."""
