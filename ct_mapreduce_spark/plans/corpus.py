@@ -2738,6 +2738,37 @@ def q22_idle_customers(spark, sf_dir):
 
 
 @q(
+    "a12_hll_rollup",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS est_distinct
+    FROM events GROUP BY event_type
+    """,
+    "agg",
+)
+def a12_hll_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup (operators/sketches.py): per-(event_type,
+    day) HLL leaf sketches unioned register-wise up to event_type — the
+    sketch-algebra form of storage-statistics' leaf-to-issuer sums
+    (storage-statistics.go:44-53), correct even for overlapping sets and
+    never rescanning raw data. Oracle is EXACT distinct: at sf0.01
+    cardinalities (~150 users) the Datasketches HLL is still in exact
+    (coupon) mode, so the estimate equals the true count; mergeability
+    and the estimate-tolerance at higher cardinality are pytest-asserted
+    (tests/test_llm_ops.py::test_hll_*)."""
+    from ct_mapreduce_spark.operators.sketches import (
+        hll_group_sketches,
+        hll_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    leaf = hll_group_sketches(
+        ev.select("event_type", day, "user_id"), ["event_type", "day"], "user_id"
+    )
+    return hll_rollup(leaf, ["event_type"]).select("event_type", "est_distinct")
+
+
+@q(
     "scalar_glob",
     """
     SELECT doc_id, source, lang

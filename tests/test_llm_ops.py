@@ -146,6 +146,36 @@ def test_lang_id_deterministic_golden(spark):
     assert out == {1: "en", 2: "de", 3: "und"}
 
 
+def test_hll_mergeability_and_tolerance(spark):
+    """Union-of-leaf-sketches must equal the direct sketch (register math
+    is associative/commutative), and the estimate must track exact
+    distinct within HLL error bounds at above-sparse cardinality."""
+    from ct_mapreduce_spark.operators.sketches import (
+        hll_group_sketches,
+        hll_rollup,
+    )
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 10).alias("sub"),
+        (F.col("id") % 50_000).alias("v"),
+    )
+    leaf = hll_group_sketches(df, ["g", "sub"], "v")
+    rolled = {r.g: r.est_distinct for r in hll_rollup(leaf, ["g"]).collect()}
+    direct = {
+        r.g: r.est_distinct
+        for r in hll_group_sketches(df, ["g"], "v").collect()
+    }
+    assert rolled == direct  # mergeability: same registers either way
+    exact = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    for g, est in rolled.items():
+        rel = abs(est - exact[g]) / exact[g]
+        assert rel < 0.05, (g, est, exact[g])
+
+
 def test_multimodal_feature_plumbing(spark):
     media = multimodal.synthetic_media(spark, n=120)
     feats = multimodal.extract_features(media)
