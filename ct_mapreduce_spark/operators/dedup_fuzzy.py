@@ -314,6 +314,79 @@ def minhash_lsh_pairs(
     return pairs.select("doc_a", "doc_b", "n_bands_matched", "est_jaccard")
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    doc_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id)
+    with cluster_id = min doc_id in the component (the same first-seen-
+    wins canonicalization as exact_dedup). This is the last step of a
+    dedup pipeline: pair candidates (MinHash/SimHash/Jaccard tiers) into
+    keep/drop groups.
+
+    Algorithm: iterative min-label propagation (GraphX-connected-
+    components shape restated in DataFrame ops). Each round every node
+    takes the min of its own label and its neighbors' labels; rounds
+    needed = graph diameter. Near-dup components are tiny dense clusters
+    (boilerplate families), so convergence is a handful of rounds; the
+    per-round driver-side `.count()` is a scalar convergence check, not a
+    data collect. Labels are localCheckpointed each round to truncate the
+    exponentially-growing lineage.
+
+    Scale: each round is one shuffle (join on node) + one groupBy(min) —
+    both keyed by doc id, so AQE reuses the clustering; edges are sparse
+    (bucketed candidate pairs, not all-pairs).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select(
+        F.col(doc_col).alias("node"), F.col(doc_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        _LOG.warning(
+            "dedup_clusters: min-label propagation did not converge in %d "
+            "rounds; emitting current labels (component diameter exceeds "
+            "max_iter)",
+            max_iter,
+        )
+    return labels.select(
+        F.col("node").alias(doc_col), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc, materialized as four 16-bit chunk columns
     c0..c3 (all integer arithmetic — no 64-bit-in-double precision traps).

@@ -59,6 +59,28 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
     return [b / 255.0 for b in d[:16]]
 
 
+def resolve_decoder():
+    """Codec seam: returns the best available `(payload, kind) ->
+    list[float]` decoder. Tries the real image stack (Pillow) first and
+    falls back to the declared stub — so the same pipeline upgrades
+    in-place when the production image libs are installed. Any injected
+    decoder must be picklable (it ships to Python workers)."""
+    try:  # pragma: no cover - container has no Pillow
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        def pillow_decoder(payload: bytes, kind: str) -> list[float]:
+            if kind != "image":
+                return _decode_stub(payload, kind)
+            img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+            return [p / 255.0 for p in img.getdata()]
+
+        return pillow_decoder
+    except ImportError:
+        return _decode_stub
+
+
 def synthetic_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
     """Deterministic media fixture: binary payloads of varying size."""
     import numpy as np
@@ -93,16 +115,20 @@ def repartition_by_bytes(df: DataFrame, target_bytes: int = 128 << 20) -> DataFr
     return df.repartition(n)
 
 
-def extract_features(df: DataFrame) -> DataFrame:
+def extract_features(df: DataFrame, decoder=None) -> DataFrame:
     """Decode + featurize via Arrow-batched mapInPandas. Failed decodes
-    yield decode_ok=false rows (never poison the batch)."""
+    yield decode_ok=false rows (never poison the batch). `decoder` is the
+    codec seam (resolve_decoder() when None): tests inject fakes through
+    it and production injects Pillow/librosa — the Spark plumbing is
+    identical either way."""
+    decoder = decoder or resolve_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
                 try:
-                    feats = _decode_stub(row["payload"], row["kind"])
+                    feats = decoder(row["payload"], row["kind"])
                     ok = True
                 except Exception:
                     feats, ok = None, False
@@ -170,16 +196,21 @@ def _resize_stub(payload: bytes, target_bytes: int) -> bytes:
     return bytes(payload[int(i * stride)] for i in range(target_bytes))
 
 
-def resize_images(df: DataFrame, target_bytes: int = 512) -> DataFrame:
+def resize_images(
+    df: DataFrame, target_bytes: int = 512, resizer=None
+) -> DataFrame:
     """Image resize over the binary column via mapInPandas (narrow; no
-    payload shuffle). Failure rows flagged, not dropped."""
+    payload shuffle). Failure rows flagged, not dropped. `resizer` is the
+    codec seam: `(payload, target_bytes) -> bytes`, default the declared
+    stub (swap in Pillow's decode->resize->encode in production)."""
+    resizer = resizer or _resize_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
                 try:
-                    rp = _resize_stub(row["payload"], target_bytes)
+                    rp = resizer(row["payload"], target_bytes)
                     ok = True
                 except Exception:
                     rp, ok = None, False

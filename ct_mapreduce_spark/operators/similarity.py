@@ -150,6 +150,72 @@ def lsh_ann_topk(
     )
 
 
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.25,
+    dim: int = 64,
+    n_bits: int = 16,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH blocking —
+    the 100 TB tier behind the `emb_cosine_near_dup` exactness witness
+    (which cross-joins a bounded slice). Candidates must share >= 1 band
+    of sign bits; exact cosine runs on candidates only.
+
+    Narrow bands (r = n_bits/bands = 2) bias toward recall: for cosine
+    s, P[bit agree] = 1 - acos(s)/pi, so a pair at s=0.25 collides in
+    >= 1 of 8 two-bit bands w.p. ~0.96. Pair fan-out stays bucket-local;
+    the corpus is hashed once, never cross-joined.
+    """
+    planes = _hyperplanes(dim, n_bits, seed)
+    r = n_bits // bands
+    bits = signature_bits(F.col(vec_col), planes)
+    banded = (
+        fan_out(corpus)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda i: F.struct(
+                        i.alias("band"),
+                        F.array_join(F.slice(bits, i * r + 1, r), "").alias(
+                            "bucket"
+                        ),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select("vid", "vec", "bb.band", "bb.bucket")
+        .localCheckpoint(eager=True)  # sign bits computed once, both sides
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.col("a.vec").alias("_va"),
+            F.col("b.vec").alias("_vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -93,6 +93,43 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite document-quality score in [0, 1] — the heuristic-filter
+    stage of a training-data pipeline (length, stopword density,
+    repetition, punctuation noise), all codegen, no Python.
+
+    Fixed formula (every term double, fixed op order, so the score is
+    bit-identical across engines):
+      s_len   = min(1, n_tokens / 50)            -- too-short penalty
+      s_stop  = min(1, stopword_ratio * 4)       -- natural-language signal
+      s_rep   = distinct_tokens / n_tokens       -- repetition penalty
+      s_punct = 1 - min(1, punct_ratio * 10)     -- symbol-noise penalty
+      score   = round((s_len + s_stop + s_rep + s_punct) / 4, 6)
+    """
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    all_sw = sorted({w for ws in STOPWORDS.values() for w in ws})
+    sw_arr = F.array(*[F.lit(w) for w in all_sw])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw_arr, x)))
+    stop_ratio = n_stop.cast("double") / n_tok
+    punct_ratio = (
+        F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
+        / F.greatest(F.length(t), F.lit(1))
+    )
+    s_len = F.least(F.lit(1.0), F.size(toks).cast("double") / F.lit(50.0))
+    s_stop = F.least(F.lit(1.0), stop_ratio * F.lit(4.0))
+    s_rep = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    s_punct = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * F.lit(10.0))
+    return fan_out(docs).select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round((s_len + s_stop + s_rep + s_punct) / F.lit(4.0), 6).alias(
+            "quality"
+        ),
+    )
+
+
 def shingles(text_col: str = "text", k: int = 3) -> Column:
     """Distinct word k-gram shingles, as strings. Empty array for docs
     shorter than k tokens (F.sequence(0, negative) would count down)."""

@@ -1164,6 +1164,49 @@ def docs_ngram_jaccard(spark, sf_dir):
     )
 
 
+@q(
+    "docs_dedup_clusters",
+    r"""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.12
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+    "dedup",
+)
+def docs_dedup_clusters(spark, sf_dir):
+    """Dedup-group formation: connected components over the exact-Jaccard
+    near-dup pairs, canonical representative = min doc_id (first-seen-
+    wins). Spark side is iterative min-label propagation
+    (operators/dedup_fuzzy.py:dedup_clusters); the oracle computes the
+    same components with a recursive transitive-closure CTE — integer-
+    exact inputs, so the edge sets agree bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_fuzzy.ngram_jaccard_pairs(docs, threshold=0.12)
+    return dedup_fuzzy.dedup_clusters(docs, pairs)
+
+
 @q("docs_minhash_lsh_dedup", None, "dedup")
 def docs_minhash_lsh_dedup(spark, sf_dir):
     """MinHash + banded LSH near-dup candidates (the 100 TB tier). Not
@@ -2786,6 +2829,56 @@ def scalar_glob(spark, sf_dir):
     return d.where(
         F.col("source").like("src1%") | F.col("source").rlike("^src[0-9]$")
     ).select("doc_id", "source", "lang")
+
+
+def _quality_sql() -> str:
+    from ct_mapreduce_spark.operators.text import STOPWORDS
+
+    sw = sorted({w for ws in STOPWORDS.values() for w in ws})
+    sw_sql = "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in sw) + "]"
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+             length(text) AS lc,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             greatest(len(w), 1) AS n_tok,
+             len(w) AS n_tok0,
+             len(list_filter(w, x -> list_contains({sw_sql}, x))) AS n_stop,
+             len(list_distinct(w)) AS n_dis,
+             CAST(np AS DOUBLE) / greatest(lc, 1) AS punct_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           round(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stopword_ratio,
+           round((least(1.0, CAST(n_tok0 AS DOUBLE) / 50.0)
+                + least(1.0, (CAST(n_stop AS DOUBLE) / n_tok) * 4.0)
+                + CAST(n_dis AS DOUBLE) / n_tok
+                + (1.0 - least(1.0, punct_ratio * 10.0))) / 4.0, 6) AS quality
+    FROM m
+    """
+
+
+@q("docs_quality", _quality_sql(), "text")
+def docs_quality(spark, sf_dir):
+    """Composite quality score (operators/text.py:quality_score): the
+    heuristic keep/drop stage of a training-data pipeline. Fixed-order
+    double arithmetic -> bit-identical across engines, full oracle."""
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@q("emb_lsh_near_dup", None, "dedup")
+def emb_lsh_near_dup(spark, sf_dir):
+    """Embedding near-dup pairs at scale: hyperplane-LSH blocking over the
+    FULL embeddings table (the bucketed path `emb_cosine_near_dup`
+    witnesses exactly on a bounded slice). Approximate-recall tier =>
+    rows-only driver check; recall >= 0.9 vs the exact cross-join is
+    pytest-asserted (test_llm_ops.py::test_lsh_near_dup_recall)."""
+    from ct_mapreduce_spark.operators.similarity import lsh_near_dup_pairs
+
+    return lsh_near_dup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
 @q(

@@ -128,6 +128,29 @@ def test_ivf_probes_subset(spark, emb):
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
 
 
+def test_lsh_near_dup_recall(spark, emb):
+    """Bucketed near-dup pairs must recover >=90% of the exact-threshold
+    pairs (narrow 2-bit bands bias to recall), and every emitted pair is
+    exact-verified (cosine computed on candidates => no false positives)."""
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", similarity.cosine(F.col("ea"), F.col("eb")))
+        .where(F.col("cosine") >= 0.25)
+        .collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.lsh_near_dup_pairs(emb).collect()
+    }
+    assert got <= exact  # no false positives
+    if exact:
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.9, f"recall {recall} over {len(exact)} pairs"
+
+
 def test_cosine_topk_self_excluded_and_sane(spark, emb):
     queries = emb.where(F.col("vec_id") < 3)
     out = similarity.cosine_topk(emb, queries, k=5).collect()
@@ -144,6 +167,25 @@ def test_lang_id_deterministic_golden(spark):
     ]
     out = {r.doc_id: r.pred_lang for r in text.lang_id(spark.createDataFrame(rows)).collect()}
     assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_dedup_clusters_chain_and_islands(spark):
+    """Multi-hop components converge (chain 1-2-3-4 needs label hops),
+    isolated docs keep their own id, representative = component min."""
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(1, 8)])
+    pairs = spark.createDataFrame(
+        [
+            Row(doc_a=1, doc_b=2),
+            Row(doc_a=2, doc_b=3),
+            Row(doc_a=3, doc_b=4),  # chain: {1,2,3,4}
+            Row(doc_a=6, doc_b=7),  # pair: {6,7}
+        ]
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup_fuzzy.dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
 
 
 def test_hll_mergeability_and_tolerance(spark):
@@ -189,6 +231,30 @@ def test_multimodal_feature_plumbing(spark):
     again = {r.media_id: r.features for r in multimodal.extract_features(media).collect() if r.decode_ok}
     for r in ok:
         assert again[r.media_id] == r.features
+
+
+def test_multimodal_decoder_swap_in(spark):
+    """The codec seam is a real contract, not a comment: injecting a
+    different decoder changes the features while the Spark plumbing
+    (schemas, failure isolation, batch iteration) is untouched. The
+    decoder is a nested function — cloudpickle ships it by value, the
+    same way a production Pillow wrapper would travel."""
+
+    def _alt_decoder(payload, kind):
+        if not payload:
+            raise ValueError("empty")
+        return [float(len(payload) % 7)] * 4
+
+    media = multimodal.synthetic_media(spark, n=30)
+    rows = multimodal.extract_features(media, decoder=_alt_decoder).collect()
+    ok = [r for r in rows if r.decode_ok]
+    assert ok and all(r.feat_dim == 4 for r in ok)
+    for r in ok:
+        assert len(set(r.features)) == 1  # the injected decoder's shape
+    bad = [r for r in rows if not r.decode_ok]
+    assert len(bad) == len([i for i in range(30) if i % 37 == 0])
+    # default path still resolves (stub in this container)
+    assert multimodal.resolve_decoder() is multimodal._decode_stub
 
 
 def test_multimodal_frame_fanout(spark):
