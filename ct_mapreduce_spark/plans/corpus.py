@@ -2060,6 +2060,84 @@ def t4d_stream_tumbling(spark, sf_dir):
     return _run_stream(spark, streaming_event_windows(stream), "t4d_tumbling")
 
 
+@q("s1_ctlog_scan", None, "scan")
+def s1_ctlog_scan(spark, sf_dir):
+    """S1 (downloadCTRangeToChannel, ct-fetch.go:398-488): ranged scan
+    through the custom 'ctlog' Python data source — 1000-entry fetch
+    partitions, offset/limit bounds — aggregated per issuer. Synthetic
+    transport => rows-only driver check; the ranged/resume/growth
+    protocol is pytest-asserted (tests/test_ctlog_source.py)."""
+    from ct_mapreduce_spark.sources.ctlog_source import CTLogDataSource
+
+    spark.dataSource.register(CTLogDataSource)
+    df = (
+        spark.read.format("ctlog")
+        .option("tree_size", 5000)
+        .option("offset", 500)
+        .load()
+    )
+    return (
+        df.groupBy("issuer_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.min("entry_id").alias("first_entry"),
+            F.max("entry_id").alias("last_entry"),
+        )
+        .orderBy("issuer_id")
+    )
+
+
+@q(
+    "t6_stream_stream_join",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_event,
+           p.event_id AS purchase_event,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    "streaming",
+)
+def t6_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join (view -> purchase attribution within
+    1 hour), executed as a real Structured Streaming query with
+    watermarked state on both sides. The replay watermark exceeds the
+    table's span so no pair is dropped mid-replay and the emitted set
+    equals the batch conditional join (the oracle); bounded-state
+    eviction under a tight watermark is the production configuration
+    (streaming_interval_join's default)."""
+    from ct_mapreduce_spark.streaming.ingest_stream import (
+        streaming_interval_join,
+    )
+
+    src = _stream_src(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events")
+
+    def side(etype):
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .where(F.col("event_type") == etype)
+            .select("user_id", "event_id", "ts")
+        )
+
+    joined = streaming_interval_join(
+        side("view"), side("purchase"), watermark="3650 days"
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("view_event"),
+        F.col("r.event_id").alias("purchase_event"),
+        F.date_format("l.ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("r.ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+    return _run_stream(spark, joined, "t6_ss_join", mode="append")
+
+
 @q(
     "t5_stateful_ttl_dedup",
     """

@@ -126,6 +126,35 @@ def streaming_event_windows(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    time_col: str = "ts",
+    horizon: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range: right-side rows
+    match left-side rows of the same key within [left.ts, left.ts +
+    horizon]. Both sides carry watermarks, so each side's join state is
+    evicted once the other side's watermark passes the time bound —
+    bounded state, the Structured Streaming analog of an interval join.
+
+    Used as view->conversion attribution over the events stream; the
+    batch equivalent is a plain conditional self-join, which is what the
+    oracle runs (results are arrival-order independent)."""
+    l = left.withWatermark(time_col, watermark).alias("l")
+    r = right.withWatermark(time_col, watermark).alias("r")
+    lt, rt = F.col(f"l.{time_col}"), F.col(f"r.{time_col}")
+    return l.join(
+        r,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    )
+
+
 def streaming_sessionize(
     events_stream: DataFrame,
     gap: str = "30 minutes",
