@@ -2959,6 +2959,87 @@ def docs_quality(spark, sf_dir):
     return text.quality_score(_t(spark, sf_dir, "documents"))
 
 
+def _keeplist_sql() -> str:
+    from ct_mapreduce_spark.operators.text import STOPWORDS
+
+    sw = sorted({w for ws in STOPWORDS.values() for w in ws})
+    sw_sql = "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in sw) + "]"
+    return rf"""
+    WITH RECURSIVE tq AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+             length(text) AS lc,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np
+      FROM documents
+    ), qual AS (
+      SELECT doc_id,
+             round((least(1.0, CAST(len(w) AS DOUBLE) / 50.0)
+                  + least(1.0, (CAST(len(list_filter(w, x ->
+                        list_contains({sw_sql}, x))) AS DOUBLE)
+                        / greatest(len(w), 1)) * 4.0)
+                  + CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1)
+                  + (1.0 - least(1.0,
+                        (CAST(np AS DOUBLE) / greatest(lc, 1)) * 10.0)))
+                  / 4.0, 6) AS quality
+      FROM tq
+    ), good AS (
+      SELECT d.doc_id, d.text, q.quality
+      FROM documents d JOIN qual q USING (doc_id)
+      WHERE q.quality >= 0.6
+    ), words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM good
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.12
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM good
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT c.doc_id, g.quality
+    FROM comp c JOIN good g USING (doc_id)
+    WHERE c.doc_id = c.cluster_id
+    """
+
+
+@q("docs_pipeline_keeplist", _keeplist_sql(), "pipeline")
+def docs_pipeline_keeplist(spark, sf_dir):
+    """End-to-end training-data curation pipeline in one plan: quality
+    gate (keep score >= 0.6) -> exact-Jaccard near-dup pairs over the
+    survivors -> connected-component clustering -> keep-list = one
+    canonical doc per cluster (min doc_id), with its quality score.
+    Every stage is a previously-oracle-verified operator; the composite
+    is verified end-to-end against the single nested-CTE oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    qual = text.quality_score(docs).select("doc_id", "quality")
+    good = docs.join(
+        qual.where(F.col("quality") >= 0.6), "doc_id"
+    )
+    pairs = dedup_fuzzy.ngram_jaccard_pairs(good, threshold=0.12)
+    clusters = dedup_fuzzy.dedup_clusters(good, pairs)
+    return (
+        clusters.where(F.col("doc_id") == F.col("cluster_id"))
+        .join(good.select("doc_id", "quality"), "doc_id")
+        .select("doc_id", "quality")
+    )
+
+
 @q("emb_lsh_near_dup", None, "dedup")
 def emb_lsh_near_dup(spark, sf_dir):
     """Embedding near-dup pairs at scale: hyperplane-LSH blocking over the
