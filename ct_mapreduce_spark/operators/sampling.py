@@ -1,0 +1,73 @@
+"""Deterministic sampling for training-data pipelines.
+
+`df.sample()` / `sampleBy()` are seed-dependent AND partitioning-
+dependent — rerun the job with different file splits and the sample
+changes, which poisons train/val/test hygiene. Everything here derives
+membership from a content hash of a stable key, so the assignment is a
+pure function of the data: reproducible across engines (the DuckDB
+oracle computes the identical buckets), across retries, and across
+repartitioning. This is how production corpus splits stay stable while
+the corpus itself grows.
+
+Hash = first 8 hex chars of md5(key) as an integer (md5 agrees across
+every engine; 32 bits is plenty for bucket assignment), bucket = value
+mod `buckets`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column | str, buckets: int = 100) -> Column:
+    """Stable [0, buckets) assignment from md5 of the key's string form."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % buckets
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    splits: dict[str, int],
+    buckets: int = 100,
+) -> DataFrame:
+    """Assign each row to a named split by hash-bucket ranges.
+
+    splits = {"train": 80, "val": 10, "test": 10} (percent of buckets,
+    must sum to `buckets`). Adding rows later never moves an existing
+    row between splits — membership depends only on the row's own key.
+    """
+    assert sum(splits.values()) == buckets, "split weights must cover buckets"
+    b = hash_bucket(key, buckets)
+    expr = None
+    lo = 0
+    for name, width in splits.items():
+        cond = (b >= lo) & (b < lo + width)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += width
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key: str,
+    n_per_stratum: int,
+) -> DataFrame:
+    """Exactly-n-per-stratum deterministic sample: rank rows inside each
+    stratum by (md5 hash, key) and keep the first n. Unlike sampleBy
+    (probabilistic, partitioning-sensitive), the selected set is a pure
+    function of the data — and the per-stratum window is the same
+    shuffle a grouped aggregate would pay."""
+    h = F.md5(F.col(key).cast("string"))
+    w = W.partitionBy(stratum_col).orderBy(h, F.col(key))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

@@ -21,8 +21,11 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 from ct_mapreduce_spark.operators.util import fan_out
@@ -85,7 +88,9 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
 
 
 def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
-    """array<int> of sign bits, one per hyperplane — all codegen."""
+    """array<int> of sign bits, one per hyperplane — pure expression
+    form (interpreted higher-order folds; fine for query-sized inputs,
+    see signature_bits_udf for corpus-sized ones)."""
     plane_arr = F.array(
         *[F.array(*[F.lit(x) for x in p]) for p in planes]
     )
@@ -93,6 +98,25 @@ def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
         plane_arr,
         lambda p: F.when(_dot(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0)),
     )
+
+
+def signature_bits_udf(planes: list[list[float]]):
+    """Vectorized sign bits: one (batch x dim) @ (dim x n_bits) numpy
+    matmul per Arrow batch — ~n_bits x faster than the interpreted
+    per-plane fold on corpus-sized inputs. Sign of an identical float64
+    dot product is engine-deterministic, so both forms agree; per-row
+    CPU-dense work is the sanctioned vectorized-Python case."""
+    pm = np.asarray(planes, dtype=np.float64).T  # (dim, n_bits)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _bits(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
+        )
+        signs = (m @ pm >= 0).astype(np.int32)
+        return pd.Series(list(signs))
+
+    return _bits
 
 
 def lsh_ann_topk(
@@ -113,20 +137,29 @@ def lsh_ann_topk(
     r = n_bits // bands
 
     def banded(df: DataFrame, prefix: str) -> DataFrame:
-        bits = signature_bits(F.col(vec_col), planes)
-        return df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).alias(f"{prefix}_vec"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda i: F.struct(
-                        i.alias("band"),
-                        F.array_join(F.slice(bits, i * r + 1, r), "").alias("bucket"),
-                    ),
-                )
-            ).alias("bb"),
-        ).select(f"{prefix}_id", f"{prefix}_vec", "bb.band", "bb.bucket")
+        return (
+            df.select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.col(vec_col).alias(f"{prefix}_vec"),
+                signature_bits_udf(planes)(F.col(vec_col)).alias("_bits"),
+            )
+            .select(
+                f"{prefix}_id",
+                f"{prefix}_vec",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(bands - 1)),
+                        lambda i: F.struct(
+                            i.alias("band"),
+                            F.array_join(
+                                F.slice(F.col("_bits"), i * r + 1, r), ""
+                            ).alias("bucket"),
+                        ),
+                    )
+                ).alias("bb"),
+            )
+            .select(f"{prefix}_id", f"{prefix}_vec", "bb.band", "bb.bucket")
+        )
     cb = banded(corpus, "neighbor")
     qb = banded(queries, "query")
     cand = (
@@ -147,6 +180,44 @@ def lsh_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid (mean pooling) of an embedding column, emitted
+    long-form as (label, pos, centroid_val) — class prototypes for
+    nearest-centroid search / IVF seeding.
+
+    Float sums are order-sensitive, and Spark's partial-aggregation
+    order varies run to run — a plain avg() would not even be
+    self-reproducible. Here each (label, dimension) folds its values in
+    a canonical order (sorted by vec_id, left fold from 0.0), which is
+    bit-reproducible everywhere — the same fold the DuckDB oracle runs.
+    At corpus scale the collect-then-fold per (label, pos) group holds
+    while labels x dims stays modest (it shards across the cluster by
+    (label, pos)); for huge groups swap the exactness contract for
+    decimal-staged sums (engine-deterministic, not cross-engine
+    bit-identical)."""
+    ex = emb.select(
+        label_col,
+        id_col,
+        F.posexplode(vec_col).alias("pos0", "val"),
+    )
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct(id_col, "val"))),
+        lambda s: s["val"].cast("double"),
+    )
+    folded = F.aggregate(vals, F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        ex.groupBy(label_col, (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(folded / F.size(vals), 6).alias("centroid_val"),
+        )
     )
 
 
@@ -172,20 +243,24 @@ def lsh_near_dup_pairs(
     """
     planes = _hyperplanes(dim, n_bits, seed)
     r = n_bits // bands
-    bits = signature_bits(F.col(vec_col), planes)
     banded = (
         fan_out(corpus)
         .select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("vec"),
+            signature_bits_udf(planes)(F.col(vec_col)).alias("_bits"),
+        )
+        .select(
+            "vid",
+            "vec",
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(bands - 1)),
                     lambda i: F.struct(
                         i.alias("band"),
-                        F.array_join(F.slice(bits, i * r + 1, r), "").alias(
-                            "bucket"
-                        ),
+                        F.array_join(
+                            F.slice(F.col("_bits"), i * r + 1, r), ""
+                        ).alias("bucket"),
                     ),
                 )
             ).alias("bb"),

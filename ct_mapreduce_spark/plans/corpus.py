@@ -2959,6 +2959,68 @@ def docs_quality(spark, sf_dir):
     return text.quality_score(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "docs_hash_split",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs
+    FROM b GROUP BY 1
+    """,
+    "sampling",
+)
+def docs_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/sampling.py):
+    membership is a pure function of md5(doc_id), so splits are stable
+    across engines, retries, repartitioning, and corpus growth — unlike
+    seed-based sample(). Oracle recomputes the identical buckets."""
+    from ct_mapreduce_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id", {"train": 80, "val": 10, "test": 10})
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@q(
+    "docs_stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) t
+    WHERE rk <= 20
+    """,
+    "sampling",
+)
+def docs_stratified_sample(spark, sf_dir):
+    """Exactly-20-per-language deterministic sample: hash-ranked within
+    stratum (operators/sampling.py:stratified_sample). The selected SET
+    is data-determined, so the oracle selects the identical rows."""
+    from ct_mapreduce_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(d, "lang", "doc_id", 20)
+
+
 def _keeplist_sql() -> str:
     from ct_mapreduce_spark.operators.text import STOPWORDS
 
@@ -3038,6 +3100,30 @@ def docs_pipeline_keeplist(spark, sf_dir):
         .join(good.select("doc_id", "quality"), "doc_id")
         .select("doc_id", "quality")
     )
+
+
+@q(
+    "emb_label_centroids",
+    """
+    WITH ex AS (
+      SELECT label, vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT label, pos,
+           round(list_reduce(list(val ORDER BY vec_id), (acc, x) -> acc + x)
+                 / count(*), 6) AS centroid_val
+    FROM ex GROUP BY 1, 2
+    """,
+    "similarity",
+)
+def emb_label_centroids(spark, sf_dir):
+    """Mean-pooled class prototypes (operators/similarity.py:
+    label_centroids): per-(label, dimension) canonical-order fold, so the
+    float sum is bit-identical to the oracle's list_reduce over the same
+    vec_id-ordered values."""
+    from ct_mapreduce_spark.operators.similarity import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))
 
 
 @q("emb_lsh_near_dup", None, "dedup")

@@ -188,6 +188,31 @@ def test_dedup_clusters_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
 
 
+def test_hash_split_stable_under_repartition_and_growth(spark):
+    """The property seed-based sample() lacks: split membership is a pure
+    function of the key — identical after repartitioning, and adding new
+    rows never moves an existing row between splits."""
+    from ct_mapreduce_spark.operators.sampling import hash_split
+
+    base = spark.range(1000).withColumnRenamed("id", "doc_id")
+    splits = {"train": 80, "val": 10, "test": 10}
+    a = {r.doc_id: r.split for r in hash_split(base, "doc_id", splits).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(base.repartition(17), "doc_id", splits).collect()
+    }
+    assert a == b
+    grown = spark.range(2000).withColumnRenamed("id", "doc_id")
+    c = {r.doc_id: r.split for r in hash_split(grown, "doc_id", splits).collect()}
+    assert all(c[k] == v for k, v in a.items())
+    # ratios near the configured weights
+    from collections import Counter
+
+    counts = Counter(c.values())
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    assert counts["train"] + counts["val"] + counts["test"] == 2000
+
+
 def test_hll_mergeability_and_tolerance(spark):
     """Union-of-leaf-sketches must equal the direct sketch (register math
     is associative/commutative), and the estimate must track exact
