@@ -1,0 +1,151 @@
+"""Command-line surface mirroring the reference's three binaries, so a
+ct-mapreduce user can run the same workflows against this engine:
+
+  ct-fetch            -> python -m ct_mapreduce_spark.cli fetch
+  storage-statistics  -> python -m ct_mapreduce_spark.cli statistics
+  ct-getcert          -> python -m ct_mapreduce_spark.cli getcert
+
+Flag names track the reference's ini/env knobs (config/config.go:
+183-213) through the same layered precedence — CLI flags < ini file <
+CTSPARK_* environment — via config.load_config. Sources are parquet
+paths of parsed entries (the post-P4 form all three reference tools
+consume); the raw ranged-scan protocol lives in the `ctlog` data source
+(sources/ctlog_source.py), whose output feeds the parse stage, not
+these commands directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _load_source(spark: SparkSession, source: str, cfg) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(source)
+    # --offset/--limit bound the scan range source-side (O2,
+    # ct-fetch.go:288-305): a pushed-down entry_id predicate.
+    if cfg.offset is not None:
+        df = df.where(F.col("entry_id") >= cfg.offset)
+    if cfg.limit is not None:
+        df = df.where(F.col("entry_id") < cfg.limit)
+    return df
+
+
+def cmd_fetch(spark: SparkSession, cfg, now: dt.datetime | None = None) -> int:
+    """ct-fetch: filter -> key-derive -> first-seen dedup -> partitioned
+    store write (no store configured => noop sink, engine.go:24,36-40)."""
+    from ct_mapreduce_spark.plans.ingest import ingest_batch, write_store
+
+    certs = _load_source(spark, cfg.sf_dir, cfg)
+    deduped = ingest_batch(
+        certs,
+        now=now,
+        cn_prefixes=cfg.cn_prefixes,
+        log_expired=cfg.log_expired,
+    )
+    if cfg.cert_path:
+        write_store(deduped, cfg.cert_path)
+        print(f"stored {spark.read.parquet(cfg.cert_path).count()} certs -> {cfg.cert_path}")
+    else:
+        deduped.write.format("noop").mode("overwrite").save()
+        print(f"processed {deduped.count()} certs (noop sink)")
+    return 0
+
+
+def cmd_statistics(spark: SparkSession, cfg, now: dt.datetime | None = None) -> int:
+    """storage-statistics: the 3-level report (storage-statistics.go:
+    36-82) printed per issuer plus grand totals."""
+    from ct_mapreduce_spark.plans.statistics import statistics_report
+
+    certs = _load_source(spark, cfg.sf_dir, cfg)
+    rollup, report = statistics_report(certs, now=now)
+    for r in sorted(report.collect(), key=lambda r: r.issuer_id):
+        print(
+            f"issuer={r.issuer_id} serials={r.n_serials} "
+            f"expDates={r.n_exp_dates} crls={r.n_crls} dns={r.n_dns}"
+        )
+    totals = [r for r in rollup.collect() if r.g_issuer == 1 and r.g_exp == 1]
+    if totals:
+        print(f"total serials={totals[0].n_serials} rows={totals[0].n_rows}")
+    return 0
+
+
+def cmd_getcert(
+    spark: SparkSession, cfg, log_url: str, entry_id: int
+) -> int:
+    """ct-getcert: point lookup, PEM to stdout (ct-getcert.go:16-57)."""
+    from ct_mapreduce_spark.plans.point_lookup import get_entry
+
+    certs = _load_source(spark, cfg.sf_dir, cfg)
+    rows = get_entry(certs, log_url, entry_id).collect()
+    if not rows:
+        print(f"no entry {entry_id} in {log_url}", file=sys.stderr)
+        return 1
+    print(rows[0].pem)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ct_mapreduce_spark.cli")
+    p.add_argument("--ini", help="ini config path (section [ctspark])")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--source", required=True, help="parsed-entry parquet path")
+        sp.add_argument("--offset", type=int)
+        sp.add_argument("--limit", type=int)
+        sp.add_argument(
+            "--now",
+            help="ISO instant for the expiry filter (default: wall clock)",
+        )
+
+    f = sub.add_parser("fetch")
+    common(f)
+    f.add_argument("--store", help="partitioned store output (omit => noop)")
+    f.add_argument("--log-expired", action="store_true")
+    f.add_argument("--issuer-cn-filter", default=None)
+    s = sub.add_parser("statistics")
+    common(s)
+    g = sub.add_parser("getcert")
+    common(g)
+    g.add_argument("--log-url", required=True)
+    g.add_argument("--entry-id", type=int, required=True)
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    from ct_mapreduce_spark.config import load_config
+    from ct_mapreduce_spark.session import get_spark
+
+    args = build_parser().parse_args(argv)
+    flags = {
+        "sf_dir": args.source,
+        "offset": args.offset,
+        "limit": args.limit,
+        "cert_path": getattr(args, "store", None),
+        "log_expired": getattr(args, "log_expired", False) or None,
+        "issuer_cn_filter": getattr(args, "issuer_cn_filter", None),
+    }
+    cfg = load_config(flags=flags, ini_path=args.ini)
+    now = (
+        dt.datetime.fromisoformat(args.now).replace(tzinfo=dt.timezone.utc)
+        if getattr(args, "now", None)
+        else None
+    )
+    spark = spark or get_spark("ct_mapreduce_spark-cli")
+    if args.cmd == "fetch":
+        return cmd_fetch(spark, cfg, now=now)
+    if args.cmd == "statistics":
+        return cmd_statistics(spark, cfg, now=now)
+    if args.cmd == "getcert":
+        return cmd_getcert(spark, cfg, args.log_url, args.entry_id)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

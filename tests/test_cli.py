@@ -1,0 +1,96 @@
+"""CLI surface: the three reference binaries as subcommands
+(fetch / statistics / getcert), with flag<ini<env layering."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from ct_mapreduce_spark.cli import main
+from ct_mapreduce_spark.plans.ingest import ingest_batch
+from ct_mapreduce_spark.sources.certificates import synthetic_certificates
+
+NOW = dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def cert_src(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli_certs"))
+    synthetic_certificates(spark, n=800, seed=11).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_fetch_writes_partitioned_store(spark, cert_src, tmp_path, capsys):
+    store = str(tmp_path / "store")
+    rc = main(
+        ["fetch", "--source", cert_src, "--store", store, "--now", "2024-01-02"], spark=spark
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "stored" in out and store in out
+    got = spark.read.parquet(store)
+    assert {"exp_date", "issuer_id"} <= set(got.columns)
+    assert got.count() > 0
+
+
+def test_fetch_offset_limit_bounds_scan(spark, cert_src, capsys):
+    rc = main(
+        ["fetch", "--source", cert_src, "--offset", "100", "--limit", "200",
+         "--now", "2024-01-02"],
+        spark=spark,
+    )
+    assert rc == 0
+    n = int(capsys.readouterr().out.split()[1])
+    certs = spark.read.parquet(cert_src).where(
+        "entry_id >= 100 AND entry_id < 200"
+    )
+    expected = ingest_batch(certs, now=NOW).count()
+    assert n == expected
+
+
+def test_statistics_report_lines(spark, cert_src, capsys):
+    rc = main(["statistics", "--source", cert_src, "--now", "2024-01-02"], spark=spark)
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[-1].startswith("total serials=")
+    issuer_lines = [l for l in lines if l.startswith("issuer=")]
+    assert issuer_lines and all("crls=" in l and "dns=" in l for l in issuer_lines)
+    # per-issuer serials sum to the grand total (storage-statistics.go:82)
+    total = int(lines[-1].split("serials=")[1].split()[0])
+    assert sum(int(l.split("serials=")[1].split()[0]) for l in issuer_lines) == total
+
+
+def test_getcert_pem_roundtrip(spark, cert_src, capsys):
+    import base64
+
+    certs = spark.read.parquet(cert_src)
+    row = certs.select("log_url", "entry_id", "raw_der").first()
+    rc = main(
+        [
+            "getcert",
+            "--source",
+            cert_src,
+            "--log-url",
+            row.log_url,
+            "--entry-id",
+            str(row.entry_id),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    pem = capsys.readouterr().out.strip()
+    assert pem.startswith("-----BEGIN CERTIFICATE-----")
+    body = "".join(
+        l for l in pem.splitlines() if not l.startswith("-----")
+    )
+    assert base64.b64decode(body) == bytes(row.raw_der)
+    # missing entry -> exit 1
+    assert (
+        main(
+            ["getcert", "--source", cert_src, "--log-url", row.log_url,
+             "--entry-id", "99999999"],
+            spark=spark,
+        )
+        == 1
+    )
