@@ -44,21 +44,26 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     toks = tokens(text_col)
     n_tok = F.size(toks)
+    # greatest(..., 1) guards: empty text has length 0 and ANSI mode makes
+    # 0-divisors a hard error, not a NULL. Values are unchanged for any
+    # non-degenerate document.
+    len_safe = F.greatest(F.length(t), F.lit(1))
+    n_tok_safe = F.greatest(n_tok, F.lit(1))
     return fan_out(docs).select(
         "doc_id",
         F.length(t).alias("n_chars_measured"),
         n_tok.alias("n_tokens"),
         F.size(bpe_ish_tokens(text_col)).alias("n_bpe_tokens"),
-        (F.length(t).cast("double") / n_tok).alias("chars_per_token"),
+        (F.length(t).cast("double") / n_tok_safe).alias("chars_per_token"),
         (
             F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
-            / F.length(t)
+            / len_safe
         ).alias("punct_ratio"),
         (
-            F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("double") / F.length(t)
+            F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("double") / len_safe
         ).alias("upper_ratio"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias(
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok_safe).alias(
             "distinct_ratio"
         ),
     )

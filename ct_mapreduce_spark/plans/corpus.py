@@ -1049,15 +1049,17 @@ def t4c_sessionize(spark, sf_dir):
            len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+)', 1))
              AS n_bpe_tokens,
            CAST(length(text) AS DOUBLE)
-             / len(string_split_regex(trim(text), '\s+')) AS chars_per_token,
+             / greatest(len(string_split_regex(trim(text), '\s+')), 1)
+             AS chars_per_token,
            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-             / length(text) AS punct_ratio,
+             / greatest(length(text), 1) AS punct_ratio,
            CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
-             / length(text) AS upper_ratio,
+             / greatest(length(text), 1) AS upper_ratio,
            len(list_distinct(string_split_regex(trim(text), '\s+')))
              AS n_distinct_tokens,
            CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
-             / len(string_split_regex(trim(text), '\s+')) AS distinct_ratio
+             / greatest(len(string_split_regex(trim(text), '\s+')), 1)
+             AS distinct_ratio
     FROM documents
     """,
     "text",
@@ -2867,6 +2869,77 @@ def q22_idle_customers(spark, sf_dir):
             .cast("double")
             .alias("totacctbal"),
         )
+    )
+
+
+@q(
+    "a13_grouping_sets",
+    """
+    SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort,
+           count(*) AS n,
+           CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+           CAST(GROUPING(CAST(user_id % 10 AS BIGINT)) AS BIGINT) AS g_cohort
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 10 AS BIGINT)),
+                            (event_type, CAST(user_id % 10 AS BIGINT)))
+    """,
+    "agg",
+)
+def a13_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS (the general form of a3's ROLLUP / a7's
+    CUBE): three explicit aggregation levels in one pass, via the SQL
+    surface (same plan as the DataFrame groupingSets form)."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort,
+               count(*) AS n,
+               CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+               CAST(GROUPING(CAST(user_id % 10 AS BIGINT)) AS BIGINT)
+                 AS g_cohort
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 10 AS BIGINT)),
+                                (event_type, CAST(user_id % 10 AS BIGINT)))
+        """
+    )
+
+
+@q(
+    "w5_range_frame",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(25,4))) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS windowed_sum,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING
+           ) AS BIGINT) AS n_near
+    FROM events
+    WHERE user_id < 30
+    """,
+    "window",
+)
+def w5_range_frame(spark, sf_dir):
+    """RANGE window frames (value-based bounds, vs w3's ROWS frame):
+    sliding sums over an event_id neighborhood. Decimal-staged so the
+    frame sums are order-exact."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    w1 = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rangeBetween(-100, W.currentRow)
+    )
+    w2 = W.partitionBy("user_id").orderBy("event_id").rangeBetween(-100, 100)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(25,4)"))
+        .over(w1)
+        .cast("double")
+        .alias("windowed_sum"),
+        F.count(F.lit(1)).over(w2).cast("long").alias("n_near"),
     )
 
 

@@ -1,0 +1,102 @@
+"""Degenerate-input behavior: empty frames, null/empty/short text.
+These encode the documented contracts so regressions surface as test
+failures instead of production crashes at 3am."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ct_mapreduce_spark.operators import dedup_fuzzy, text
+from ct_mapreduce_spark.plans.ingest import ingest_batch
+from ct_mapreduce_spark.operators.statistics import stats_rollup
+from ct_mapreduce_spark.schemas import CERTIFICATES
+
+NOW = dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)
+
+
+def _empty_certs(spark):
+    return spark.createDataFrame([], schema=CERTIFICATES)
+
+
+def test_ingest_empty_frame(spark):
+    out = ingest_batch(_empty_certs(spark), now=NOW)
+    assert out.count() == 0
+    assert "exp_date" in out.columns  # derivations still present
+
+
+def test_rollup_empty_input_has_no_grand_total(spark):
+    """Documented Spark semantics (and a known cross-engine divergence:
+    DuckDB emits a NULL grand-total row over empty input, Spark emits
+    none) — oracle queries must not roll up over possibly-empty
+    filters. Encoded here so the contract is visible."""
+    prepared = ingest_batch(_empty_certs(spark), now=NOW)
+    assert stats_rollup(prepared).count() == 0
+
+
+def _weird_docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=None),
+            Row(doc_id=2, text=""),
+            Row(doc_id=3, text="   "),
+            Row(doc_id=4, text="one two"),  # shorter than shingle k=3
+            Row(doc_id=5, text="the quick brown fox jumps over the lazy dog"),
+        ],
+        schema="doc_id long, text string",
+    )
+
+
+def test_text_ops_survive_null_and_short_text(spark):
+    docs = _weird_docs(spark)
+    stats = {r.doc_id: r for r in text.text_stats(docs).collect()}
+    assert set(stats) == {1, 2, 3, 4, 5}
+    assert stats[5].n_tokens == 9
+    quality = {r.doc_id: r.quality for r in text.quality_score(docs).collect()}
+    assert quality[5] is not None and 0.0 <= quality[5] <= 1.0
+    langs = {r.doc_id: r.pred_lang for r in text.lang_id(docs).collect()}
+    assert langs[5] == "en"
+    assert langs[4] == "und"  # no stopword hits
+    fps = {r.doc_id: r for r in text.fingerprint(docs).collect()}
+    assert fps[4].n_shingles == 0 and fps[4].fp_min is None
+    assert fps[5].n_shingles > 0
+
+
+def test_minhash_short_docs_zero_signature_no_pairs(spark):
+    docs = _weird_docs(spark)
+    sigs = {
+        r.doc_id: r.minhash
+        for r in dedup_fuzzy.minhash_signatures(docs).collect()
+    }
+    # sub-k docs get the documented all-zero signature
+    assert sigs[4] == [0] * 64
+    # null/empty/short docs band identically but produce no *similar*
+    # content; the zero-signature family buckets them together — callers
+    # filter sub-k docs, which exact pairs here confirm is safe:
+    pairs = dedup_fuzzy.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    assert all({p.doc_a, p.doc_b} <= {1, 2, 3, 4, 5} for p in pairs)
+
+
+def test_exact_dedup_null_text_groups_together(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text=None), Row(doc_id=3, text="x")],
+        schema="doc_id long, text string",
+    )
+    out = {
+        r.canonical_doc_id: r.n_copies
+        for r in dedup_fuzzy.exact_dedup(docs).collect()
+    }
+    # md5(NULL) is NULL => null-text docs form one group, canonical = min id
+    assert out == {1: 2, 3: 1}
+
+
+def test_dedup_clusters_no_pairs_identity(spark):
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(5)])
+    pairs = spark.createDataFrame([], schema="doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup_fuzzy.dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {i: i for i in range(5)}
