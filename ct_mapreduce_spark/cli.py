@@ -59,11 +59,23 @@ def cmd_fetch(spark: SparkSession, cfg, now: dt.datetime | None = None) -> int:
 
 def cmd_statistics(spark: SparkSession, cfg, now: dt.datetime | None = None) -> int:
     """storage-statistics: the 3-level report (storage-statistics.go:
-    36-82) printed per issuer plus grand totals."""
+    36-82) printed per issuer plus grand totals. With --store it reads
+    the partitioned store a fetch run wrote — the reference workflow,
+    where statistics consumes the post-dedup state, never the raw log —
+    and skips the filter/dedup passes."""
+    from ct_mapreduce_spark.operators.metadata import issuer_metadata
+    from ct_mapreduce_spark.operators.statistics import full_report, stats_rollup
     from ct_mapreduce_spark.plans.statistics import statistics_report
 
-    certs = _load_source(spark, cfg.sf_dir, cfg)
-    rollup, report = statistics_report(certs, now=now)
+    if cfg.cert_path:
+        store = spark.read.parquet(cfg.cert_path)
+        rollup, report = (
+            stats_rollup(store),
+            full_report(store, issuer_metadata(store)),
+        )
+    else:
+        certs = _load_source(spark, cfg.sf_dir, cfg)
+        rollup, report = statistics_report(certs, now=now)
     for r in sorted(report.collect(), key=lambda r: r.issuer_id):
         print(
             f"issuer={r.issuer_id} serials={r.n_serials} "
@@ -95,8 +107,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ini", help="ini config path (section [ctspark])")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    def common(sp):
-        sp.add_argument("--source", required=True, help="parsed-entry parquet path")
+    def common(sp, required_source: bool = True):
+        sp.add_argument(
+            "--source", required=required_source, help="parsed-entry parquet path"
+        )
         sp.add_argument("--offset", type=int)
         sp.add_argument("--limit", type=int)
         sp.add_argument(
@@ -110,7 +124,8 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--log-expired", action="store_true")
     f.add_argument("--issuer-cn-filter", default=None)
     s = sub.add_parser("statistics")
-    common(s)
+    common(s, required_source=False)
+    s.add_argument("--store", help="read a fetched partitioned store instead of raw entries")
     g = sub.add_parser("getcert")
     common(g)
     g.add_argument("--log-url", required=True)

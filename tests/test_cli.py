@@ -61,6 +61,26 @@ def test_statistics_report_lines(spark, cert_src, capsys):
     assert sum(int(l.split("serials=")[1].split()[0]) for l in issuer_lines) == total
 
 
+def test_statistics_from_store_matches_source(spark, cert_src, tmp_path, capsys):
+    """fetch -> statistics --store is the reference workflow (statistics
+    reads post-dedup state); totals must match the from-source path."""
+    store = str(tmp_path / "store")
+    main(
+        ["fetch", "--source", cert_src, "--store", store, "--now", "2024-01-02"],
+        spark=spark,
+    )
+    capsys.readouterr()
+    assert main(["statistics", "--store", store], spark=spark) == 0
+    from_store = capsys.readouterr().out.strip().splitlines()
+    assert (
+        main(["statistics", "--source", cert_src, "--now", "2024-01-02"], spark=spark)
+        == 0
+    )
+    from_source = capsys.readouterr().out.strip().splitlines()
+    assert from_store[-1] == from_source[-1]  # identical grand totals
+    assert sorted(from_store) == sorted(from_source)
+
+
 def test_getcert_pem_roundtrip(spark, cert_src, capsys):
     import base64
 

@@ -75,17 +75,30 @@ def test_stream_follows_growing_log_and_resumes(spark, tmp_path):
             r.entry_id for r in spark.read.parquet(out).select("entry_id").collect()
         )
 
+    def wait_for(q, n, deadline=60.0):
+        """processAllAvailable can race the tree-head growth under load:
+        the trigger that observed the old head may still be committing.
+        Poll until the sink holds [0, n)."""
+        import time
+
+        end = time.monotonic() + deadline
+        while time.monotonic() < end:
+            q.processAllAvailable()
+            got = ids_written()
+            if got == list(range(n)):
+                return got
+            time.sleep(0.5)
+        return ids_written()
+
     q = start_query()
-    q.processAllAvailable()
-    assert ids_written() == list(range(50))
+    assert wait_for(q, 50) == list(range(50))
     # the log grows; the same query observes the new entries
     sth.write_text(json.dumps({"tree_size": 80}))
-    q.processAllAvailable()
-    assert ids_written() == list(range(80))
+    assert wait_for(q, 80) == list(range(80))
     q.stop()
     # restart against the same checkpoint: resumes at 80, no duplicates
     sth.write_text(json.dumps({"tree_size": 100}))
     q2 = start_query()
-    q2.processAllAvailable()
+    got = wait_for(q2, 100)
     q2.stop()
-    assert ids_written() == list(range(100))
+    assert got == list(range(100)), (len(got), got[:5], got[-5:])
