@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Physical-plan audit over the whole query registry.
+
+For every batch query in plans/corpus.py, render the formatted physical
+plan and flag scale anti-patterns:
+
+  - CartesianProduct / BroadcastNestedLoopJoin (quadratic joins)
+  - Window with an empty partitionSpec (single-task sort of all rows)
+  - more than MAX_EXCHANGES shuffle Exchanges (chatty plans)
+  - parquet scans with no PushedFilters while the query filters
+    (pushdown lost)
+
+Streaming-tagged queries are skipped (building them executes a stream).
+Writes PLAN_AUDIT.md at the repo root; exits 1 if any NEW flag appears
+(known, justified exceptions are allow-listed below with reasons).
+
+Usage: python tools/plan_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+import re
+import sys
+from collections import Counter
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.01"
+MAX_EXCHANGES = 4
+
+# (query, flag-kind) pairs that are understood and accepted, with why.
+ALLOWED: dict[tuple[str, str], str] = {
+    ("emb_cosine_topk", "bnlj"): "query side is a broadcast of a bounded "
+    "query set joined on a non-equi self-exclusion — by design; corpus "
+    "side streams once",
+    ("emb_cosine_near_dup", "bnlj"): "bounded exactness witness (vec_id "
+    "< 300 slice, broadcast); the scale path is emb_lsh_near_dup",
+    ("emb_ann_ivf", "bnlj"): "crossJoin against 16 broadcast centroids",
+    ("emb_ann_ivf", "global_window"): "centroid numbering over exactly "
+    "n_cells=16 rows",
+    ("q6_forecast_revenue", "no_pushdown"): "spark.sql over a temp view: "
+    "filters sit above an in-memory LogicalRDD scan in the analyzed "
+    "plan, not a parquet source",
+    ("o3_topk", "global_window"): "global top-k = one ordered limit; "
+    "TakeOrderedAndProject, not a Window (flagged by pattern overlap)",
+    ("j8_range_join", "bnlj"): "non-equi probe of a BROADCAST 3-row "
+    "interval dim — right plan at any scale (cost is rows x |dim|); a "
+    "large interval table would band into an equi-join instead",
+    ("q11_important_parts", "bnlj"): "scalar-subquery threshold = cross "
+    "join against a 1-row aggregate (never a driver collect)",
+    ("q22_idle_customers", "bnlj"): "scalar AVG threshold, same 1-row "
+    "broadcast cross join",
+}
+
+
+def audit_one(name: str, plan: str) -> list[tuple[str, str]]:
+    flags: list[tuple[str, str]] = []
+    if "CartesianProduct" in plan:
+        flags.append(("cartesian", "CartesianProduct in plan"))
+    if "BroadcastNestedLoopJoin" in plan:
+        flags.append(("bnlj", "BroadcastNestedLoopJoin in plan"))
+    # formatted plans print windows with their spec in the details section
+    for m in re.finditer(r"Arguments: \[([^\]]*)\], \[\], ", plan):
+        flags.append(("global_window", "Window with empty partitionSpec"))
+        break
+    n_ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    if n_ex > MAX_EXCHANGES:
+        flags.append(("exchanges", f"{n_ex} shuffle Exchanges"))
+    scans = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    has_filter_op = re.search(r"\(\d+\) Filter\b", plan)
+    if scans and has_filter_op and all(not s.strip() for s in scans):
+        flags.append(("no_pushdown", "filters present but no PushedFilters"))
+    return flags
+
+
+def main() -> int:
+    from ct_mapreduce_spark.plans.corpus import REGISTRY
+    from ct_mapreduce_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark("plan-audit")
+    lines = [
+        "# PLAN_AUDIT — physical-plan scan of the query registry",
+        "",
+        f"sf_dir={SF_DIR}; flags: cartesian, bnlj (nested-loop join), "
+        f"global_window, >{MAX_EXCHANGES} exchanges, lost pushdown. "
+        "Allow-listed entries carry their justification.",
+        "",
+        "| query | exchanges | joins | flags |",
+        "|---|---|---|---|",
+    ]
+    bad = 0
+    for name, spec in REGISTRY.items():
+        if only and name not in only:
+            continue
+        if "streaming" in spec.tags:
+            lines.append(f"| {name} | — | — | skipped (streaming executes) |")
+            continue
+        try:
+            df = spec.fn(spark, SF_DIR)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+        except Exception as e:  # pragma: no cover
+            lines.append(f"| {name} | — | — | ERROR building plan: {e} |")
+            bad += 1
+            continue
+        ops = Counter(
+            m.group(1)
+            for m in re.finditer(r"\(\d+\) ([A-Za-z]+)", plan)
+        )
+        n_ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
+        joins = ", ".join(
+            f"{k}x{v}" for k, v in sorted(ops.items()) if "Join" in k
+        ) or "—"
+        cell = []
+        for kind, detail in audit_one(name, plan):
+            why = ALLOWED.get((name, kind))
+            if why:
+                cell.append(f"{kind} (allowed: {why})")
+            else:
+                cell.append(f"**{kind}: {detail}**")
+                bad += 1
+        lines.append(
+            f"| {name} | {n_ex} | {joins} | {'; '.join(cell) or 'clean'} |"
+        )
+    out = Path(__file__).resolve().parent.parent / "PLAN_AUDIT.md"
+    out.write_text("\n".join(lines) + "\n")
+    print(f"wrote {out}; unexplained flags: {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
