@@ -73,6 +73,26 @@ def test_stats_rollup_levels(spark, certs):
         assert int(rep.loc[issuer, "n_serials"]) == cnt
 
 
+def test_stats_rollup_reagg_matches_rollup(spark, certs):
+    """The additive-reaggregation form (the 100 TB shuffle shape) must
+    produce exactly the ROLLUP's rows - same levels, same counts."""
+    from ct_mapreduce_spark.operators.statistics import (
+        stats_rollup,
+        stats_rollup_reagg,
+    )
+    from ct_mapreduce_spark.plans.ingest import prepare
+
+    prepared = prepare(certs, now=NOW)
+
+    def canon(df):
+        return {
+            (r.issuer_id, r.exp_date, r.g_issuer, r.g_exp): (r.n_serials, r.n_rows)
+            for r in df.collect()
+        }
+
+    assert canon(stats_rollup_reagg(prepared)) == canon(stats_rollup(prepared))
+
+
 def test_issuer_metadata_sets(spark, certs):
     prepared = prepare(certs, now=NOW)
     meta = issuer_metadata(prepared).toPandas().set_index("issuer_id")
