@@ -2873,6 +2873,29 @@ def q22_idle_customers(spark, sf_dir):
 
 
 @q(
+    "o4_limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25 OFFSET 50
+    """,
+    "order",
+)
+def o4_limit_offset(spark, sf_dir):
+    """O2 result-side form: pagination over a deterministic total order
+    (tiebreak on the key). Spark's offset() composes with the sorted
+    limit into one TakeOrderedAndProject-style plan."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(50)
+        .limit(25)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@q(
     "a13_grouping_sets",
     """
     SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort,

@@ -47,6 +47,40 @@ def test_batch_offset_limit(spark):
     assert ids == list(range(1200, 3400))
 
 
+def test_multi_log_union_stream(spark, tmp_path):
+    """S3: one stream per log URL, unioned with the log_url column as the
+    discriminator (ct-fetch.go:521-565's goroutine-per-log restated).
+    Entries from both logs arrive; per-log payloads stay distinct."""
+    def side(url):
+        return (
+            spark.readStream.format("ctlog")
+            .option("log_url", url)
+            .option("tree_size", 40)
+            .load()
+        )
+
+    union = side("ct.example/log0").unionByName(side("ct.example/log1"))
+    q = (
+        union.writeStream.format("memory")
+        .queryName("ctlog_union")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "u_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("ctlog_union").collect()
+    by_log = {}
+    for r in rows:
+        by_log.setdefault(r.log_url, set()).add((r.entry_id, bytes(r.serial)))
+    assert set(by_log) == {"ct.example/log0", "ct.example/log1"}
+    assert all(len(v) == 40 for v in by_log.values())
+    # same index, different log => different payload (log_url is salted in)
+    s0 = dict(by_log["ct.example/log0"])
+    s1 = dict(by_log["ct.example/log1"])
+    assert all(s0[i] != s1[i] for i in range(40))
+
+
 def test_stream_follows_growing_log_and_resumes(spark, tmp_path):
     """The streaming cursor advances to the tree head each trigger,
     observes growth (polling), and resumes from the checkpoint after a
