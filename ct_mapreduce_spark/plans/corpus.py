@@ -2011,7 +2011,14 @@ def _run_stream(spark, df, name: str, mode: str = "complete"):
 def t3_stream_dedup_keys(spark, sf_dir):
     """T3 (knowncertificates.go:36-55 streaming form): stateful streaming
     dropDuplicates over a file-replay source. Key set is arrival-order
-    independent, so the batch DISTINCT oracle hash-matches."""
+    independent, so the batch DISTINCT oracle hash-matches.
+
+    The watermark bounds dedup state (dropDuplicates without one keeps
+    every key forever — the production footgun flagged in the round-1
+    review); the delay exceeds the replay's time span so no key evicts
+    or drops mid-run and the oracle equality holds. Production tunes the
+    delay to the real dedup horizon (see streaming_ingest /
+    streaming/stateful.py for the data-time-TTL form)."""
     src = _stream_src(spark, sf_dir)
     ev = _t(spark, sf_dir, "events")
     stream = (
@@ -2019,8 +2026,11 @@ def t3_stream_dedup_keys(spark, sf_dir):
         .option("maxFilesPerTrigger", 2)
         .parquet(src)
     )
-    deduped = stream.select("user_id", "event_type").dropDuplicates(
-        ["user_id", "event_type"]
+    deduped = (
+        stream.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "3650 days")
+        .dropDuplicates(["user_id", "event_type"])
+        .drop("ts")
     )
     import tempfile
 
