@@ -135,6 +135,41 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns kept deliberately in the common subset of Java regex and
+# RE2 (no lookarounds, no backrefs) so Spark and the DuckDB oracle match
+# byte-for-byte.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phoneish": r"\+[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{4,7}",
+}
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub — the privacy-filter stage of a corpus pipeline: count
+    and redact emails / IPv4s / international-phone shapes. Pure
+    regexp_replace / regexp count battery (codegen; no Python), patterns
+    restricted to the Java-regex ∩ RE2 subset so behavior is
+    engine-identical. Returns counts plus an md5 of the redacted text
+    (cheap equality witness without shipping the full column around)."""
+    t = F.col(text_col)
+    red = t
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(t, F.lit(f"({pat})"), 1)).alias(
+                f"n_{name}"
+            )
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return fan_out(docs).select(
+        "doc_id",
+        *counts,
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).alias("redacted_len"),
+    )
+
+
 def shingles(text_col: str = "text", k: int = 3) -> Column:
     """Distinct word k-gram shingles, as strings. Empty array for docs
     shorter than k tokens (F.sequence(0, negative) would count down)."""

@@ -3127,6 +3127,39 @@ def docs_stratified_sample(spark, sf_dir):
     return stratified_sample(d, "lang", "doc_id", 20)
 
 
+@q(
+    "docs_pii_redact",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})', 1))
+             AS n_email,
+           len(regexp_extract_all(text,
+               '(\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b)', 1)) AS n_ipv4,
+           len(regexp_extract_all(text,
+               '(\+[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{4,7})', 1)) AS n_phoneish,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IPV4>', 'g'),
+               '\+[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{4,7}', '<PHONEISH>', 'g'))
+             AS redacted_md5,
+           length(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IPV4>', 'g'),
+               '\+[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{4,7}', '<PHONEISH>', 'g'))
+             AS redacted_len
+    FROM documents
+    """,
+    "text",
+)
+def docs_pii_redact(spark, sf_dir):
+    """PII detection/redaction (operators/text.py:redact_pii): counts per
+    category plus an md5 witness of the redacted text. Patterns live in
+    the Java-regex ∩ RE2 subset, so Spark and DuckDB produce identical
+    redactions (the md5 proves it, not just the counts)."""
+    return text.redact_pii(_t(spark, sf_dir, "documents"))
+
+
 def _keeplist_sql() -> str:
     from ct_mapreduce_spark.operators.text import STOPWORDS
 

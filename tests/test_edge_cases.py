@@ -79,6 +79,32 @@ def test_minhash_short_docs_zero_signature_no_pairs(spark):
     assert all({p.doc_a, p.doc_b} <= {1, 2, 3, 4, 5} for p in pairs)
 
 
+def test_pii_redaction_detects_and_redacts(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail me at jane.doe+x@example.co.uk or bob@test.org"),
+            Row(doc_id=2, text="server at 192.168.1.250 and 10.0.0.1 up"),
+            Row(doc_id=3, text="call +44 7911 123456 today"),
+            Row(doc_id=4, text="clean text with no identifiers at all"),
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.redact_pii(docs).collect()}
+    assert out[1].n_email == 2 and out[1].n_ipv4 == 0
+    assert out[2].n_ipv4 == 2
+    assert out[3].n_phoneish == 1
+    assert out[4].n_email == out[4].n_ipv4 == out[4].n_phoneish == 0
+    # redaction changed the text where PII was found, and only there
+    import hashlib
+
+    assert out[4].redacted_md5 == hashlib.md5(
+        b"clean text with no identifiers at all"
+    ).hexdigest()
+    assert out[1].redacted_md5 != hashlib.md5(
+        b"mail me at jane.doe+x@example.co.uk or bob@test.org"
+    ).hexdigest()
+
+
 def test_exact_dedup_null_text_groups_together(spark):
     docs = spark.createDataFrame(
         [Row(doc_id=1, text=None), Row(doc_id=2, text=None), Row(doc_id=3, text="x")],
