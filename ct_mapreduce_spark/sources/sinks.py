@@ -74,3 +74,83 @@ def upsert_log_state(
     current = read_log_states(spark, path)
     merged = updates.unionByName(current.join(updates, "url", "left_anti"))
     return merged
+
+
+def append_new_to_store(deduped: DataFrame, path: str) -> int:
+    """Cross-RUN first-seen gate: append only keys the store has never
+    seen — the batch restatement of WasUnknown against persistent state
+    (storage/filesystemdatabase.go:177-202: SADD gates every downstream
+    write). Within-run dedup is the caller's job (ingest_batch); this
+    guards across runs, so re-ingesting an overlapping batch is
+    idempotent.
+
+    Scale shape: the existing-keys read is COLUMN-PRUNED to the three
+    key columns (check ReadSchema — the payload bytes never move), the
+    anti-join keys match the store's partition layout, and the append
+    clusters like write_store. Returns the number of rows appended."""
+    spark = deduped.sparkSession
+    try:
+        existing = spark.read.parquet(path).select(
+            "exp_date", "issuer_id", "serial"
+        )
+    except Exception:  # first run: nothing to exclude
+        existing = None
+    fresh = (
+        deduped
+        if existing is None
+        else deduped.join(
+            existing, ["exp_date", "issuer_id", "serial"], "left_anti"
+        )
+    )
+    # localCheckpoint: the append below writes INTO a path the anti-join
+    # reads; materialize first so the plan never scans a directory that
+    # is being appended to.
+    fresh = fresh.localCheckpoint(eager=True)
+    n = fresh.count()
+    if n:
+        (
+            fresh.hint("rebalance", "exp_date", "issuer_id")
+            .write.partitionBy("exp_date", "issuer_id")
+            .mode("append")
+            .parquet(path)
+        )
+    return n
+
+
+def compact_store(spark: SparkSession, path: str) -> tuple[int, int]:
+    """Store maintenance: rewrite accumulated small files into right-
+    sized ones per (exp_date, issuer_id) directory — the lifecycle task
+    behind the reference's dirty-marker files (localdiskbackend.go:89-91:
+    mark now, clean later). Append-heavy ingest leaves one file per
+    (run, partition); compaction restores O(bytes/target) files.
+
+    Rewrites via temp-dir-then-swap so a mid-compaction failure never
+    loses the store. Returns (files_before, files_after)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dst.getFileSystem(hconf)
+
+    def _count_files(p) -> int:
+        n = 0
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    before = _count_files(dst)
+    tmp_path = path + "__compact__"
+    (
+        spark.read.parquet(path)
+        .hint("rebalance", "exp_date", "issuer_id")
+        .write.partitionBy("exp_date", "issuer_id")
+        .mode("overwrite")
+        .parquet(tmp_path)
+    )
+    tmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
+    fs.delete(dst, True)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"compaction swap failed: {tmp} -> {dst}")
+    return before, _count_files(dst)

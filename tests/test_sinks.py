@@ -68,3 +68,63 @@ def test_log_state_upsert_roundtrip(spark, tmp_path):
 def test_noop_sink_executes(spark):
     df = spark.range(1000).selectExpr("id", "id * 2 AS x")
     write_noop(df)  # full execution, no output — just must not raise
+
+
+def test_append_new_to_store_cross_run_dedup(spark, tmp_path):
+    """WasUnknown across RUNS: re-ingesting overlapping batches appends
+    only never-seen keys; a full replay appends nothing."""
+    import datetime as dt
+
+    from ct_mapreduce_spark.plans.ingest import ingest_batch, write_store
+    from ct_mapreduce_spark.sources.certificates import synthetic_certificates
+    from ct_mapreduce_spark.sources.sinks import append_new_to_store
+
+    now = dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)
+    certs = synthetic_certificates(spark, n=600, seed=5)
+    b1 = ingest_batch(certs.where("entry_id < 400"), now=now)
+    b2 = ingest_batch(certs.where("entry_id >= 200"), now=now)  # overlaps b1
+    path = str(tmp_path / "store")
+    write_store(b1, path)
+    n1 = spark.read.parquet(path).count()
+
+    appended = append_new_to_store(b2, path)
+    total = spark.read.parquet(path).count()
+    assert appended > 0
+    assert total == n1 + appended
+    # the store's keys are exactly the union of both batches' keys
+    keys = spark.read.parquet(path).select("exp_date", "issuer_id", "serial")
+    want = (
+        b1.select("exp_date", "issuer_id", "serial")
+        .unionByName(b2.select("exp_date", "issuer_id", "serial"))
+        .distinct()
+    )
+    assert keys.distinct().count() == keys.count() == want.count()
+    # idempotent replay
+    assert append_new_to_store(b2, path) == 0
+    assert spark.read.parquet(path).count() == total
+
+
+def test_compact_store_reduces_files_keeps_data(spark, tmp_path):
+    import datetime as dt
+
+    from ct_mapreduce_spark.plans.ingest import ingest_batch, write_store
+    from ct_mapreduce_spark.sources.certificates import synthetic_certificates
+    from ct_mapreduce_spark.sources.sinks import append_new_to_store, compact_store
+
+    now = dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)
+    certs = synthetic_certificates(spark, n=900, seed=6)
+    path = str(tmp_path / "store")
+    # fragment the store: one append per slice
+    write_store(ingest_batch(certs.where("entry_id < 300"), now=now), path)
+    for lo, hi in [(300, 600), (600, 900)]:
+        append_new_to_store(
+            ingest_batch(certs.where(f"entry_id >= {lo} AND entry_id < {hi}"), now=now),
+            path,
+        )
+    before_rows = spark.read.parquet(path).count()
+    before_sum = spark.read.parquet(path).selectExpr("sum(entry_id)").first()[0]
+
+    n_before, n_after = compact_store(spark, path)
+    assert n_after < n_before, (n_before, n_after)
+    assert spark.read.parquet(path).count() == before_rows
+    assert spark.read.parquet(path).selectExpr("sum(entry_id)").first()[0] == before_sum
