@@ -26,15 +26,22 @@ def asof_join(
     right_time: str,
     right_cols: list[str],
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left rows + columns of the latest right row with
-    right_time <= left_time, matched per `on` key.
+    """Left rows + columns of the matched right row per `on` key:
+    direction='backward' (default) matches the LATEST right row with
+    right_time <= left_time; direction='forward' matches the EARLIEST
+    right row with right_time >= left_time (pandas merge_asof parity).
 
     Plan: tag both inputs, union, single window sorted by (time, side) —
     right rows sort before left rows at equal times so exact-tie matches
-    are included — then last_value(ignorenulls) carries the most recent
-    right values forward onto each left row.
+    are included — then last_value(ignorenulls) carries the nearest
+    right values onto each left row. Forward is the same scan over the
+    reversed time order; either way one shuffle on the key, no range
+    explosion, no per-group Python.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     # The right-side payload struct carries right_time under a reserved
     # name so the tolerance check compares against the actual time column,
     # not positionally against right_cols[0].
@@ -58,9 +65,10 @@ def asof_join(
         F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
         r_struct.alias("_r"),
     )
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         W.partitionBy("_k")
-        .orderBy("_t", "_side")
+        .orderBy(t_order, F.col("_side").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     merged = l_tagged.unionByName(r_tagged).withColumn(
@@ -68,13 +76,11 @@ def asof_join(
     )
     out = merged.where(F.col("_side") == 1)
     if tolerance_seconds is not None:
+        gap = F.col("_t").cast("double") - F.col("_match.__asof_t").cast("double")
+        if direction == "forward":
+            gap = -gap
         out = out.withColumn(
-            "_match",
-            F.when(
-                F.col("_t").cast("double") - F.col("_match.__asof_t").cast("double")
-                <= tolerance_seconds,
-                F.col("_match"),
-            ),
+            "_match", F.when(gap <= tolerance_seconds, F.col("_match"))
         )
     return out.select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],

@@ -1656,6 +1656,45 @@ def j7_asof_join(spark, sf_dir):
 
 
 @q(
+    "j7b_asof_forward",
+    """
+    SELECT a.event_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           a.user_id,
+           CAST(floor(epoch(b.ts) - epoch(a.ts)) AS BIGINT) AS secs_to_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id AND a.ts <= b.ts
+    """,
+    "join",
+)
+def j7b_asof_forward(spark, sf_dir):
+    """Forward as-of (direction='forward'): each click matched to the
+    user's NEXT purchase at-or-after it — the other half of the
+    merge_asof surface, same one-shuffle composition scanned in reverse
+    time order. DuckDB's ASOF with `<=` is the native equivalent."""
+    from ct_mapreduce_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = asof_join(
+        clicks, purchases, on="user_id", left_time="ts", right_time="ts",
+        right_cols=["ts"], direction="forward",
+    )
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "user_id",
+        F.floor(
+            F.col("asof_ts").cast("double") - F.col("ts").cast("double")
+        ).cast("long").alias("secs_to_purchase"),
+    )
+
+
+@q(
     "j8_range_join",
     """
     SELECT band, count(*) AS n,

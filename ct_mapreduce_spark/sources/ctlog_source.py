@@ -43,10 +43,23 @@ SCHEMA = (
     "issuer_id string"
 )
 
+# option emit=certs: full parsed-certificate rows (the post-P4 shape the
+# ingest pipeline consumes) so the whole ct-fetch daemon can run off this
+# source end-to-end. Matches schemas.CERTIFICATES.
+CERT_SCHEMA = (
+    "log_url string, entry_id long, entry_type string, entry_ts timestamp, "
+    "raw_der binary, serial binary, issuer_id string, issuer_dn string, "
+    "issuer_cn string, issuer_spki binary, skid binary, subject_cn string, "
+    "not_before timestamp, not_after timestamp, is_ca boolean, "
+    "basic_constraints_valid boolean, crl_dps array<string>, chain_len int"
+)
+
 DEFAULT_BATCH = 1000  # entries per ranged fetch (ct-fetch.go:417)
 
 
-def _fetch_range(log_url: str, start: int, end: int) -> Iterator[tuple]:
+def _fetch_range(
+    log_url: str, start: int, end: int, emit: str = "entries"
+) -> Iterator[tuple]:
     """One ranged 'RPC': yield entries [start, end). Deterministic
     synthetic payloads stand in for the HTTP transport."""
     import datetime as dt
@@ -56,7 +69,31 @@ def _fetch_range(log_url: str, start: int, end: int) -> Iterator[tuple]:
         d = hashlib.sha256(f"{log_url}:{i}".encode()).digest()
         serial = d[: 8 + i % 9]  # 8-16 byte serials
         issuer = f"issuer-{d[16] % 8}"
-        yield (i, log_url, epoch + dt.timedelta(seconds=i), serial, issuer)
+        if emit == "entries":
+            yield (i, log_url, epoch + dt.timedelta(seconds=i), serial, issuer)
+            continue
+        spki = hashlib.sha256(issuer.encode()).digest()
+        not_after = epoch + dt.timedelta(days=365, hours=d[17] % 48)
+        yield (
+            log_url,
+            i,
+            "precert" if d[18] % 10 == 0 else "x509",
+            epoch + dt.timedelta(seconds=i),
+            d * 2,                      # raw_der stand-in
+            serial,
+            issuer,
+            f"CN={issuer}",
+            f"{issuer} CA",
+            spki,
+            spki[:20] if d[19] % 7 else spki[:4],  # some short SKIDs
+            f"host{i}.example.com",
+            not_after - dt.timedelta(days=365),
+            not_after,
+            d[20] % 20 == 0,            # ~5% CA
+            d[21] % 20 != 0,
+            ["http://crl.example.com/root.crl"] if d[22] % 3 else [],
+            0 if d[23] % 101 == 0 else 1 + d[23] % 3,
+        )
 
 
 def _read_tree_size(options: dict) -> int:
@@ -95,7 +132,12 @@ class CTLogBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        return _fetch_range(partition.log_url, partition.start, partition.end)
+        return _fetch_range(
+            partition.log_url,
+            partition.start,
+            partition.end,
+            self.options.get("emit", "entries"),
+        )
 
 
 class CTLogStreamReader(SimpleDataSourceStreamReader):
@@ -117,26 +159,33 @@ class CTLogStreamReader(SimpleDataSourceStreamReader):
         # planned batch — generators don't pickle, list iterators do.
         # The max_entries_per_trigger cap bounds the prefetch (the 16Ki
         # channel-capacity analog, ct-fetch.go:132).
-        return iter(list(_fetch_range(log_url, lo, hi))), {"index": hi}
+        emit = self.options.get("emit", "entries")
+        return iter(list(_fetch_range(log_url, lo, hi, emit))), {"index": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         # Deterministic replay for recovery: same range, same rows.
         log_url = self.options.get("log_url", "ct.example/log0")
-        return _fetch_range(log_url, start["index"], end["index"])
+        return _fetch_range(
+            log_url,
+            start["index"],
+            end["index"],
+            self.options.get("emit", "entries"),
+        )
 
 
 class CTLogDataSource(DataSource):
     """`spark.dataSource.register(CTLogDataSource)` then
     `spark.read.format("ctlog").option(...)`. Options: log_url,
     tree_size | sth_path, offset, limit, batch_size (batch),
-    max_entries_per_trigger (streaming)."""
+    max_entries_per_trigger (streaming), emit=entries|certs (certs =
+    full parsed-certificate rows for end-to-end ingest)."""
 
     @classmethod
     def name(cls) -> str:
         return "ctlog"
 
     def schema(self) -> str:
-        return SCHEMA
+        return CERT_SCHEMA if self.options.get("emit") == "certs" else SCHEMA
 
     def reader(self, schema) -> CTLogBatchReader:
         return CTLogBatchReader(self.options)

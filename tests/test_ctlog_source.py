@@ -47,6 +47,68 @@ def test_batch_offset_limit(spark):
     assert ids == list(range(1200, 3400))
 
 
+def test_end_to_end_daemon_from_ctlog_source(spark, tmp_path):
+    """The full ct-fetch daemon off the custom connector: ctlog stream
+    (emit=certs) -> filters -> watermarked stateful dedup -> partitioned
+    store, then tree growth + restart-from-checkpoint. The store must
+    hold exactly the distinct non-filtered keys of the final range —
+    dedup, growth, and resume all exercised through one pipeline."""
+    import datetime as dt
+    import json as _json
+
+    from ct_mapreduce_spark.plans.ingest import ingest_batch
+    from ct_mapreduce_spark.streaming.ingest_stream import (
+        start_ingest_query,
+        streaming_ingest,
+    )
+
+    now = dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)
+    sth = tmp_path / "sth.json"
+    sth.write_text(_json.dumps({"tree_size": 300}))
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.format("ctlog")
+            .option("sth_path", str(sth))
+            .option("emit", "certs")
+            .option("max_entries_per_trigger", 100)
+            .load()
+        )
+        return start_ingest_query(
+            streaming_ingest(stream, now=now, watermark_delay="3650 days"),
+            store,
+            ckpt,
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    # the log grows; a NEW query resumes from the checkpoint
+    sth.write_text(_json.dumps({"tree_size": 450}))
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = spark.read.parquet(store)
+    # batch replay of the same final range is the ground truth
+    batch = (
+        spark.read.format("ctlog")
+        .option("tree_size", 450)
+        .option("emit", "certs")
+        .load()
+    )
+    want = ingest_batch(batch, now=now).select(
+        "exp_date", "issuer_id", "serial"
+    )
+    assert got.count() == want.distinct().count()
+    assert (
+        got.select("exp_date", "issuer_id", "serial").distinct().count()
+        == got.count()
+    )
+
+
 def test_multi_log_union_stream(spark, tmp_path):
     """S3: one stream per log URL, unioned with the log_url column as the
     discriminator (ct-fetch.go:521-565's goroutine-per-log restated).
