@@ -3167,6 +3167,42 @@ def docs_stratified_sample(spark, sf_dir):
 
 
 @q(
+    "docs_vocab_topk",
+    r"""
+    SELECT tok, count(*) AS freq,
+           count(DISTINCT doc_id) AS doc_freq
+    FROM (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ) t
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 100
+    """,
+    "text",
+)
+def docs_vocab_topk(spark, sf_dir):
+    """Vocabulary building: corpus-wide token frequencies (term + document
+    frequency) with a deterministic top-k — the input to tokenizer
+    training and stopword discovery. One explode + one map-side-combined
+    groupBy; the ORDER BY ... LIMIT folds into TakeOrderedAndProject (no
+    global sort materialization)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(text.tokens("text")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("freq"), "tok")
+        .limit(100)
+    )
+
+
+@q(
     "docs_pii_redact",
     r"""
     SELECT doc_id,
