@@ -1,17 +1,22 @@
 """Near-duplicate detection for training-data pipelines (north-star surface).
 
-Four tiers, all shuffle-conscious:
+Tiers, all shuffle-conscious:
 
 - exact_dedup:        hash-groupBy on md5(text). One shuffle on a short key.
 - ngram_jaccard_pairs: exact Jaccard over word-shingle sets via a
                       shingle-inverted-index self-join. Quadratic in the
                       worst case — the *verification* tier, run on candidate
                       buckets, not the whole corpus, at scale.
-- minhash_lsh_pairs:  MinHash signatures + banded LSH. The 100 TB tier: one
-                      explode of b bands per doc, groupBy band-signature,
-                      pairs only within buckets. All built-in expressions —
-                      no Python in the loop.
-- simhash_pairs:      64-bit SimHash + hamming-radius candidate pairs.
+- minhash_lsh_pairs:  MinHash signatures + banded LSH. The 100 TB tier:
+                      base hashes JVM-side (xxhash64 in codegen), the
+                      affine permutation family as one vectorized numpy
+                      pass per Arrow batch, thin (doc, band, bucket)
+                      self-join — pairs only within buckets, capped hot
+                      buckets.
+- simhash_pairs:      64-bit SimHash + hamming-radius candidate pairs
+                      (pure expressions).
+- dedup_clusters:     connected components over any tier's pairs ->
+                      canonical keep/drop groups.
 
 MinHash math: h_i(S) = min_{x in S} hash_i(x) with an independent uniform
 hash per slot; P[h_i(A)=h_i(B)] = J(A,B). Banding with r rows x b bands
