@@ -137,7 +137,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     from ct_mapreduce_spark.config import load_config
     from ct_mapreduce_spark.session import get_spark
 
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.cmd == "statistics" and not (args.source or args.store):
+        parser.error("statistics requires --source or --store")
     flags = {
         "sf_dir": args.source,
         "offset": args.offset,

@@ -163,13 +163,21 @@ class CTLogStreamReader(SimpleDataSourceStreamReader):
         return iter(list(_fetch_range(log_url, lo, hi, emit))), {"index": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        # Deterministic replay for recovery: same range, same rows.
+        # Deterministic replay for recovery: same range, same rows. Runs
+        # only when a batch was planned but not committed before a crash
+        # — and its rows go through the same pickle path as read(), so
+        # materialize to a list iterator here too (a generator would fail
+        # exactly and only during crash recovery).
         log_url = self.options.get("log_url", "ct.example/log0")
-        return _fetch_range(
-            log_url,
-            start["index"],
-            end["index"],
-            self.options.get("emit", "entries"),
+        return iter(
+            list(
+                _fetch_range(
+                    log_url,
+                    start["index"],
+                    end["index"],
+                    self.options.get("emit", "entries"),
+                )
+            )
         )
 
 

@@ -47,6 +47,24 @@ def test_batch_offset_limit(spark):
     assert ids == list(range(1200, 3400))
 
 
+def test_stream_reader_rows_are_picklable_for_recovery():
+    """Both the prefetch path (read) and the crash-recovery replay path
+    (readBetweenOffsets) hand rows to a pickling wrapper; generators
+    would fail there, and the recovery path only executes after a crash
+    — assert picklability directly so the failure can't hide."""
+    import pickle
+
+    from ct_mapreduce_spark.sources.ctlog_source import CTLogStreamReader
+
+    r = CTLogStreamReader({"log_url": "ct.example/log0", "tree_size": "30"})
+    it, end = r.read({"index": 0})
+    assert end == {"index": 30}
+    rows_a = list(pickle.loads(pickle.dumps(it)))
+    replay = r.readBetweenOffsets({"index": 0}, {"index": 30})
+    rows_b = list(pickle.loads(pickle.dumps(replay)))
+    assert rows_a == rows_b and len(rows_a) == 30
+
+
 def test_end_to_end_daemon_from_ctlog_source(spark, tmp_path):
     """The full ct-fetch daemon off the custom connector: ctlog stream
     (emit=certs) -> filters -> watermarked stateful dedup -> partitioned
