@@ -57,7 +57,12 @@ def cmd_fetch(spark: SparkSession, cfg, now: dt.datetime | None = None) -> int:
     return 0
 
 
-def cmd_statistics(spark: SparkSession, cfg, now: dt.datetime | None = None) -> int:
+def cmd_statistics(
+    spark: SparkSession,
+    cfg,
+    now: dt.datetime | None = None,
+    exact: bool = True,
+) -> int:
     """storage-statistics: the 3-level report (storage-statistics.go:
     36-82) printed per issuer plus grand totals. With --store it reads
     the partitioned store a fetch run wrote — the reference workflow,
@@ -70,12 +75,18 @@ def cmd_statistics(spark: SparkSession, cfg, now: dt.datetime | None = None) -> 
     if cfg.cert_path:
         store = spark.read.parquet(cfg.cert_path)
         rollup, report = (
-            stats_rollup(store),
+            stats_rollup(store, exact=exact),
             full_report(store, issuer_metadata(store)),
         )
     else:
         certs = _load_source(spark, cfg.sf_dir, cfg)
         rollup, report = statistics_report(certs, now=now)
+        if not exact:
+            from ct_mapreduce_spark.plans.ingest import ingest_batch
+
+            rollup = stats_rollup(
+                ingest_batch(certs, now=now), exact=False
+            )
     for r in sorted(report.collect(), key=lambda r: r.issuer_id):
         print(
             f"issuer={r.issuer_id} serials={r.n_serials} "
@@ -126,6 +137,11 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("statistics")
     common(s, required_source=False)
     s.add_argument("--store", help="read a fetched partitioned store instead of raw entries")
+    s.add_argument(
+        "--approx",
+        action="store_true",
+        help="HLL sketch counts instead of exact distinct (the 100 TB path)",
+    )
     g = sub.add_parser("getcert")
     common(g)
     g.add_argument("--log-url", required=True)
@@ -159,7 +175,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     if args.cmd == "fetch":
         return cmd_fetch(spark, cfg, now=now)
     if args.cmd == "statistics":
-        return cmd_statistics(spark, cfg, now=now)
+        return cmd_statistics(
+            spark, cfg, now=now, exact=not getattr(args, "approx", False)
+        )
     if args.cmd == "getcert":
         return cmd_getcert(spark, cfg, args.log_url, args.entry_id)
     return 2

@@ -81,6 +81,25 @@ def test_statistics_from_store_matches_source(spark, cert_src, tmp_path, capsys)
     assert sorted(from_store) == sorted(from_source)
 
 
+def test_statistics_approx_flag(spark, cert_src, capsys):
+    """--approx swaps exact distinct counts for HLL sketches; at fixture
+    cardinality the sketch is still in exact mode, so totals agree."""
+    rc = main(
+        ["statistics", "--source", cert_src, "--now", "2024-01-02", "--approx"],
+        spark=spark,
+    )
+    assert rc == 0
+    approx_lines = capsys.readouterr().out.strip().splitlines()
+    main(["statistics", "--source", cert_src, "--now", "2024-01-02"], spark=spark)
+    exact_lines = capsys.readouterr().out.strip().splitlines()
+
+    def total(lines):
+        return int(lines[-1].split("serials=")[1].split()[0])
+
+    exact_n, approx_n = total(exact_lines), total(approx_lines)
+    assert abs(approx_n - exact_n) / exact_n < 0.05  # HLL++ default rsd
+
+
 def test_getcert_pem_roundtrip(spark, cert_src, capsys):
     import base64
 
