@@ -2139,6 +2139,98 @@ def s1_ctlog_scan(spark, sf_dir):
 
 
 @q(
+    "ev_funnel",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS step_view,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+    FROM firsts
+    """,
+    "analytics",
+)
+def ev_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view -> click -> purchase): per-user
+    first-occurrence times via one conditional-min aggregation, then
+    ordering predicates — no self-joins, one shuffle on user_id. NULL
+    comparisons are three-valued on both engines, so strict > encodes
+    'later step happened after the earlier one'."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(viewed, 1).otherwise(0)).alias("step_view"),
+        F.sum(F.when(clicked, 1).otherwise(0)).alias("step_click"),
+        F.sum(F.when(purchased, 1).otherwise(0)).alias("step_purchase"),
+    )
+
+
+@q(
+    "ev_retention",
+    """
+    WITH cohort AS (
+      SELECT user_id,
+             strftime(date_trunc('week', min(ts)), '%Y-%m-%d') AS cohort_week,
+             date_trunc('week', min(ts)) AS cw
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+    )
+    SELECT cohort_week,
+           CAST(floor((epoch(aw) - epoch(cw)) / (7 * 86400)) AS BIGINT)
+             AS week_n,
+           count(*) AS active_users
+    FROM cohort JOIN activity USING (user_id)
+    GROUP BY 1, 2, cw
+    """,
+    "analytics",
+)
+def ev_retention(spark, sf_dir):
+    """Cohort retention: users bucketed by first-activity week, counted
+    in each later week they return. Two aggregations + one join keyed on
+    user_id (AQE reuses the clustering); the week arithmetic stays in
+    integer seconds so both engines bucket identically."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("aw")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                (F.col("aw").cast("long") - F.col("cw").cast("long"))
+                / (7 * 86400)
+            ).alias("week_n"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@q(
     "t6_stream_stream_join",
     """
     SELECT v.user_id,
