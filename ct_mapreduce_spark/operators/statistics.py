@@ -102,6 +102,51 @@ def stats_rollup_reagg(certs: DataFrame) -> DataFrame:
     return l2.unionByName(l1).unionByName(l0)
 
 
+def update_leaf_counts(
+    spark, agg_path: str, fresh_deduped: DataFrame
+) -> DataFrame:
+    """Incremental maintenance of the leaf statistics table: merge a
+    NEW batch's per-(issuer, exp_date) counts into the stored aggregate
+    without rescanning history — the reference's actual flow (each new
+    cert bumps its SCARD set; statistics read the accumulated counts).
+
+    Additivity holds because callers feed the output of the cross-run
+    dedup gate (sinks.append_new_to_store): every fresh row's key is
+    never-seen, so distinct-per-batch == contribution to distinct-ever.
+    Counts merge as sums; the table is written temp-dir-then-swap (same
+    crash contract as the log-state sink). Returns the merged frame."""
+    delta = fresh_deduped.groupBy("issuer_id", "exp_date").agg(
+        F.count_distinct("serial").alias("n_serials"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    try:
+        current = spark.read.parquet(agg_path)
+    except Exception:
+        current = None
+    merged = (
+        delta
+        if current is None
+        else current.unionByName(delta)
+        .groupBy("issuer_id", "exp_date")
+        .agg(
+            F.sum("n_serials").alias("n_serials"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+    # same temp-swap mechanics as the log-state sink: materialize to a
+    # sibling dir, then rename over the old table
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(agg_path)
+    tmp = jvm.org.apache.hadoop.fs.Path(agg_path + "__tmp__")
+    fs = dst.getFileSystem(hconf)
+    merged.write.mode("overwrite").parquet(agg_path + "__tmp__")
+    fs.delete(dst, True)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"leaf-count swap failed: {tmp} -> {dst}")
+    return spark.read.parquet(agg_path)
+
+
 def full_report(certs_deduped: DataFrame, metadata: DataFrame) -> DataFrame:
     """Per-issuer report line: serial totals joined with metadata-set sizes
     (storage-statistics.go:36-79). metadata is the issuer_metadata() result

@@ -151,3 +151,46 @@ def test_serial_list_export_golden(spark, tmp_path):
     data = b"".join(open(f, "rb").read() for f in sorted(files))
     assert sorted(data.split(b"\n")[:-1] if data.endswith(b"\n") else data.split(b"\n")) == [b"01", b"02", b"03"]
     assert bytes.fromhex("30310A30320A30330A".lower()) == b"01\n02\n03\n"
+
+
+def test_incremental_leaf_counts_match_full_recompute(spark, certs, tmp_path):
+    """Incremental stats maintenance: merging per-batch counts of
+    cross-run-deduped deltas equals a full recompute over everything
+    seen - the reference's SCARD-bump flow (never rescan history)."""
+    from ct_mapreduce_spark.operators.statistics import update_leaf_counts
+    from ct_mapreduce_spark.plans.ingest import ingest_batch, write_store
+    from ct_mapreduce_spark.sources.sinks import append_new_to_store
+
+    agg_path = str(tmp_path / "leaf_counts")
+    store = str(tmp_path / "store")
+
+    b1 = ingest_batch(certs.where("entry_id < 1000"), now=NOW)
+    b2 = ingest_batch(certs.where("entry_id >= 600"), now=NOW)  # overlap
+
+    write_store(b1, store)
+    update_leaf_counts(spark, agg_path, b1)
+    # second batch goes through the cross-run gate first: only its
+    # never-seen keys contribute
+    fresh2 = b2.join(
+        spark.read.parquet(store).select("exp_date", "issuer_id", "serial"),
+        ["exp_date", "issuer_id", "serial"],
+        "left_anti",
+    ).localCheckpoint(eager=True)
+    append_new_to_store(b2, store)
+    merged = update_leaf_counts(spark, agg_path, fresh2)
+
+    from pyspark.sql import functions as F
+
+    full = spark.read.parquet(store).groupBy("issuer_id", "exp_date").agg(
+        F.count_distinct("serial").alias("n_serials"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    got = {
+        (r.issuer_id, r.exp_date): (r.n_serials, r.n_rows)
+        for r in merged.collect()
+    }
+    want = {
+        (r.issuer_id, r.exp_date): (r.n_serials, r.n_rows)
+        for r in full.collect()
+    }
+    assert got == want
