@@ -3295,6 +3295,59 @@ def docs_vocab_topk(spark, sf_dir):
 
 
 @q(
+    "docs_tfidf_topterms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, tok
+      ) AS rk
+      FROM scored
+    ) t
+    WHERE rk <= 3
+    """,
+    "text",
+)
+def docs_tfidf_topterms(spark, sf_dir):
+    """TF-IDF top-3 terms per document: term frequency x ln(N/df), the
+    classic salience score. df is corpus-wide (one small aggregate,
+    joined back — AQE broadcasts it); ln of identical doubles is
+    bit-identical across engines, ties broken by token."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    scored = (
+        tf.join(df_tbl, "tok")
+        .join(F.broadcast(n))  # 1-row scalar aggregate, stays lazy
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tfidf")
+    )
+
+
+@q(
     "docs_pii_redact",
     r"""
     SELECT doc_id,
