@@ -53,6 +53,12 @@ ALLOWED: dict[tuple[str, str], str] = {
     "join against a 1-row aggregate (never a driver collect)",
     ("q22_idle_customers", "bnlj"): "scalar AVG threshold, same 1-row "
     "broadcast cross join",
+    ("docs_tfidf_topterms", "bnlj"): "corpus size N as a lazy 1-row "
+    "broadcast cross join (the no-driver-actions form)",
+    ("docs_tfidf_topterms", "exchanges"): "tf (doc,tok), df (tok), the "
+    "tf-df join, the scalar agg, and the per-doc top-k window each need "
+    "their own keying; every exchange past the explode moves "
+    "aggregated rows, not raw tokens",
 }
 
 
