@@ -36,7 +36,12 @@ def _load_source(spark: SparkSession, source: str, cfg) -> DataFrame:
     return df
 
 
-def cmd_fetch(spark: SparkSession, cfg, now: dt.datetime | None = None) -> int:
+def cmd_fetch(
+    spark: SparkSession,
+    cfg,
+    now: dt.datetime | None = None,
+    append: bool = False,
+) -> int:
     """ct-fetch: filter -> key-derive -> first-seen dedup -> partitioned
     store write (no store configured => noop sink, engine.go:24,36-40)."""
     from ct_mapreduce_spark.plans.ingest import ingest_batch, write_store
@@ -48,7 +53,17 @@ def cmd_fetch(spark: SparkSession, cfg, now: dt.datetime | None = None) -> int:
         cn_prefixes=cfg.cn_prefixes,
         log_expired=cfg.log_expired,
     )
-    if cfg.cert_path:
+    if cfg.cert_path and append:
+        from ct_mapreduce_spark.operators.statistics import update_leaf_counts
+        from ct_mapreduce_spark.sources.sinks import append_new_to_store
+
+        # incremental run: only never-seen keys land, and the maintained
+        # leaf-count table absorbs exactly those (additive by the dedup
+        # gate) - history is never rescanned
+        n, fresh = append_new_to_store(deduped, cfg.cert_path)
+        update_leaf_counts(spark, cfg.cert_path + "_leaf_counts", fresh)
+        print(f"appended {n} new certs -> {cfg.cert_path} (+leaf counts)")
+    elif cfg.cert_path:
         write_store(deduped, cfg.cert_path)
         print(f"stored {spark.read.parquet(cfg.cert_path).count()} certs -> {cfg.cert_path}")
     else:
@@ -132,6 +147,12 @@ def build_parser() -> argparse.ArgumentParser:
     f = sub.add_parser("fetch")
     common(f)
     f.add_argument("--store", help="partitioned store output (omit => noop)")
+    f.add_argument(
+        "--append",
+        action="store_true",
+        help="incremental run: append never-seen keys and merge leaf "
+        "counts (instead of overwriting the store)",
+    )
     f.add_argument("--log-expired", action="store_true")
     f.add_argument("--issuer-cn-filter", default=None)
     s = sub.add_parser("statistics")
@@ -173,7 +194,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     )
     spark = spark or get_spark("ct_mapreduce_spark-cli")
     if args.cmd == "fetch":
-        return cmd_fetch(spark, cfg, now=now)
+        return cmd_fetch(
+            spark, cfg, now=now, append=getattr(args, "append", False)
+        )
     if args.cmd == "statistics":
         return cmd_statistics(
             spark, cfg, now=now, exact=not getattr(args, "approx", False)

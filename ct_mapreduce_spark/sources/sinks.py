@@ -76,7 +76,9 @@ def upsert_log_state(
     return merged
 
 
-def append_new_to_store(deduped: DataFrame, path: str) -> int:
+def append_new_to_store(
+    deduped: DataFrame, path: str
+) -> tuple[int, DataFrame]:
     """Cross-RUN first-seen gate: append only keys the store has never
     seen — the batch restatement of WasUnknown against persistent state
     (storage/filesystemdatabase.go:177-202: SADD gates every downstream
@@ -87,7 +89,10 @@ def append_new_to_store(deduped: DataFrame, path: str) -> int:
     Scale shape: the existing-keys read is COLUMN-PRUNED to the three
     key columns (check ReadSchema — the payload bytes never move), the
     anti-join keys match the store's partition layout, and the append
-    clusters like write_store. Returns the number of rows appended."""
+    clusters like write_store. Returns (n_appended, the materialized
+    fresh frame) so callers can chain incremental maintenance — e.g.
+    operators/statistics.update_leaf_counts — without recomputing the
+    anti-join."""
     spark = deduped.sparkSession
     try:
         existing = spark.read.parquet(path).select(
@@ -114,7 +119,7 @@ def append_new_to_store(deduped: DataFrame, path: str) -> int:
             .mode("append")
             .parquet(path)
         )
-    return n
+    return n, fresh
 
 
 def compact_store(spark: SparkSession, path: str) -> tuple[int, int]:

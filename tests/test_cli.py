@@ -81,6 +81,44 @@ def test_statistics_from_store_matches_source(spark, cert_src, tmp_path, capsys)
     assert sorted(from_store) == sorted(from_source)
 
 
+def test_fetch_append_incremental(spark, cert_src, tmp_path, capsys):
+    """fetch --append: second overlapping run appends only never-seen
+    keys and maintains the leaf-count table incrementally; totals match
+    a single full ingest."""
+    store = str(tmp_path / "store")
+    # --append bootstraps on a missing store, so the incremental flow is
+    # simply "always --append"
+    main(
+        ["fetch", "--source", cert_src, "--store", store, "--limit", "500",
+         "--now", "2024-01-02", "--append"],
+        spark=spark,
+    )
+    main(
+        ["fetch", "--source", cert_src, "--store", store, "--offset", "250",
+         "--now", "2024-01-02", "--append"],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert "appended" in out
+    got = spark.read.parquet(store)
+    keys = got.select("exp_date", "issuer_id", "serial")
+    assert keys.count() == keys.distinct().count()  # no dup keys ever
+    full = ingest_batch(spark.read.parquet(cert_src), now=NOW).select(
+        "exp_date", "issuer_id", "serial"
+    )
+    assert keys.distinct().count() == full.distinct().count()
+    # maintained leaf counts == recompute from the store
+    from pyspark.sql import functions as F
+
+    counts = spark.read.parquet(store + "_leaf_counts")
+    want = got.groupBy("issuer_id", "exp_date").agg(
+        F.count_distinct("serial").alias("n_serials")
+    )
+    a = {(r.issuer_id, r.exp_date): r.n_serials for r in counts.collect()}
+    b = {(r.issuer_id, r.exp_date): r.n_serials for r in want.collect()}
+    assert a == b
+
+
 def test_statistics_approx_flag(spark, cert_src, capsys):
     """--approx swaps exact distinct counts for HLL sketches; at fixture
     cardinality the sketch is still in exact mode, so totals agree."""

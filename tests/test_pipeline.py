@@ -171,12 +171,7 @@ def test_incremental_leaf_counts_match_full_recompute(spark, certs, tmp_path):
     update_leaf_counts(spark, agg_path, b1)
     # second batch goes through the cross-run gate first: only its
     # never-seen keys contribute
-    fresh2 = b2.join(
-        spark.read.parquet(store).select("exp_date", "issuer_id", "serial"),
-        ["exp_date", "issuer_id", "serial"],
-        "left_anti",
-    ).localCheckpoint(eager=True)
-    append_new_to_store(b2, store)
+    _, fresh2 = append_new_to_store(b2, store)
     merged = update_leaf_counts(spark, agg_path, fresh2)
 
     from pyspark.sql import functions as F

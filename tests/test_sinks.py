@@ -87,7 +87,7 @@ def test_append_new_to_store_cross_run_dedup(spark, tmp_path):
     write_store(b1, path)
     n1 = spark.read.parquet(path).count()
 
-    appended = append_new_to_store(b2, path)
+    appended, _ = append_new_to_store(b2, path)
     total = spark.read.parquet(path).count()
     assert appended > 0
     assert total == n1 + appended
@@ -100,7 +100,7 @@ def test_append_new_to_store_cross_run_dedup(spark, tmp_path):
     )
     assert keys.distinct().count() == keys.count() == want.count()
     # idempotent replay
-    assert append_new_to_store(b2, path) == 0
+    assert append_new_to_store(b2, path)[0] == 0
     assert spark.read.parquet(path).count() == total
 
 
