@@ -2139,6 +2139,82 @@ def s1_ctlog_scan(spark, sf_dir):
 
 
 @q(
+    "dq_star_schema",
+    """
+    SELECT 'orders_pk_unique' AS check,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS metric,
+           count(*) - count(DISTINCT o_orderkey) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_pk_unique',
+           CAST(count(*) - count(DISTINCT l_orderkey * 10 + l_linenumber)
+                AS DOUBLE),
+           count(*) - count(DISTINCT l_orderkey * 10 + l_linenumber) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS DOUBLE),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS DOUBLE),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) = 0
+    UNION ALL
+    SELECT 'orders_custkey_nulls',
+           round(CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / greatest(count(*), 1), 6),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / greatest(count(*), 1) <= 0.0
+    FROM orders
+    UNION ALL
+    SELECT 'discount_in_range',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                    THEN 1 ELSE 0 END) AS DOUBLE),
+           sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+               THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    """,
+    "quality",
+)
+def dq_star_schema(spark, sf_dir):
+    """Data-quality suite over the star schema (operators/checks.py):
+    key uniqueness, referential integrity (anti-join counts), null
+    ratios, domain ranges — each check one aggregate pass, the suite one
+    unioned report. The gate a pipeline runs before trusting a load."""
+    from ct_mapreduce_spark.operators import checks as C
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    li_pk = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pk")
+    )
+    return C.run_suite(
+        [
+            C.check_unique(o, ["o_orderkey"], "orders_pk_unique"),
+            C.check_unique(li_pk, ["pk"], "lineitem_pk_unique"),
+            C.check_no_orphans(o, "o_custkey", c, "c_custkey", "orders_custkey_fk"),
+            C.check_no_orphans(
+                li, "l_orderkey", o, "o_orderkey", "lineitem_orderkey_fk"
+            ),
+            C.check_null_ratio(o, "o_custkey", 0.0, "orders_custkey_nulls"),
+            C.check_range(li, "l_discount", 0.0, 0.1, "discount_in_range"),
+        ]
+    )
+
+
+@q(
     "ev_funnel",
     """
     WITH firsts AS (

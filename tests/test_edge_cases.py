@@ -118,6 +118,35 @@ def test_exact_dedup_null_text_groups_together(spark):
     assert out == {1: 2, 3: 1}
 
 
+def test_quality_checks_catch_bad_data(spark):
+    """The DQ checks must FAIL on violations, not just pass on clean
+    fixtures: duplicate keys, orphaned foreign keys, nulls, and
+    out-of-range values each trip their check."""
+    from ct_mapreduce_spark.operators import checks as C
+
+    fact = spark.createDataFrame(
+        [Row(id=1, fk=10, v=0.5), Row(id=1, fk=99, v=1.5), Row(id=2, fk=None, v=0.2)],
+        schema="id long, fk long, v double",
+    )
+    dim = spark.createDataFrame([Row(k=10)], schema="k long")
+    report = {
+        r.check: (r.metric, r.passed)
+        for r in C.run_suite(
+            [
+                C.check_unique(fact, ["id"], "pk"),
+                C.check_no_orphans(fact, "fk", dim, "k", "fk_ok"),
+                C.check_null_ratio(fact, "fk", 0.0, "fk_nulls"),
+                C.check_range(fact, "v", 0.0, 1.0, "v_range"),
+            ]
+        ).collect()
+    }
+    assert report["pk"] == (1.0, False)        # one duplicated id
+    assert report["fk_ok"][1] is False          # fk=99 orphaned (null fk
+    assert report["fk_ok"][0] >= 1.0            # doesn't match either)
+    assert report["fk_nulls"] == (0.333333, False)
+    assert report["v_range"] == (1.0, False)    # v=1.5 out of range
+
+
 def test_dedup_clusters_no_pairs_identity(spark):
     docs = spark.createDataFrame([Row(doc_id=i) for i in range(5)])
     pairs = spark.createDataFrame([], schema="doc_a long, doc_b long")
