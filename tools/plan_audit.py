@@ -59,6 +59,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     "tf-df join, the scalar agg, and the per-doc top-k window each need "
     "their own keying; every exchange past the explode moves "
     "aggregated rows, not raw tokens",
+    ("dq_star_schema", "exchanges"): "six independent single-row check "
+    "aggregates unioned into one report — each contributes its own "
+    "1-row exchange; total shuffle bytes are six rows",
 }
 
 
