@@ -40,7 +40,10 @@ HEADLINE = [
     "j7_asof_join",
 ]
 
-ITERATIONS = 2
+# min-of-3: the first run pays JIT/codegen warmup and local-mode timings
+# jitter ±20% run-to-run; three samples tighten the min materially for
+# ~30s extra harness time.
+ITERATIONS = 3
 
 
 def _bench_ingest(spark) -> float:
