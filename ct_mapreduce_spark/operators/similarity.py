@@ -188,6 +188,7 @@ def label_centroids(
     label_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
 ) -> DataFrame:
     """Per-label centroid (mean pooling) of an embedding column, emitted
     long-form as (label, pos, centroid_val) — class prototypes for
@@ -195,29 +196,41 @@ def label_centroids(
 
     Float sums are order-sensitive, and Spark's partial-aggregation
     order varies run to run — a plain avg() would not even be
-    self-reproducible. Here each (label, dimension) folds its values in
-    a canonical order (sorted by vec_id, left fold from 0.0), which is
-    bit-reproducible everywhere — the same fold the DuckDB oracle runs.
-    At corpus scale the collect-then-fold per (label, pos) group holds
-    while labels x dims stays modest (it shards across the cluster by
-    (label, pos)); for huge groups swap the exactness contract for
-    decimal-staged sums (engine-deterministic, not cross-engine
-    bit-identical)."""
+    self-reproducible. The default path stages each value onto a fixed
+    1e-9 grid: float32 -> double is exact, the double product and floor
+    are IEEE-deterministic on every engine, and the staged integers sum
+    in DECIMAL(38,0) — integer addition is associative, so the result
+    is independent of partial-aggregation order with O(1) aggregation
+    state per (label, pos). A label with billions of members costs the
+    same as one with ten; this is the 100 TB path.
+
+    exact=True swaps in the bit-exact IEEE-double mean: each (label,
+    dimension) folds its values in canonical order (sorted by vec_id,
+    left fold from 0.0). That collects the group's values into one array
+    first — only safe while every label's membership fits an executor
+    (verification tier, not the scale default)."""
     ex = emb.select(
         label_col,
         id_col,
         F.posexplode(vec_col).alias("pos0", "val"),
     )
-    vals = F.transform(
-        F.array_sort(F.collect_list(F.struct(id_col, "val"))),
-        lambda s: s["val"].cast("double"),
-    )
-    folded = F.aggregate(vals, F.lit(0.0), lambda acc, v: acc + v)
-    return (
-        ex.groupBy(label_col, (F.col("pos0") + 1).alias("pos"))
-        .agg(
+    grouped = ex.groupBy(label_col, (F.col("pos0") + 1).alias("pos"))
+    if exact:
+        vals = F.transform(
+            F.array_sort(F.collect_list(F.struct(id_col, "val"))),
+            lambda s: s["val"].cast("double"),
+        )
+        folded = F.aggregate(vals, F.lit(0.0), lambda acc, v: acc + v)
+        return grouped.agg(
             F.round(folded / F.size(vals), 6).alias("centroid_val"),
         )
+    staged = F.floor(F.col("val").cast("double") * F.lit(1e9)).cast(
+        "decimal(38,0)"
+    )
+    return grouped.agg(
+        F.round(
+            (F.sum(staged).cast("double") / F.lit(1e9)) / F.count(F.lit(1)), 6
+        ).alias("centroid_val"),
     )
 
 
@@ -243,31 +256,37 @@ def lsh_near_dup_pairs(
     """
     planes = _hyperplanes(dim, n_bits, seed)
     r = n_bits // bands
-    banded = (
+    # Compact frame (one row per vector: id + vec + sign bits), materialized
+    # so the Python-stage matmul runs once for both self-join sides —
+    # localCheckpoint over persist() for the same ContextCleaner reasons as
+    # minhash_lsh_pairs (dedup_fuzzy.py).
+    sigs = (
         fan_out(corpus)
         .select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("vec"),
             signature_bits_udf(planes)(F.col(vec_col)).alias("_bits"),
         )
-        .select(
-            "vid",
-            "vec",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda i: F.struct(
-                        i.alias("band"),
-                        F.array_join(
-                            F.slice(F.col("_bits"), i * r + 1, r), ""
-                        ).alias("bucket"),
-                    ),
-                )
-            ).alias("bb"),
-        )
-        .select("vid", "vec", "bb.band", "bb.bucket")
-        .localCheckpoint(eager=True)  # sign bits computed once, both sides
+        .localCheckpoint(eager=True)
     )
+    # Thin banded frame: (vid, band, bucket) ONLY. Carrying the embedding
+    # through the bands-x explode and both self-join sides would multiply
+    # shuffle bytes by ~2*bands; vectors are re-attached to the few
+    # surviving candidate pairs at the end (minhash_lsh_pairs' shape).
+    banded = sigs.select(
+        "vid",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.array_join(
+                        F.slice(F.col("_bits"), i * r + 1, r), ""
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("vid", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -279,13 +298,17 @@ def lsh_near_dup_pairs(
         .select(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
-            F.col("a.vec").alias("_va"),
-            F.col("b.vec").alias("_vb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    # Candidates are sparse: these attach joins move little data, and AQE
+    # broadcasts the sides when genuinely small.
+    va = sigs.select(F.col("vid").alias("vec_a"), F.col("vec").alias("_va"))
+    vb = sigs.select(F.col("vid").alias("vec_b"), F.col("vec").alias("_vb"))
     return (
-        cand.withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )

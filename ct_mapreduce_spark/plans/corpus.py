@@ -3543,21 +3543,24 @@ def docs_pipeline_keeplist(spark, sf_dir):
     "emb_label_centroids",
     """
     WITH ex AS (
-      SELECT label, vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      SELECT label, i AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS HUGEINT) AS q
       FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
     )
     SELECT label, pos,
-           round(list_reduce(list(val ORDER BY vec_id), (acc, x) -> acc + x)
-                 / count(*), 6) AS centroid_val
+           round((CAST(sum(q) AS DOUBLE) / 1e9) / count(*), 6) AS centroid_val
     FROM ex GROUP BY 1, 2
     """,
     "similarity",
 )
 def emb_label_centroids(spark, sf_dir):
     """Mean-pooled class prototypes (operators/similarity.py:
-    label_centroids): per-(label, dimension) canonical-order fold, so the
-    float sum is bit-identical to the oracle's list_reduce over the same
-    vec_id-ordered values."""
+    label_centroids): the scale-default decimal-staged mean — each value
+    floored onto a 1e-9 grid (IEEE-deterministic), staged integers summed
+    associatively, so the oracle's HUGEINT sum over the same grid matches
+    bit-for-bit regardless of either engine's aggregation order. The
+    bit-exact canonical-order IEEE fold remains behind exact=True
+    (pytest-compared against this default on the same data)."""
     from ct_mapreduce_spark.operators.similarity import label_centroids
 
     return label_centroids(_t(spark, sf_dir, "embeddings"))

@@ -128,6 +128,82 @@ def test_ivf_probes_subset(spark, emb):
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
 
 
+def test_ivf_recall_vs_exact(spark):
+    """IVF must recover >=90% of exact top-k at n_probe=4 when the corpus
+    has real cluster structure (true neighbors share the query's cell —
+    the property IVF exploits; uniform-random vectors measure the data,
+    not the algorithm: every neighbor is near-orthogonal and cell
+    membership is arbitrary)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim, n_clusters, per = 64, 8, 40
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in center))
+        center = [x / nrm for x in center]
+        for _ in range(per):
+            v = [x + rng.gauss(0.0, 0.08) for x in center]
+            rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(rows)
+    queries = corpus.where(F.col("vec_id") % per < 2)  # 2 per cluster
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(corpus, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(corpus, queries, k=5, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall@5 = {recall}"
+
+
+def test_label_centroids_default_no_collect(spark):
+    """Scale guard (round-2 review, wrong #3): the default path must not
+    collect a group's values into one array (a mega-label would OOM the
+    executor) — its aggregation state is O(1) per (label, pos) — and on a
+    skewed corpus (one label 50x the others) it must agree with the
+    bit-exact fold to the staging grid (1e-9 quantization, round-6 output)."""
+    rows = [
+        Row(label="hot", vec_id=i, embedding=[0.1 * (i % 7) - 0.3, float(i % 3)])
+        for i in range(500)
+    ] + [
+        Row(label="cold", vec_id=1000 + i, embedding=[0.25, -1.5]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    got = similarity.label_centroids(df)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan, plan
+    default_vals = {(r.label, r.pos): r.centroid_val for r in got.collect()}
+    exact_vals = {
+        (r.label, r.pos): r.centroid_val
+        for r in similarity.label_centroids(df, exact=True).collect()
+    }
+    assert default_vals.keys() == exact_vals.keys()
+    for k, v in exact_vals.items():
+        assert abs(default_vals[k] - v) <= 2e-6, (k, default_vals[k], v)
+
+
+def test_lsh_near_dup_thin_join(spark, emb):
+    """Scale guard (round-2 review, wrong #2): the banded self-join must
+    move only (vid, band, bucket) — no projection in the plan may carry
+    the embedding alongside a band bucket (vectors attach to surviving
+    candidates only, after the join)."""
+    nd = similarity.lsh_near_dup_pairs(emb)
+    plan = nd._jdf.queryExecution().optimizedPlan().toString()
+    offenders = [
+        line
+        for line in plan.splitlines()
+        if "Project" in line and "vec#" in line and "bucket" in line
+    ]
+    assert not offenders, offenders
+
+
 def test_lsh_near_dup_recall(spark, emb):
     """Bucketed near-dup pairs must recover >=90% of the exact-threshold
     pairs (narrow 2-bit bands bias to recall), and every emitted pair is
