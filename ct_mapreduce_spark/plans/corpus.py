@@ -35,6 +35,7 @@ from ct_mapreduce_spark.functions.dates import exp_date_day, exp_date_hour
 from ct_mapreduce_spark.functions.urls import normalize_crl_dps
 from ct_mapreduce_spark.operators.dedup import first_seen
 from ct_mapreduce_spark.operators import dedup_fuzzy, multimodal, similarity, text
+from ct_mapreduce_spark.plans.golden_pins import values_sql as _pin
 from ct_mapreduce_spark.sources.tables import load_table
 
 
@@ -1223,20 +1224,22 @@ def docs_dedup_clusters(spark, sf_dir):
     return dedup_fuzzy.dedup_clusters(docs, pairs)
 
 
-@q("docs_minhash_lsh_dedup", None, "dedup")
+@q("docs_minhash_lsh_dedup", _pin("docs_minhash_lsh_dedup"), "dedup")
 def docs_minhash_lsh_dedup(spark, sf_dir):
-    """MinHash + banded LSH near-dup candidates (the 100 TB tier). Not
-    SQL-expressible at reasonable cost (seeded permutation family) =>
-    rows-only driver check; tests/test_llm_ops.py asserts recall against
-    the exact-jaccard oracle instead."""
+    """MinHash + banded LSH near-dup candidates (the 100 TB tier). The
+    seeded xxhash64 permutation family is not SQL-recomputable, but the
+    output is bit-stable (partition-invariance asserted by
+    tools/pin_golden.py), so the oracle compares against pinned VALUES
+    literals — the p4_parse_cert pattern. Recall vs the exact-jaccard
+    oracle is additionally asserted in tests/test_llm_ops.py."""
     return dedup_fuzzy.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
-@q("docs_simhash_pairs", None, "dedup")
+@q("docs_simhash_pairs", _pin("docs_simhash_pairs"), "dedup")
 def docs_simhash_pairs(spark, sf_dir):
     """SimHash 64-bit signatures + hamming<=8 candidates via 16-bit-chunk
-    blocking. Rows-only (bit-level signature family not worth replicating
-    in SQL); unit-tested for hamming correctness."""
+    blocking. Bit-stable seeded hash family => golden-literal oracle
+    (tools/pin_golden.py); hamming correctness unit-tested besides."""
     return dedup_fuzzy.simhash_pairs(_t(spark, sf_dir, "documents"))
 
 
@@ -1274,19 +1277,22 @@ def emb_cosine_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@q("emb_ann_lsh", None, "similarity")
+@q("emb_ann_lsh", _pin("emb_ann_lsh"), "similarity")
 def emb_ann_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN (scale tier): bucket join + exact re-rank
-    of candidates only. Approximate => rows-only; recall vs exact top-k is
-    asserted in tests/test_llm_ops.py."""
+    of candidates only. Approximate vs exact top-k (recall asserted in
+    tests/test_llm_ops.py) but bit-stable for fixed seeds => golden-literal
+    oracle (tools/pin_golden.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.lsh_ann_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@q("emb_ann_ivf", None, "similarity")
+@q("emb_ann_ivf", _pin("emb_ann_ivf"), "similarity")
 def emb_ann_ivf(spark, sf_dir):
-    """IVF-flat ANN: probe n nearest cells only. Approximate => rows-only."""
+    """IVF-flat ANN: probe n nearest cells only. Bit-stable seeded
+    centroids => golden-literal oracle (tools/pin_golden.py); recall on a
+    planted-cluster corpus asserted in tests/test_llm_ops.py."""
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
@@ -2113,13 +2119,14 @@ def t4d_stream_tumbling(spark, sf_dir):
     return _run_stream(spark, streaming_event_windows(stream), "t4d_tumbling")
 
 
-@q("s1_ctlog_scan", None, "scan")
+@q("s1_ctlog_scan", _pin("s1_ctlog_scan"), "scan")
 def s1_ctlog_scan(spark, sf_dir):
     """S1 (downloadCTRangeToChannel, ct-fetch.go:398-488): ranged scan
     through the custom 'ctlog' Python data source — 1000-entry fetch
-    partitions, offset/limit bounds — aggregated per issuer. Synthetic
-    transport => rows-only driver check; the ranged/resume/growth
-    protocol is pytest-asserted (tests/test_ctlog_source.py)."""
+    partitions, offset/limit bounds — aggregated per issuer. The synthetic
+    transport is seed-deterministic => golden-literal oracle
+    (tools/pin_golden.py); the ranged/resume/growth protocol is
+    pytest-asserted (tests/test_ctlog_source.py)."""
     from ct_mapreduce_spark.sources.ctlog_source import CTLogDataSource
 
     spark.dataSource.register(CTLogDataSource)
@@ -3566,13 +3573,14 @@ def emb_label_centroids(spark, sf_dir):
     return label_centroids(_t(spark, sf_dir, "embeddings"))
 
 
-@q("emb_lsh_near_dup", None, "dedup")
+@q("emb_lsh_near_dup", _pin("emb_lsh_near_dup"), "dedup")
 def emb_lsh_near_dup(spark, sf_dir):
     """Embedding near-dup pairs at scale: hyperplane-LSH blocking over the
     FULL embeddings table (the bucketed path `emb_cosine_near_dup`
-    witnesses exactly on a bounded slice). Approximate-recall tier =>
-    rows-only driver check; recall >= 0.9 vs the exact cross-join is
-    pytest-asserted (test_llm_ops.py::test_lsh_near_dup_recall)."""
+    witnesses exactly on a bounded slice). Approximate-recall tier (recall
+    >= 0.9 vs the exact cross-join pytest-asserted,
+    test_llm_ops.py::test_lsh_near_dup_recall) but bit-stable for fixed
+    seeds => golden-literal oracle (tools/pin_golden.py)."""
     from ct_mapreduce_spark.operators.similarity import lsh_near_dup_pairs
 
     return lsh_near_dup_pairs(_t(spark, sf_dir, "embeddings"))
