@@ -3,10 +3,14 @@ with typed metadata (north-star surface).
 
 The Spark-side mechanics are real and tested: schemas, Arrow-batched
 mapInPandas with controlled batch sizes, partition sizing by byte weight.
-The codec step itself is STUBBED — image/audio libraries are not in this
-container — behind `_decode_stub`, which produces a deterministic fake
-(so tests can assert plumbing end-to-end). Swap `_decode_stub` for a real
-Pillow/torchaudio call in production; nothing else changes.
+The IMAGE codec is real: a dependency-free 24-bit uncompressed-BMP parser
+(`decode_bmp`) feeds `bmp_decoder` (decode -> grayscale -> 4x4 downsample
+-> 16 features), and the synthetic fixtures carry genuine BMP payloads —
+so extract_features exercises actual byte-level decoding, failure
+tolerance on garbage, and a golden oracle. Audio/video decode remains
+STUBBED behind `_decode_stub` (no librosa/ffmpeg in this container); the
+`resolve_decoder()` seam upgrades to Pillow/torchaudio in production with
+no other change.
 
 Design notes for 100 TB:
 - binary payloads are never shuffled by value: transforms are mapInPandas
@@ -50,21 +54,101 @@ FRAME_SCHEMA = (
 
 
 def _decode_stub(payload: bytes, kind: str) -> list[float]:
-    """Deterministic fake 'decode + featurize'. Real impl would be
-    Pillow/librosa/ffmpeg — not available in this container.
-    Raises on empty payload like a real codec would."""
+    """Deterministic fake 'decode + featurize' for the kinds whose real
+    codecs (librosa/ffmpeg) are not in this container. Raises on empty
+    payload like a real codec would."""
     if not payload:
         raise ValueError("empty payload")
     d = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in d[:16]]
 
 
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Serialize top-down row-major RGB triples as a standard bottom-up
+    24-bit BI_RGB .bmp (BITMAPFILEHEADER + BITMAPINFOHEADER, rows padded
+    to 4 bytes). Pure Python; used to build genuine image fixtures."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    pad = (-3 * width) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        # RGB -> BGR per pixel
+        bgr = bytearray()
+        for x in range(width):
+            r, g, b = row[3 * x : 3 * x + 3]
+            bgr += bytes((b, g, r))
+        rows.append(bytes(bgr) + b"\x00" * pad)
+    pixels = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    return header + info + pixels
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse an uncompressed 24-bit BMP -> (width, height, top-down
+    row-major RGB bytes). Strict: validates magic, header size, planes,
+    bpp, compression, and pixel-array bounds; raises ValueError on
+    anything else (which extract_features isolates per row — the same
+    garbage-tolerance contract as the x509 parse path)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("unsupported BMP variant")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0 or width * height > 1 << 24:
+        raise ValueError("bad dimensions")
+    stride = 3 * width + ((-3 * width) % 4)
+    if pixel_off + stride * height > len(payload):
+        raise ValueError("truncated pixel array")
+    out = bytearray()
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        row = payload[pixel_off + src_y * stride :][: 3 * width]
+        for x in range(width):
+            b, g, r = row[3 * x : 3 * x + 3]
+            out += bytes((r, g, b))
+    return width, height, bytes(out)
+
+
+def bmp_decoder(payload: bytes, kind: str) -> list[float]:
+    """Real image featurize: BMP decode -> ITU-R 601-2 integer grayscale
+    -> 4x4 nearest-neighbor downsample -> 16 floats in [0,1]. Same output
+    contract as the Pillow path (convert('L').resize((4,4))), computed in
+    pure integer arithmetic until the final /255 so it is bit-stable.
+    Non-image kinds fall through to the declared stub."""
+    if kind != "image":
+        return _decode_stub(payload, kind)
+    width, height, rgb = decode_bmp(payload)
+    feats = []
+    for i in range(4):
+        y = min(height - 1, (i * height + height // 2) // 4)
+        for j in range(4):
+            x = min(width - 1, (j * width + width // 2) // 4)
+            r, g, b = rgb[3 * (y * width + x) : 3 * (y * width + x) + 3]
+            feats.append((299 * r + 587 * g + 114 * b) // 1000 / 255.0)
+    return feats
+
+
 def resolve_decoder():
     """Codec seam: returns the best available `(payload, kind) ->
-    list[float]` decoder. Tries the real image stack (Pillow) first and
-    falls back to the declared stub — so the same pipeline upgrades
-    in-place when the production image libs are installed. Any injected
-    decoder must be picklable (it ships to Python workers)."""
+    list[float]` decoder. Tries the full image stack (Pillow — any
+    format) first and falls back to the dependency-free BMP decoder
+    (real decode for images, stub for audio/video) — so the same
+    pipeline upgrades in-place when the production image libs are
+    installed. Any injected decoder must be picklable (it ships to
+    Python workers)."""
     try:  # pragma: no cover - container has no Pillow
         import io
 
@@ -78,11 +162,16 @@ def resolve_decoder():
 
         return pillow_decoder
     except ImportError:
-        return _decode_stub
+        return bmp_decoder
 
 
 def synthetic_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
-    """Deterministic media fixture: binary payloads of varying size."""
+    """Deterministic media fixture. Image rows carry GENUINE 24-bit BMP
+    payloads (encode_bmp over seeded pixels) so the real decoder path is
+    exercised byte-for-byte; audio/video rows carry opaque random bytes
+    for the stubbed codecs. Failure rows: every 37th is empty, and every
+    51st (an image slot, 51 = 3*17 coprime to 37) is garbage that a real
+    parser must reject."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -90,10 +179,18 @@ def synthetic_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        size = int(rng.integers(64, 4096)) * (8 if kind == "video" else 1)
-        payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+        if kind == "image":
+            w = int(rng.integers(4, 33))
+            h = int(rng.integers(4, 33))
+            rgb = rng.integers(0, 256, size=3 * w * h, dtype=np.uint8).tobytes()
+            payload = encode_bmp(w, h, rgb)
+        else:
+            size = int(rng.integers(64, 4096)) * (8 if kind == "video" else 1)
+            payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
         if i % 37 == 0:
             payload = b""  # decode-failure row
+        elif i % 51 == 0:  # i%3==0 => an image slot: corrupt, not absent
+            payload = b"JUNK" + payload[4:]
         rows.append(
             {
                 "media_id": i,

@@ -1303,26 +1303,32 @@ def emb_ann_ivf(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@q("mm_extract_features", None, "multimodal")
+@q("mm_extract_features", _pin("mm_extract_features"), "multimodal")
 def mm_extract_features(spark, sf_dir):
     """Binary media -> feature vectors via Arrow-batched mapInPandas;
-    decode failures isolated per row. Deterministic stub codec (container
-    has no image/audio libs) => rows-only."""
+    decode failures (empty AND corrupt payloads) isolated per row. The
+    image tier is a REAL dependency-free BMP decode
+    (operators/multimodal.py:bmp_decoder) over genuine BMP fixture bytes
+    => golden-literal oracle (tools/pin_golden.py). The checksum is
+    decimal-staged: per-row fixed-order array fold, round, DECIMAL sum —
+    associative, so partial-aggregation order can't flip bits."""
     media = multimodal.synthetic_media(spark, n=200)
     feats = multimodal.extract_features(media)
+    row_sum = F.round(
+        F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 6
+    ).cast("decimal(18,6)")
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("n_ok"),
-        F.round(F.sum(F.aggregate("features", F.lit(0.0), lambda a, v: a + v)), 4).alias(
-            "feat_checksum"
-        ),
+        F.sum(row_sum).cast("double").alias("feat_checksum"),
     )
 
 
-@q("mm_sample_frames", None, "multimodal")
+@q("mm_sample_frames", _pin("mm_sample_frames"), "multimodal")
 def mm_sample_frames(spark, sf_dir):
     """Video frame sampling: 1 binary row in -> N frame rows out through
-    the batch-iterator contract. Rows-only."""
+    the batch-iterator contract. Integer-only aggregate over seeded
+    payload sizes => golden-literal oracle (tools/pin_golden.py)."""
     media = multimodal.synthetic_media(spark, n=200)
     frames = multimodal.sample_frames(media)
     return frames.groupBy("media_id").agg(

@@ -324,8 +324,10 @@ def test_multimodal_feature_plumbing(spark):
     feats = multimodal.extract_features(media)
     rows = feats.collect()
     assert len(rows) == 120
-    bad = [r for r in rows if not r.decode_ok]
-    assert len(bad) == len([i for i in range(120) if i % 37 == 0])
+    bad = {r.media_id for r in rows if not r.decode_ok}
+    # empty payloads (every 37th) AND corrupt image payloads (every 51st,
+    # rejected by the real BMP parser) both isolate per-row
+    assert bad == {i for i in range(120) if i % 37 == 0 or i % 51 == 0}
     ok = [r for r in rows if r.decode_ok]
     assert all(r.feat_dim == 16 for r in ok)
     # determinism: same payload -> same features
@@ -354,8 +356,9 @@ def test_multimodal_decoder_swap_in(spark):
         assert len(set(r.features)) == 1  # the injected decoder's shape
     bad = [r for r in rows if not r.decode_ok]
     assert len(bad) == len([i for i in range(30) if i % 37 == 0])
-    # default path still resolves (stub in this container)
-    assert multimodal.resolve_decoder() is multimodal._decode_stub
+    # default path resolves to the real BMP decoder in this container
+    # (Pillow absent); the Pillow branch is the same seam, tried first
+    assert multimodal.resolve_decoder() is multimodal.bmp_decoder
 
 
 def test_multimodal_frame_fanout(spark):
@@ -388,3 +391,59 @@ def test_multimodal_resize(spark):
              multimodal.resize_images(media, target_bytes=256).collect() if r.resize_ok}
     for r in ok:
         assert again[r.media_id] == bytes(r.resized_payload)
+
+
+def test_bmp_roundtrip():
+    """encode_bmp -> decode_bmp is the identity, including odd widths
+    whose rows need 4-byte padding."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for w, h in [(1, 1), (3, 2), (5, 3), (8, 8), (7, 13)]:
+        rgb = rng.integers(0, 256, size=3 * w * h, dtype=np.uint8).tobytes()
+        assert multimodal.decode_bmp(multimodal.encode_bmp(w, h, rgb)) == (w, h, rgb)
+
+
+def test_bmp_top_down_variant():
+    """Negative biHeight means top-down pixel storage; the decoder must
+    return the same top-down RGB either way."""
+    import struct
+
+    rgb = bytes(range(12))  # 2x2 RGB
+    bottom_up = multimodal.encode_bmp(2, 2, rgb)
+    # rebuild as top-down: flip height sign, swap the two stored rows
+    stride = 8  # 2 px * 3 B + 2 pad
+    px = bottom_up[54:]
+    top_down = (
+        bottom_up[:22]
+        + struct.pack("<i", -2)
+        + bottom_up[26:54]
+        + px[stride:]
+        + px[:stride]
+    )
+    assert multimodal.decode_bmp(top_down) == (2, 2, rgb)
+
+
+def test_bmp_decoder_golden_features():
+    """Hand-computed grayscale/downsample golden for a known 2x2 image —
+    proves the decoder does real pixel math, not hashing."""
+    rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    payload = multimodal.encode_bmp(2, 2, rgb)
+    feats = multimodal.bmp_decoder(payload, "image")
+    gray = {"r": 76, "g": 149, "b": 29, "w": 255}  # (299r+587g+114b)//1000
+    expect = [
+        gray[k] / 255.0
+        for k in ["r", "r", "g", "g", "r", "r", "g", "g",
+                  "b", "b", "w", "w", "b", "b", "w", "w"]
+    ]
+    assert feats == expect
+
+
+def test_bmp_decoder_rejects_garbage():
+    for junk in [b"", b"JUNK" + b"\x00" * 100, b"BM" + b"\x01" * 20,
+                 multimodal.encode_bmp(2, 2, bytes(12))[:40]]:
+        try:
+            multimodal.bmp_decoder(junk, "image")
+            assert False, "should have raised"
+        except ValueError:
+            pass
