@@ -28,11 +28,14 @@ def _load_source(spark: SparkSession, source: str, cfg) -> DataFrame:
 
     df = spark.read.parquet(source)
     # --offset/--limit bound the scan range source-side (O2,
-    # ct-fetch.go:288-305): a pushed-down entry_id predicate.
+    # ct-fetch.go:288-305): a pushed-down entry_id predicate. limit is a
+    # COUNT, like the reference's -limit (endPos = startPos + limit,
+    # ct-fetch.go:303-305), not an absolute end entry id.
+    start = cfg.offset or 0
     if cfg.offset is not None:
-        df = df.where(F.col("entry_id") >= cfg.offset)
+        df = df.where(F.col("entry_id") >= start)
     if cfg.limit is not None:
-        df = df.where(F.col("entry_id") < cfg.limit)
+        df = df.where(F.col("entry_id") < start + cfg.limit)
     return df
 
 

@@ -125,7 +125,9 @@ class CTLogBatchReader(DataSourceReader):
         start = int(self.options.get("offset", 0))
         end = _read_tree_size(self.options)
         if "limit" in self.options:
-            end = min(end, int(self.options["limit"]))
+            # limit is a COUNT from offset (endPos = startPos + limit,
+            # ct-fetch.go:303-305), not an absolute end entry id
+            end = min(end, start + int(self.options["limit"]))
         return [
             _RangePartition(log_url, s, min(s + batch, end))
             for s in range(start, end, batch)

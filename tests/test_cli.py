@@ -42,8 +42,9 @@ def test_fetch_offset_limit_bounds_scan(spark, cert_src, capsys):
     )
     assert rc == 0
     n = int(capsys.readouterr().out.split()[1])
+    # --limit is a count from --offset (ct-fetch.go:303-305): [100, 300)
     certs = spark.read.parquet(cert_src).where(
-        "entry_id >= 100 AND entry_id < 200"
+        "entry_id >= 100 AND entry_id < 300"
     )
     expected = ingest_batch(certs, now=NOW).count()
     assert n == expected

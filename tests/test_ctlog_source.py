@@ -40,10 +40,11 @@ def test_batch_offset_limit(spark):
         spark.read.format("ctlog")
         .option("tree_size", 5000)
         .option("offset", 1200)
-        .option("limit", 3400)
+        .option("limit", 2200)
         .load()
     )
     ids = sorted(r.entry_id for r in df.select("entry_id").collect())
+    # limit is a count from offset (ct-fetch.go:303-305): [1200, 3400)
     assert ids == list(range(1200, 3400))
 
 
