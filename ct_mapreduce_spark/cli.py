@@ -57,14 +57,30 @@ def cmd_fetch(
         log_expired=cfg.log_expired,
     )
     if cfg.cert_path and append:
-        from ct_mapreduce_spark.operators.statistics import update_leaf_counts
+        from ct_mapreduce_spark.fsutil import path_exists
+        from ct_mapreduce_spark.operators.statistics import (
+            recompute_leaf_counts,
+            update_leaf_counts,
+        )
         from ct_mapreduce_spark.sources.sinks import append_new_to_store
 
         # incremental run: only never-seen keys land, and the maintained
         # leaf-count table absorbs exactly those (additive by the dedup
-        # gate) - history is never rescanned
+        # gate) - history is never rescanned EXCEPT the one-time bootstrap
+        # below: a store written by plain `fetch --store` runs predates
+        # the leaf-count table, and seeding it from the incremental delta
+        # alone would permanently undercount that history
+        leaf_path = cfg.cert_path + "_leaf_counts"
+        needs_bootstrap = path_exists(spark, cfg.cert_path) and not path_exists(
+            spark, leaf_path
+        )
         n, fresh = append_new_to_store(deduped, cfg.cert_path)
-        update_leaf_counts(spark, cfg.cert_path + "_leaf_counts", fresh)
+        if needs_bootstrap:
+            recompute_leaf_counts(
+                spark, leaf_path, spark.read.parquet(cfg.cert_path)
+            )
+        else:
+            update_leaf_counts(spark, leaf_path, fresh)
         print(f"appended {n} new certs -> {cfg.cert_path} (+leaf counts)")
     elif cfg.cert_path:
         write_store(deduped, cfg.cert_path)

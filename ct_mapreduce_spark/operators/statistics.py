@@ -113,16 +113,20 @@ def update_leaf_counts(
     Additivity holds because callers feed the output of the cross-run
     dedup gate (sinks.append_new_to_store): every fresh row's key is
     never-seen, so distinct-per-batch == contribution to distinct-ever.
-    Counts merge as sums; the table is written temp-dir-then-swap (same
-    crash contract as the log-state sink). Returns the merged frame."""
+    Counts merge as sums; the table is written temp-dir-then-rename-aside
+    (same crash contract as the log-state sink), and a missing table is
+    an EXPLICIT exists check — read errors on an existing table propagate
+    rather than silently double-counting. Returns the merged frame."""
+    from ct_mapreduce_spark.fsutil import path_exists, recover_swap
+
     delta = fresh_deduped.groupBy("issuer_id", "exp_date").agg(
         F.count_distinct("serial").alias("n_serials"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    try:
-        current = spark.read.parquet(agg_path)
-    except Exception:
-        current = None
+    recover_swap(spark, agg_path)
+    current = (
+        spark.read.parquet(agg_path) if path_exists(spark, agg_path) else None
+    )
     merged = (
         delta
         if current is None
@@ -133,18 +137,29 @@ def update_leaf_counts(
             F.sum("n_rows").alias("n_rows"),
         )
     )
-    # same temp-swap mechanics as the log-state sink: materialize to a
-    # sibling dir, then rename over the old table
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    dst = jvm.org.apache.hadoop.fs.Path(agg_path)
-    tmp = jvm.org.apache.hadoop.fs.Path(agg_path + "__tmp__")
-    fs = dst.getFileSystem(hconf)
-    merged.write.mode("overwrite").parquet(agg_path + "__tmp__")
-    fs.delete(dst, True)
-    if not fs.rename(tmp, dst):
-        raise IOError(f"leaf-count swap failed: {tmp} -> {dst}")
+    return _write_leaf_counts(spark, agg_path, merged)
+
+
+def _write_leaf_counts(spark, agg_path: str, table: DataFrame) -> DataFrame:
+    from ct_mapreduce_spark.fsutil import TMP_SUFFIX, swap_into_place
+
+    table.write.mode("overwrite").parquet(agg_path + TMP_SUFFIX)
+    swap_into_place(spark, agg_path + TMP_SUFFIX, agg_path)
     return spark.read.parquet(agg_path)
+
+
+def recompute_leaf_counts(spark, agg_path: str, store: DataFrame) -> DataFrame:
+    """One-time bootstrap of the maintained leaf-count table from a FULL
+    store scan — for stores that predate the table (plain `fetch --store`
+    runs before the first `--append`). Merging only the incremental delta
+    into a missing table would permanently undercount history; the
+    additivity contract of update_leaf_counts assumes the table covers
+    every prior append."""
+    full = store.groupBy("issuer_id", "exp_date").agg(
+        F.count_distinct("serial").alias("n_serials"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return _write_leaf_counts(spark, agg_path, full)
 
 
 def full_report(certs_deduped: DataFrame, metadata: DataFrame) -> DataFrame:

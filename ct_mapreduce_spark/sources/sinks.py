@@ -12,6 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ct_mapreduce_spark.functions.codecs import serial_hex
+from ct_mapreduce_spark.fsutil import (
+    TMP_SUFFIX,
+    path_exists,
+    recover_swap,
+    swap_into_place,
+)
 from ct_mapreduce_spark.schemas import LOG_STATES
 
 
@@ -39,31 +45,30 @@ def write_log_states(states: DataFrame, path: str) -> None:
     file like the reference's per-log JSON blobs.
 
     Crash-safe write: the new table is fully written to a sibling temp
-    directory first, then swapped into place, so a mid-write failure never
-    destroys the existing cursor table (the reference's per-log JSON write
-    has the same replace-not-append contract, localdiskbackend.go:201-210).
-    The input plan may read from `path` itself (upsert_log_state does) —
-    the temp-dir indirection also removes the read-then-overwrite hazard.
+    directory first, then RENAME-ASIDE swapped into place (fsutil), so a
+    mid-write failure never destroys the existing cursor table and an
+    interrupted swap is recoverable from its leftovers (the reference's
+    per-log JSON write has the same replace-not-append contract,
+    localdiskbackend.go:201-210). The input plan may read from `path`
+    itself (upsert_log_state does) — the temp-dir indirection also
+    removes the read-then-overwrite hazard.
     """
     spark = states.sparkSession
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    dst = jvm.org.apache.hadoop.fs.Path(path)
-    tmp = jvm.org.apache.hadoop.fs.Path(path + "__tmp__")
-    fs = dst.getFileSystem(hconf)
-    states.coalesce(1).write.mode("overwrite").parquet(path + "__tmp__")
-    fs.delete(dst, True)
-    if not fs.rename(tmp, dst):
-        raise IOError(f"log-state swap failed: could not rename {tmp} -> {dst}")
+    recover_swap(spark, path)
+    states.coalesce(1).write.mode("overwrite").parquet(path + TMP_SUFFIX)
+    swap_into_place(spark, path + TMP_SUFFIX, path)
 
 
 def read_log_states(spark: SparkSession, path: str) -> DataFrame:
     """Blank-on-missing semantics (localdiskbackend.go:244-261): a missing
-    store yields an empty frame with the right schema."""
-    try:
-        return spark.read.schema(LOG_STATES).parquet(path)
-    except Exception:
+    store yields an empty frame with the right schema. Missing is an
+    EXPLICIT exists check (after completing any interrupted swap) — read
+    errors on an existing table propagate instead of masquerading as a
+    first run."""
+    recover_swap(spark, path)
+    if not path_exists(spark, path):
         return spark.createDataFrame([], LOG_STATES)
+    return spark.read.schema(LOG_STATES).parquet(path)
 
 
 def upsert_log_state(
@@ -92,13 +97,17 @@ def append_new_to_store(
     clusters like write_store. Returns (n_appended, the materialized
     fresh frame) so callers can chain incremental maintenance — e.g.
     operators/statistics.update_leaf_counts — without recomputing the
-    anti-join."""
+    anti-join. First-run detection is an EXPLICIT exists check: a failed
+    read of an EXISTING store (corrupt footer, permissions, FS hiccup)
+    propagates — silently skipping the gate would append duplicate keys
+    and break the first-seen invariant."""
     spark = deduped.sparkSession
-    try:
+    recover_swap(spark, path)
+    if path_exists(spark, path):
         existing = spark.read.parquet(path).select(
             "exp_date", "issuer_id", "serial"
         )
-    except Exception:  # first run: nothing to exclude
+    else:  # first run: nothing to exclude
         existing = None
     fresh = (
         deduped
@@ -129,8 +138,9 @@ def compact_store(spark: SparkSession, path: str) -> tuple[int, int]:
     mark now, clean later). Append-heavy ingest leaves one file per
     (run, partition); compaction restores O(bytes/target) files.
 
-    Rewrites via temp-dir-then-swap so a mid-compaction failure never
-    loses the store. Returns (files_before, files_after)."""
+    Rewrites via temp-dir-then-rename-aside-swap (fsutil) so a
+    mid-compaction failure never loses the store and an interrupted swap
+    is recoverable. Returns (files_before, files_after)."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     dst = jvm.org.apache.hadoop.fs.Path(path)
@@ -145,8 +155,9 @@ def compact_store(spark: SparkSession, path: str) -> tuple[int, int]:
                 n += 1
         return n
 
+    recover_swap(spark, path)
     before = _count_files(dst)
-    tmp_path = path + "__compact__"
+    tmp_path = path + TMP_SUFFIX
     (
         spark.read.parquet(path)
         .hint("rebalance", "exp_date", "issuer_id")
@@ -154,8 +165,5 @@ def compact_store(spark: SparkSession, path: str) -> tuple[int, int]:
         .mode("overwrite")
         .parquet(tmp_path)
     )
-    tmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
-    fs.delete(dst, True)
-    if not fs.rename(tmp, dst):
-        raise IOError(f"compaction swap failed: {tmp} -> {dst}")
+    swap_into_place(spark, tmp_path, path)
     return before, _count_files(dst)

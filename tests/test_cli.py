@@ -172,3 +172,36 @@ def test_getcert_pem_roundtrip(spark, cert_src, capsys):
         )
         == 1
     )
+
+
+def test_fetch_append_bootstraps_leaf_counts(spark, cert_src, tmp_path):
+    """README flow: plain `fetch --store` (no leaf table) then
+    `fetch --append`. The first --append must seed the leaf-count table
+    from the FULL store (one-time recompute), not just its own delta —
+    otherwise the maintained table permanently undercounts the pre-append
+    history."""
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "store")
+    main(
+        ["fetch", "--source", cert_src, "--store", store, "--limit", "500",
+         "--now", "2024-01-02"],
+        spark=spark,
+    )  # plain overwrite run: no _leaf_counts written
+    import os
+
+    assert not os.path.exists(store + "_leaf_counts")
+    main(
+        ["fetch", "--source", cert_src, "--store", store, "--offset", "250",
+         "--now", "2024-01-02", "--append"],
+        spark=spark,
+    )
+    counts = spark.read.parquet(store + "_leaf_counts")
+    want = (
+        spark.read.parquet(store)
+        .groupBy("issuer_id", "exp_date")
+        .agg(F.count_distinct("serial").alias("n_serials"))
+    )
+    a = {(r.issuer_id, r.exp_date): r.n_serials for r in counts.collect()}
+    b = {(r.issuer_id, r.exp_date): r.n_serials for r in want.collect()}
+    assert a == b  # covers [0,500) history + the appended tail, not just delta

@@ -128,3 +128,102 @@ def test_compact_store_reduces_files_keeps_data(spark, tmp_path):
     assert n_after < n_before, (n_before, n_after)
     assert spark.read.parquet(path).count() == before_rows
     assert spark.read.parquet(path).selectExpr("sum(entry_id)").first()[0] == before_sum
+
+
+def test_corrupt_store_read_propagates(spark, tmp_path):
+    """A failed read of an EXISTING store must raise, never silently
+    disable the cross-run dedup gate (which would append duplicate keys
+    — a silent first-seen violation). Only a genuinely missing path means
+    'first run'."""
+    import pytest
+
+    from ct_mapreduce_spark.sources.sinks import append_new_to_store
+
+    path = tmp_path / "store"
+    path.mkdir()
+    (path / "part-00000.parquet").write_bytes(b"this is not parquet")
+    df = spark.range(3).selectExpr(
+        "cast(id as string) AS exp_date",
+        "'iss' AS issuer_id",
+        "encode(cast(id as string), 'utf-8') AS serial",
+    )
+    with pytest.raises(Exception):
+        append_new_to_store(df, str(path))
+
+
+def test_swap_recovery_all_crash_points(spark, tmp_path):
+    """Rename-aside swap: every crash point leaves leftovers recover_swap
+    can finish or roll back — the destination table is never lost and
+    never mistaken for a first run."""
+    from ct_mapreduce_spark.fsutil import (
+        OLD_SUFFIX,
+        TMP_SUFFIX,
+        recover_swap,
+    )
+
+    def fresh_table(path, val):
+        spark.createDataFrame([Row(x=val)]).write.mode("overwrite").parquet(path)
+
+    def read_val(path):
+        return spark.read.parquet(path).first().x
+
+    import shutil
+
+    # crash between the two renames: dst absent, old=v1, tmp=v2 (complete)
+    p = str(tmp_path / "t1")
+    fresh_table(p + OLD_SUFFIX, 1)
+    fresh_table(p + TMP_SUFFIX, 2)
+    recover_swap(spark, p)
+    assert read_val(p) == 2  # swap completed forward
+    import os
+
+    assert not os.path.exists(p + OLD_SUFFIX) and not os.path.exists(p + TMP_SUFFIX)
+
+    # crash after tmp->dst, before old cleanup: dst=v2, old=v1
+    p = str(tmp_path / "t2")
+    fresh_table(p, 2)
+    fresh_table(p + OLD_SUFFIX, 1)
+    recover_swap(spark, p)
+    assert read_val(p) == 2  # current table kept, leftover cleaned
+    assert not os.path.exists(p + OLD_SUFFIX)
+
+    # crash during tmp write: dst=v1 intact, tmp partial garbage
+    p = str(tmp_path / "t3")
+    fresh_table(p, 1)
+    os.makedirs(p + TMP_SUFFIX)
+    with open(p + TMP_SUFFIX + "/part-0.parquet", "wb") as f:
+        f.write(b"partial")
+    recover_swap(spark, p)
+    assert read_val(p) == 1  # untouched; stray tmp removed
+    assert not os.path.exists(p + TMP_SUFFIX)
+
+    # defensive: old only (double-fault) -> rolled back
+    p = str(tmp_path / "t4")
+    fresh_table(p + OLD_SUFFIX, 1)
+    recover_swap(spark, p)
+    assert read_val(p) == 1
+    shutil.rmtree(p)  # tidy
+
+
+def test_log_state_write_survives_interrupted_swap(spark, tmp_path):
+    """End-to-end: a leftover from an interrupted earlier swap does not
+    break the next write, and the table is continuously readable."""
+    import datetime as dt
+    import os
+
+    path = str(tmp_path / "states")
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    first = spark.createDataFrame(
+        [Row(url="a", max_entry=1, last_entry_time=t0, last_update_time=t0)],
+        LOG_STATES,
+    )
+    write_log_states(first, path)
+    # simulate a crash that left an __old__ dir behind
+    os.rename(path, path + "__old__")
+    assert read_log_states(spark, path).count() == 1  # recovered
+    second = spark.createDataFrame(
+        [Row(url="b", max_entry=2, last_entry_time=t0, last_update_time=t0)],
+        LOG_STATES,
+    )
+    write_log_states(upsert_log_state(spark, path, second), path)
+    assert {r.url for r in read_log_states(spark, path).collect()} == {"a", "b"}
