@@ -46,11 +46,13 @@ HEADLINE = [
 ITERATIONS = 3
 
 
-def _bench_ingest(spark) -> float:
+def _bench_ingest(spark, hot_issuer_weight: float = 0.55) -> list[float]:
     """The Phase-1 ct-fetch pipeline: filter -> key-derive -> first-seen
     dedup -> partitioned store write, on 20k synthetic certs (~24k rows
     with duplicates). Source parquet is cached on disk so only the Spark
-    pipeline is timed."""
+    pipeline is timed. hot_issuer_weight=0.8 is the adversarial variant:
+    80% of rows land on one issuer, the skew the REBALANCE-clustered
+    write (plans/ingest.py) exists for."""
     import datetime as dt
     import shutil
     import tempfile
@@ -58,22 +60,25 @@ def _bench_ingest(spark) -> float:
     from ct_mapreduce_spark.plans.ingest import ingest_batch, write_store
     from ct_mapreduce_spark.sources.certificates import synthetic_certificates
 
-    src = "/tmp/ctspark_bench_certs_20k"
+    tag = str(hot_issuer_weight).replace(".", "")
+    src = f"/tmp/ctspark_bench_certs_20k_w{tag}"
     try:
         certs = spark.read.parquet(src)
         certs.head(1)
     except Exception:
-        synthetic_certificates(spark, n=20000).write.mode("overwrite").parquet(src)
+        synthetic_certificates(
+            spark, n=20000, hot_issuer_weight=hot_issuer_weight
+        ).write.mode("overwrite").parquet(src)
         certs = spark.read.parquet(src)
     now = dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)
-    best = float("inf")
+    times = []
     for _ in range(ITERATIONS):
         out = tempfile.mkdtemp(prefix="ctspark_bench_store_")
         t0 = time.perf_counter()
         write_store(ingest_batch(certs, now=now), out)
-        best = min(best, time.perf_counter() - t0)
+        times.append(round(time.perf_counter() - t0, 3))
         shutil.rmtree(out, ignore_errors=True)
-    return round(best, 3)
+    return times
 
 
 def main() -> None:
@@ -85,15 +90,22 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     names = [n for n in HEADLINE if n in REGISTRY]
-    timings: dict[str, float] = {"ingest_batch_20k": _bench_ingest(spark)}
+    # Per-iteration times are recorded alongside the mins (BASELINE.md
+    # protocol) so any future baseline correction stays auditable —
+    # an implausibly fast iteration 2 is visible, not hidden in a min.
+    iterations: dict[str, list[float]] = {
+        "ingest_batch_20k": _bench_ingest(spark),
+        "ingest_batch_20k_skewed": _bench_ingest(spark, hot_issuer_weight=0.8),
+    }
     for name in names:
         fn = REGISTRY[name].fn
-        best = float("inf")
+        times = []
         for _ in range(ITERATIONS):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            times.append(round(time.perf_counter() - t0, 3))
+        iterations[name] = times
+    timings = {name: min(ts) for name, ts in iterations.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -103,6 +115,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "iterations": iterations,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

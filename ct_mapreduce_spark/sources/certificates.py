@@ -46,13 +46,21 @@ def _issuer_id(i: int) -> str:
 
 
 def synthetic_certificates(
-    spark: SparkSession, n: int = 2000, n_issuers: int = 12, seed: int = 42
+    spark: SparkSession,
+    n: int = 2000,
+    n_issuers: int = 12,
+    seed: int = 42,
+    hot_issuer_weight: float = 0.55,
 ) -> DataFrame:
     rng = np.random.default_rng(seed)
 
-    # Heavy-tailed issuer mix: issuer 0 gets ~55% of rows (Let's Encrypt-
-    # style skew noted in SURVEY §4).
-    weights = np.array([0.55] + list(0.45 * np.ones(n_issuers - 1) / (n_issuers - 1)))
+    # Heavy-tailed issuer mix: issuer 0 gets ~hot_issuer_weight of rows
+    # (Let's Encrypt-style skew noted in SURVEY §4; raise toward 0.8 for
+    # adversarial hot-partition benchmarks).
+    rest = 1.0 - hot_issuer_weight
+    weights = np.array(
+        [hot_issuer_weight] + list(rest * np.ones(n_issuers - 1) / (n_issuers - 1))
+    )
     issuer_idx = rng.choice(n_issuers, size=n, p=weights)
 
     # Serials: mostly 8-16 bytes; inject 1-byte, leading-zero, and 17-byte.
