@@ -57,7 +57,7 @@ def cmd_fetch(
         log_expired=cfg.log_expired,
     )
     if cfg.cert_path and append:
-        from ct_mapreduce_spark.fsutil import path_exists
+        from ct_mapreduce_spark.fsutil import path_exists, recover_swap
         from ct_mapreduce_spark.operators.statistics import (
             recompute_leaf_counts,
             update_leaf_counts,
@@ -71,6 +71,11 @@ def cmd_fetch(
         # the leaf-count table, and seeding it from the incremental delta
         # alone would permanently undercount that history
         leaf_path = cfg.cert_path + "_leaf_counts"
+        # complete any interrupted leaf-table swap BEFORE the existence
+        # check: a crash between the two renames leaves dst absent with
+        # __old__/__tmp__ present, which is a recoverable table, not a
+        # missing one — recovering avoids a needless full-store recompute
+        recover_swap(spark, leaf_path)
         needs_bootstrap = path_exists(spark, cfg.cert_path) and not path_exists(
             spark, leaf_path
         )
@@ -83,7 +88,14 @@ def cmd_fetch(
             update_leaf_counts(spark, leaf_path, fresh)
         print(f"appended {n} new certs -> {cfg.cert_path} (+leaf counts)")
     elif cfg.cert_path:
+        from ct_mapreduce_spark.fsutil import delete_path
+
         write_store(deduped, cfg.cert_path)
+        # the overwrite replaced the store generation; any sibling
+        # leaf-count table now describes the PREVIOUS generation and must
+        # not survive to be merged into by a later --append — delete it so
+        # the next incremental run bootstraps from the fresh store
+        delete_path(spark, cfg.cert_path + "_leaf_counts")
         print(f"stored {spark.read.parquet(cfg.cert_path).count()} certs -> {cfg.cert_path}")
     else:
         deduped.write.format("noop").mode("overwrite").save()

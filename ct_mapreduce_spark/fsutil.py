@@ -38,6 +38,16 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def delete_path(spark: SparkSession, path: str) -> None:
+    """Recursively delete a table path (and any swap leftovers), used to
+    invalidate derived tables whose base table is being overwritten."""
+    fs, p = _fs_and_path(spark, path)
+    for suffix in ("", TMP_SUFFIX, OLD_SUFFIX):
+        _, q = _fs_and_path(spark, path + suffix)
+        if fs.exists(q):
+            fs.delete(q, True)
+
+
 def recover_swap(spark: SparkSession, path: str) -> None:
     """Complete or roll back an interrupted swap_into_place on `path`.
 

@@ -89,11 +89,13 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
     return header + info + pixels
 
 
-def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
-    """Parse an uncompressed 24-bit BMP -> (width, height, top-down
-    row-major RGB bytes). Strict: validates magic, header size, planes,
-    bpp, compression, and pixel-array bounds; raises ValueError on
-    anything else (which extract_features isolates per row — the same
+def _parse_bmp_header(payload: bytes) -> tuple[int, int, int, int, bool]:
+    """Validate an uncompressed 24-bit BMP header and return
+    (pixel_off, width, height, stride, top_down). Strict: magic, header
+    size, planes, bpp, compression, pixel-offset bounds (BOTH ends — a
+    pixel_off pointing back into the headers is rejected, not silently
+    decoded as pixels), and pixel-array bounds; ValueError on anything
+    else (which extract_features isolates per row — the same
     garbage-tolerance contract as the x509 parse path)."""
     import struct
 
@@ -105,6 +107,8 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     compression = struct.unpack_from("<I", payload, 30)[0]
     if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
         raise ValueError("unsupported BMP variant")
+    if pixel_off < 14 + hdr_size:
+        raise ValueError("pixel array overlaps headers")
     top_down = height < 0
     height = abs(height)
     if width <= 0 or height <= 0 or width * height > 1 << 24:
@@ -112,31 +116,44 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     stride = 3 * width + ((-3 * width) % 4)
     if pixel_off + stride * height > len(payload):
         raise ValueError("truncated pixel array")
-    out = bytearray()
-    for y in range(height):
-        src_y = y if top_down else height - 1 - y
-        row = payload[pixel_off + src_y * stride :][: 3 * width]
-        for x in range(width):
-            b, g, r = row[3 * x : 3 * x + 3]
-            out += bytes((r, g, b))
-    return width, height, bytes(out)
+    return pixel_off, width, height, stride, top_down
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse an uncompressed 24-bit BMP -> (width, height, top-down
+    row-major RGB bytes). Validation lives in _parse_bmp_header; the
+    pixel conversion is numpy-vectorized so even a max-dimension payload
+    (2^24 px) converts in milliseconds, not minutes."""
+    import numpy as np
+
+    pixel_off, width, height, stride, top_down = _parse_bmp_header(payload)
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=pixel_off
+    ).reshape(height, stride)[:, : 3 * width].reshape(height, width, 3)
+    if not top_down:
+        arr = arr[::-1]
+    return width, height, arr[:, :, ::-1].tobytes()  # BGR -> RGB
 
 
 def bmp_decoder(payload: bytes, kind: str) -> list[float]:
     """Real image featurize: BMP decode -> ITU-R 601-2 integer grayscale
-    -> 4x4 nearest-neighbor downsample -> 16 floats in [0,1]. Same output
-    contract as the Pillow path (convert('L').resize((4,4))), computed in
+    -> 4x4 center-sample downsample -> 16 floats in [0,1], computed in
     pure integer arithmetic until the final /255 so it is bit-stable.
+    Samples the 16 pixels DIRECTLY from the payload (no full-image
+    materialization): work per row is O(1) regardless of the declared
+    dimensions, so an adversarial max-dimension header costs nothing.
     Non-image kinds fall through to the declared stub."""
     if kind != "image":
         return _decode_stub(payload, kind)
-    width, height, rgb = decode_bmp(payload)
+    pixel_off, width, height, stride, top_down = _parse_bmp_header(payload)
     feats = []
     for i in range(4):
         y = min(height - 1, (i * height + height // 2) // 4)
+        src_y = y if top_down else height - 1 - y
         for j in range(4):
             x = min(width - 1, (j * width + width // 2) // 4)
-            r, g, b = rgb[3 * (y * width + x) : 3 * (y * width + x) + 3]
+            at = pixel_off + src_y * stride + 3 * x
+            b, g, r = payload[at : at + 3]
             feats.append((299 * r + 587 * g + 114 * b) // 1000 / 255.0)
     return feats
 
@@ -155,9 +172,20 @@ def resolve_decoder():
         from PIL import Image  # noqa: F401
 
         def pillow_decoder(payload: bytes, kind: str) -> list[float]:
+            # NEAREST keeps this sampling-based like bmp_decoder (bicubic
+            # would average pixels — a different feature family). The two
+            # paths are contract-compatible (L-grayscale, 4x4 sample, /255)
+            # but NOT guaranteed bit-identical: Pillow's nearest picks
+            # floor((i+.5)*h/4) sample points vs bmp_decoder's
+            # (i*h+h//2)//4, which differ for some odd sizes — golden pins
+            # are valid for the BMP decoder only.
             if kind != "image":
                 return _decode_stub(payload, kind)
-            img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+            img = (
+                Image.open(io.BytesIO(payload))
+                .convert("L")
+                .resize((4, 4), Image.Resampling.NEAREST)
+            )
             return [p / 255.0 for p in img.getdata()]
 
         return pillow_decoder
