@@ -93,33 +93,50 @@ def main() -> None:
     # Per-iteration times are recorded alongside the mins (BASELINE.md
     # protocol) so any future baseline correction stays auditable —
     # an implausibly fast iteration 2 is visible, not hidden in a min.
-    iterations: dict[str, list[float]] = {
-        "ingest_batch_20k": _bench_ingest(spark),
-        "ingest_batch_20k_skewed": _bench_ingest(spark, hot_issuer_weight=0.8),
-    }
+    # Every query is individually fault-isolated: one broken query must
+    # never discard the other timings (the r4 failure mode) — it records
+    # an "errors" entry and the JSON line is emitted regardless.
+    iterations: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+    try:
+        iterations["ingest_batch_20k"] = _bench_ingest(spark)
+    except Exception as e:  # noqa: BLE001 — measurement harness must not die
+        errors["ingest_batch_20k"] = f"{type(e).__name__}: {e}"[:300]
+    try:
+        iterations["ingest_batch_20k_skewed"] = _bench_ingest(
+            spark, hot_issuer_weight=0.8
+        )
+    except Exception as e:  # noqa: BLE001
+        errors["ingest_batch_20k_skewed"] = f"{type(e).__name__}: {e}"[:300]
     for name in names:
         fn = REGISTRY[name].fn
         times = []
-        for _ in range(ITERATIONS):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            times.append(round(time.perf_counter() - t0, 3))
-        iterations[name] = times
-    timings = {name: min(ts) for name, ts in iterations.items()}
+        try:
+            for _ in range(ITERATIONS):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                times.append(round(time.perf_counter() - t0, 3))
+            iterations[name] = times
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            if times:  # keep completed iterations for the audit trail
+                iterations[name] = times
+    timings = {
+        name: min(ts) for name, ts in iterations.items() if name not in errors
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "iterations": iterations,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "iterations": iterations,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -342,8 +342,46 @@ def ivf_topk(
         .withColumn("cell", F.row_number().over(W.orderBy("h")) - 1)
         .select("cell", "centroid")
     )
+    # The centroid table is n_cells rows by construction — embed it as a
+    # literal array so the corpus-side nearest-cell assignment is a NARROW
+    # projection (argmin via array_min over (dist, cell) structs: struct
+    # comparison is lexicographic, so this is bit-identical to
+    # orderBy(dist, cell) row_number()=1, including the tie-break), not a
+    # corpus x n_cells crossJoin + full-corpus window shuffle. The
+    # driver-side collect is n_cells rows (16), the same payload a
+    # broadcast would ship.
+    cent_rows = cents.collect()
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cell"])).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias(
+                    "centroid"
+                ),
+            )
+            for r in cent_rows
+        ]
+    )
 
-    def assign(df: DataFrame, prefix: str, n: int) -> DataFrame:
+    def assign_nearest(df: DataFrame, prefix: str) -> DataFrame:
+        best = F.array_min(
+            F.transform(
+                cent_lit,
+                lambda s: F.struct(
+                    (-cosine(F.col(vec_col), s["centroid"])).alias("dist"),
+                    s["cell"].alias("cell"),
+                ),
+            )
+        )
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            best["cell"].alias("cell"),
+        )
+
+    def assign_probes(df: DataFrame, prefix: str, n: int) -> DataFrame:
+        # Query side keeps the rank form (n_probe > 1 cells per query);
+        # queries are few, so the window shuffle is trivially small.
         joined = df.crossJoin(F.broadcast(cents)).withColumn(
             "dist", -cosine(F.col(vec_col), F.col("centroid"))
         )
@@ -358,8 +396,8 @@ def ivf_topk(
             )
         )
 
-    ca = assign(corpus, "neighbor", 1)
-    qa = assign(queries, "query", n_probe)
+    ca = assign_nearest(corpus, "neighbor")
+    qa = assign_probes(queries, "query", n_probe)
     cand = (
         ca.join(F.broadcast(qa), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))

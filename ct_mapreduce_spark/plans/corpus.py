@@ -1023,8 +1023,8 @@ def t4c_sessionize(spark, sf_dir):
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
-                > 1800
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1_000_000
             ),
             1,
         ).otherwise(0),
@@ -1664,7 +1664,7 @@ def j7_asof_join(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         "user_id",
         F.floor(
-            F.col("ts").cast("double") - F.col("asof_ts").cast("double")
+            (F.unix_micros("ts") - F.unix_micros("asof_ts")) / F.lit(1e6)
         ).cast("long").alias("secs_since_click"),
     )
 
@@ -1703,7 +1703,7 @@ def j7b_asof_forward(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         "user_id",
         F.floor(
-            F.col("asof_ts").cast("double") - F.col("ts").cast("double")
+            (F.unix_micros("asof_ts") - F.unix_micros("ts")) / F.lit(1e6)
         ).cast("long").alias("secs_to_purchase"),
     )
 
@@ -2032,7 +2032,9 @@ def _stream_src(spark, sf_dir: str) -> str:
     import hashlib as _h
     import os
 
-    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    # v2: written from the NTZ-normalized frame (sources/tables.py); the
+    # tag bump orphans any replay dir written with TIMESTAMP_NTZ columns.
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8] + "v2"
     path = f"/tmp/ctspark_stream_src_{tag}"
     if not os.path.exists(path + "/_SUCCESS"):
         _t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(path)

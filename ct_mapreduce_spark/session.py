@@ -47,6 +47,11 @@ def get_spark(
         # Parquet scans: larger row groups per task at 100 TB; harmless locally.
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # testdata parquet carries un-adjusted-to-UTC micros; read them as
+        # TIMESTAMP (session tz is UTC) rather than TIMESTAMP_NTZ, which
+        # event-time operators reject. load_table also sets this at read
+        # time for caller-provided sessions.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     if master is not None:
