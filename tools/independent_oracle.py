@@ -1,0 +1,463 @@
+"""Independent re-derivations of the golden-pinned queries.
+
+Each function recomputes a pinned query's full result OUTSIDE Spark —
+pyarrow to read the parquet, numpy/hashlib/stdlib for the math, and
+tools/xxh64.py (an independent pure-Python implementation of the public
+XXH64 algorithm) where the engine plan uses `F.xxhash64`. tools/
+pin_golden.py asserts bit-equality between the engine result and these
+derivations before writing a pin, so a bug in the engine's query
+composition (banding, joins, ranking, aggregation) cannot self-certify
+through a pin.
+
+Two deliberate shared dependencies, both inputs rather than computations:
+- `np.random.default_rng(seed)` / `random.Random(seed).gauss` parameter
+  draws (hash-family coefficients, hyperplanes, fixture payloads) — these
+  are the operator's *parameters*; both sides must agree on them by
+  definition.
+- the (batch x dim) @ (dim x n_bits) float64 matmul that produces LSH
+  sign bits — sign(dot) near zero depends on accumulation order, and the
+  engine's order is numpy's; an independently-ordered fold could
+  legitimately flip a bucket bit. Everything downstream of the bits
+  (banding, bucket joins, candidate generation, exact re-rank) is
+  re-derived from scratch.
+
+Float folds elsewhere reproduce the engine's *declared* fold order
+(F.aggregate's left fold, index order) rather than calling numpy sums,
+and decimal rounding reproduces Spark's ROUND_HALF_UP on the shortest
+decimal representation (= java BigDecimal.valueOf semantics).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+from pathlib import Path
+
+import numpy as np
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from xxh64 import Int32, spark_xxhash64
+
+# Java regex \s (ASCII-only, unlike Python's unicode-aware \s)
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _round6(x: float) -> float:
+    """Spark F.round(col, 6) on DOUBLE: HALF_UP at scale 6 over the
+    shortest decimal representation of the double."""
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+
+
+def _tokens(text: str) -> list[str]:
+    """F.split(F.trim(text), r'\\s+') — trim strips ASCII spaces only;
+    Java split with limit -1 keeps leading/trailing empty fields."""
+    return _JAVA_WS.split(text.strip(" "))
+
+
+def _shingles(text: str, k: int = 3) -> list[str]:
+    toks = _tokens(text)
+    if len(toks) < k:
+        return []
+    seen, out = set(), []
+    for i in range(len(toks) - k + 1):
+        s = " ".join(toks[i : i + k])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def _fold_dot(a: np.ndarray, b: np.ndarray) -> float:
+    """F.aggregate(zip_with(a, b, x*y), 0.0, +) — strict left fold in
+    index order, every operand cast float->double first."""
+    acc = 0.0
+    for x, y in zip(a.astype(np.float64), b.astype(np.float64)):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _fold_norm(a: np.ndarray) -> float:
+    acc = 0.0
+    for x in a.astype(np.float64):
+        acc += float(x) * float(x)
+    return float(np.sqrt(acc))
+
+
+def _cosine(a: np.ndarray, b: np.ndarray) -> float:
+    return _fold_dot(a, b) / (_fold_norm(a) * _fold_norm(b))
+
+
+def _read(sf_dir: str, table: str):
+    return pq.read_table(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# documents: MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def docs_minhash_lsh_dedup(
+    sf_dir: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket_width: int = 4096,
+) -> list[tuple]:
+    t = _read(sf_dir, "documents")
+    doc_ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+
+    p = np.uint64((1 << 61) - 1)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=num_hashes, dtype=np.uint64)
+
+    r = num_hashes // bands
+    sigs: dict[int, np.ndarray] = {}
+    for doc_id, text in zip(doc_ids, texts):
+        sh = _shingles(text, k)
+        if not sh:
+            sigs[doc_id] = np.zeros(num_hashes, dtype=np.int64)
+            continue
+        base = np.array(
+            [spark_xxhash64(s, Int32(seed)) for s in sh], dtype=np.int64
+        )
+        x = base.view(np.uint64) & p
+        with np.errstate(over="ignore"):
+            v = (a[:, None] * x[None, :] + b[:, None]) % p
+        sigs[doc_id] = v.min(axis=1).astype(np.int64)
+
+    # banded buckets
+    banded: dict[tuple[int, str], list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for i in range(bands):
+            key = ",".join(str(int(s)) for s in sig[i * r : (i + 1) * r])
+            bucket = hashlib.sha1(key.encode()).hexdigest()
+            banded.setdefault((i, bucket), []).append(doc_id)
+    # hot-bucket cap: deterministic top-N by (xxhash64(doc_id, seed), doc_id)
+    for bk, members in banded.items():
+        if len(members) > max_bucket_width:
+            ranked = sorted(
+                members, key=lambda d: (spark_xxhash64(d, Int32(seed)), d)
+            )
+            banded[bk] = ranked[:max_bucket_width]
+
+    pair_bands: dict[tuple[int, int], int] = {}
+    for members in banded.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pr = (ms[i], ms[j])
+                pair_bands[pr] = pair_bands.get(pr, 0) + 1
+
+    rows = []
+    for (da, db), nb in pair_bands.items():
+        agree = int(np.sum(sigs[da] == sigs[db]))
+        rows.append((da, db, nb, _round6(agree / num_hashes)))
+    return sorted(rows)
+
+
+def docs_simhash_pairs(sf_dir: str, max_hamming: int = 8) -> list[tuple]:
+    t = _read(sf_dir, "documents")
+    doc_ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+
+    chunks: dict[int, tuple[int, int, int, int]] = {}
+    for doc_id, text in zip(doc_ids, texts):
+        toks = list(dict.fromkeys(_tokens(text)))  # array_distinct order
+        hashes = [spark_xxhash64(tk) for tk in toks]
+        cs = []
+        for ci in range(4):
+            val = 0
+            for j in range(16):
+                bit_idx = ci * 16 + j
+                s = sum(1 if (h >> bit_idx) & 1 else -1 for h in hashes)
+                if s > 0:
+                    val |= 1 << j
+            cs.append(val)
+        chunks[doc_id] = tuple(cs)
+
+    blocks: dict[tuple[int, int], list[int]] = {}
+    for doc_id, cs in chunks.items():
+        for ci in range(4):
+            blocks.setdefault((ci, cs[ci]), []).append(doc_id)
+    cand = set()
+    for members in blocks.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cand.add((ms[i], ms[j]))
+    rows = []
+    for da, db in cand:
+        ham = sum(
+            bin(chunks[da][ci] ^ chunks[db][ci]).count("1") for ci in range(4)
+        )
+        if ham <= max_hamming:
+            rows.append((da, db, ham))
+    return sorted(rows)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: LSH ANN / IVF ANN / near-dup
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    import random
+
+    rng = random.Random(seed)
+    return np.array(
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)],
+        dtype=np.float64,
+    )
+
+
+def _load_embeddings(sf_dir: str):
+    t = _read(sf_dir, "embeddings")
+    ids = t.column("vec_id").to_pylist()
+    vecs = [np.asarray(v, dtype=np.float32) for v in t.column("embedding").to_pylist()]
+    return ids, vecs
+
+
+def _sign_bits(vecs: list[np.ndarray], planes: np.ndarray) -> np.ndarray:
+    # the engine's documented matmul (see module docstring)
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64)
+    return (m @ planes.T >= 0).astype(np.int32)
+
+
+def _buckets(bits: np.ndarray, bands: int) -> list[list[str]]:
+    n_bits = bits.shape[1]
+    r = n_bits // bands
+    return [
+        ["".join(str(int(x)) for x in row[i * r : (i + 1) * r]) for i in range(bands)]
+        for row in bits
+    ]
+
+
+def _rank_topk(scored: dict[int, list[tuple[float, int]]], k: int) -> list[tuple]:
+    rows = []
+    for qid, items in scored.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, nid) in enumerate(items[:k], start=1):
+            rows.append((qid, nid, cos, rank))
+    return sorted(rows)
+
+
+def emb_ann_lsh(
+    sf_dir: str,
+    k: int = 5,
+    dim: int = 64,
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> list[tuple]:
+    ids, vecs = _load_embeddings(sf_dir)
+    planes = _hyperplanes(dim, n_bits, seed)
+    bits = _sign_bits(vecs, planes)
+    bks = _buckets(bits, bands)
+    qidx = [i for i, vid in enumerate(ids) if vid < 8]
+
+    scored: dict[int, list[tuple[float, int]]] = {ids[i]: [] for i in qidx}
+    for qi in qidx:
+        qb = set((band, bk) for band, bk in enumerate(bks[qi]))
+        seen = set()
+        for ci, cid in enumerate(ids):
+            if cid == ids[qi] or ci in seen:
+                continue
+            if any((band, bk) in qb for band, bk in enumerate(bks[ci])):
+                cos = _round6(_cosine(vecs[qi], vecs[ci]))
+                scored[ids[qi]].append((cos, cid))
+                seen.add(ci)
+    return _rank_topk(scored, k)
+
+
+def emb_lsh_near_dup(
+    sf_dir: str,
+    threshold: float = 0.25,
+    dim: int = 64,
+    n_bits: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+) -> list[tuple]:
+    ids, vecs = _load_embeddings(sf_dir)
+    planes = _hyperplanes(dim, n_bits, seed)
+    bits = _sign_bits(vecs, planes)
+    bks = _buckets(bits, bands)
+
+    blocks: dict[tuple[int, str], list[int]] = {}
+    for i, _ in enumerate(ids):
+        for band, bk in enumerate(bks[i]):
+            blocks.setdefault((band, bk), []).append(i)
+    cand = set()
+    for members in blocks.values():
+        ms = sorted(members, key=lambda i: ids[i])
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cand.add((ms[i], ms[j]))
+    rows = []
+    for ia, ib in cand:
+        cos = _round6(_cosine(vecs[ia], vecs[ib]))
+        if cos >= threshold:
+            rows.append((ids[ia], ids[ib], cos))
+    return sorted(rows)
+
+
+def emb_ann_ivf(
+    sf_dir: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> list[tuple]:
+    ids, vecs = _load_embeddings(sf_dir)
+    hs = [(spark_xxhash64(str(vid), Int32(seed)), vid, i) for i, vid in enumerate(ids)]
+    hs.sort()
+    centroids = [vecs[i] for _, _, i in hs[:n_cells]]  # cell = rank order
+
+    def dists(v: np.ndarray) -> list[tuple[float, int]]:
+        return [(-_cosine(v, c), cell) for cell, c in enumerate(centroids)]
+
+    assign = {ids[i]: min(dists(v)) [1] for i, v in enumerate(vecs)}
+    qidx = [i for i, vid in enumerate(ids) if vid < 8]
+    scored: dict[int, list[tuple[float, int]]] = {ids[i]: [] for i in qidx}
+    for qi in qidx:
+        probed = {cell for _, cell in sorted(dists(vecs[qi]))[:n_probe]}
+        for ci, cid in enumerate(ids):
+            if cid == ids[qi] or assign[cid] not in probed:
+                continue
+            cos = _round6(_cosine(vecs[qi], vecs[ci]))
+            scored[ids[qi]].append((cos, cid))
+    return _rank_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# ctlog synthetic scan
+# ---------------------------------------------------------------------------
+
+
+def s1_ctlog_scan(
+    sf_dir: str,
+    log_url: str = "ct.example/log0",
+    tree_size: int = 5000,
+    offset: int = 500,
+) -> list[tuple]:
+    per_issuer: dict[str, list[int]] = {}
+    for i in range(offset, tree_size):
+        d = hashlib.sha256(f"{log_url}:{i}".encode()).digest()
+        per_issuer.setdefault(f"issuer-{d[16] % 8}", []).append(i)
+    return sorted(
+        (iss, len(es), min(es), max(es)) for iss, es in per_issuer.items()
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal fixtures (BMP featurize re-derived from the ORIGINAL pixel
+# buffer — sampling straight from the pre-encode RGB independently checks
+# the engine's encode->parse->sample round trip)
+# ---------------------------------------------------------------------------
+
+
+def _synth_media(n: int = 200, seed: int = 42):
+    """Re-derive the synthetic_media fixture stream: (media_id, kind,
+    payload_len, rgb, w, h, raw_payload). BMP container layout is the
+    public Windows format: 14-byte file header + 40-byte info header +
+    bottom-up BGR rows padded to 4 bytes."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    out = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        rgb = w = h = None
+        if kind == "image":
+            w = int(rng.integers(4, 33))
+            h = int(rng.integers(4, 33))
+            rgb = rng.integers(0, 256, size=3 * w * h, dtype=np.uint8).tobytes()
+            pad = (-3 * w) % 4
+            payload_len = 54 + (3 * w + pad) * h
+            payload = None  # only needed for stub rows; images use rgb
+        else:
+            size = int(rng.integers(64, 4096)) * (8 if kind == "video" else 1)
+            payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+            payload_len = size
+        empty = i % 37 == 0
+        corrupt = (not empty) and i % 51 == 0
+        out.append((i, kind, payload_len, rgb, w, h, payload, empty, corrupt))
+    return out
+
+
+def mm_extract_features(sf_dir: str, n: int = 200, seed: int = 42) -> list[tuple]:
+    per_kind: dict[str, list[tuple[bool, list[float] | None]]] = {}
+    for (i, kind, _plen, rgb, w, h, payload, empty, corrupt) in _synth_media(
+        n, seed
+    ):
+        if empty or corrupt:
+            ok, feats = False, None
+        elif kind == "image":
+            feats = []
+            for fi in range(4):
+                y = min(h - 1, (fi * h + h // 2) // 4)
+                for fj in range(4):
+                    x = min(w - 1, (fj * w + w // 2) // 4)
+                    r, g, b = rgb[3 * (y * w + x) : 3 * (y * w + x) + 3]
+                    feats.append((299 * r + 587 * g + 114 * b) // 1000 / 255.0)
+            ok = True
+        else:
+            d = hashlib.sha256(payload).digest()
+            feats, ok = [b / 255.0 for b in d[:16]], True
+        per_kind.setdefault(kind, []).append((ok, feats))
+
+    rows = []
+    for kind, items in per_kind.items():
+        total = Decimal(0)
+        n_ok = 0
+        for ok, feats in items:
+            if not ok:
+                continue
+            n_ok += 1
+            acc = 0.0
+            for v in feats:
+                acc += float(np.float32(v))  # array<float> storage round-trip
+            total += Decimal(repr(_round6(acc))).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        rows.append((kind, len(items), n_ok, float(total)))
+    return sorted(rows)
+
+
+def mm_sample_frames(
+    sf_dir: str,
+    n: int = 200,
+    seed: int = 42,
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+) -> list[tuple]:
+    rows = []
+    for (i, kind, plen, _rgb, _w, _h, _payload, empty, _c) in _synth_media(
+        n, seed
+    ):
+        if kind != "video":
+            continue
+        length = 0 if empty else plen
+        nf = min(max_frames, length // every_n_bytes)
+        if nf > 0:
+            rows.append((i, nf, nf * every_n_bytes))
+    return sorted(rows)
+
+
+DERIVATIONS = {
+    "docs_minhash_lsh_dedup": docs_minhash_lsh_dedup,
+    "docs_simhash_pairs": docs_simhash_pairs,
+    "emb_ann_lsh": emb_ann_lsh,
+    "emb_ann_ivf": emb_ann_ivf,
+    "emb_lsh_near_dup": emb_lsh_near_dup,
+    "s1_ctlog_scan": s1_ctlog_scan,
+    "mm_extract_features": mm_extract_features,
+    "mm_sample_frames": mm_sample_frames,
+}
