@@ -233,6 +233,9 @@ def minhash_lsh_pairs(
     # signature array through the explode/self-join would multiply shuffle
     # bytes by ~10x; est_jaccard is attached at the end by joining the few
     # surviving candidate pairs back to the compact signature frame.
+    # Checkpointed: five consumers read it (hot agg, semi, anti, both
+    # self-join sides) — measured faster than re-deriving the explode+sha1
+    # per consumer.
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -248,38 +251,33 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket").localCheckpoint(eager=True)
     if max_bucket_width is not None:
-        # Hot-bucket detection: counts shrink to one row per (band, bucket)
-        # after map-side combine, so this job is cheap; the hot list itself
-        # is tiny (adversarial corpora have few mega-buckets, healthy ones
-        # none) and safe to broadcast.
+        # Hot-bucket capping, fully LAZY — no driver-blocking count() job.
+        # The hot list shrinks to one row per saturated (band, bucket)
+        # after map-side combine (tiny: adversarial corpora have a few
+        # mega-buckets, healthy ones none) and is broadcast to a semi/anti
+        # split; the rank window runs ONLY over rows inside saturated
+        # buckets (zero rows on a healthy corpus, so the healthy fast path
+        # pays one near-empty broadcast and an empty window — and the
+        # operator stays a single Spark job end-to-end). Seeded-hash order
+        # with doc_id tiebreak keeps truncation deterministic across
+        # retries and engines.
         hot = (
             banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") > max_bucket_width)
             .select("band", "bucket")
         )
-        n_hot = hot.count()
-        if n_hot:
-            _LOG.warning(
-                "minhash_lsh_pairs: %d band-buckets exceed max_bucket_width="
-                "%d; members beyond the cap were dropped from those bands",
-                n_hot,
-                max_bucket_width,
-            )
-            # Rank ONLY the saturated buckets' rows (small subset): seeded-
-            # hash order with doc_id tiebreak keeps truncation deterministic
-            # across retries and engines.
-            w = Window.partitionBy("band", "bucket").orderBy(
-                F.xxhash64("doc_id", F.lit(seed)), "doc_id"
-            )
-            capped_hot = (
-                banded.join(F.broadcast(hot), ["band", "bucket"], "left_semi")
-                .withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") <= max_bucket_width)
-                .drop("_rn")
-            )
-            cold = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-            banded = cold.unionByName(capped_hot)
+        w = Window.partitionBy("band", "bucket").orderBy(
+            F.xxhash64("doc_id", F.lit(seed)), "doc_id"
+        )
+        capped_hot = (
+            banded.join(F.broadcast(hot), ["band", "bucket"], "left_semi")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket_width)
+            .drop("_rn")
+        )
+        cold = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        banded = cold.unionByName(capped_hot)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
