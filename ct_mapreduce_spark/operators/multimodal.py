@@ -55,12 +55,135 @@ FRAME_SCHEMA = (
 
 def _decode_stub(payload: bytes, kind: str) -> list[float]:
     """Deterministic fake 'decode + featurize' for the kinds whose real
-    codecs (librosa/ffmpeg) are not in this container. Raises on empty
+    codecs (ffmpeg for video) are not in this container. Raises on empty
     payload like a real codec would."""
     if not payload:
         raise ValueError("empty payload")
     d = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in d[:16]]
+
+
+# ---------------------------------------------------------------------------
+# Audio: dependency-free RIFF/WAVE PCM-16 codec
+# ---------------------------------------------------------------------------
+
+# Bound per-row analysis work regardless of declared duration: a 10-hour
+# WAV costs the same as a 2-second one (the BMP decoder's O(1) posture).
+_WAV_ANALYSIS_FRAMES = 65536
+
+
+def encode_wav(sample_rate: int, channels: int, pcm16: bytes) -> bytes:
+    """Serialize interleaved little-endian PCM-16 frames as a canonical
+    RIFF/WAVE file (fmt + data chunks). Pure stdlib; used to build genuine
+    audio fixtures."""
+    import struct
+
+    if len(pcm16) % (2 * channels):
+        raise ValueError("pcm16 length not a multiple of the frame size")
+    block_align = 2 * channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(pcm16), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16) + fmt
+        + struct.pack("<4sI", b"data", len(pcm16)) + pcm16
+    )
+
+
+def _parse_wav_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Validate a PCM-16 RIFF/WAVE payload and return (sample_rate,
+    channels, data_off, n_frames). Strict like _parse_bmp_header: magic,
+    chunk walk (word-aligned per the RIFF rule), fmt sanity, data bounds;
+    ValueError on anything else so extract_features isolates the row."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    sr = channels = block_align = None
+    data_off = data_len = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, off)
+        off += 8
+        if off + csize > len(payload):
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("short fmt chunk")
+            fmt_code, channels, sr, _br, block_align, bits = struct.unpack_from(
+                "<HHIIHH", payload, off
+            )
+            if fmt_code != 1 or bits != 16:
+                raise ValueError("unsupported WAV variant (PCM-16 only)")
+            if not (1 <= channels <= 8) or sr <= 0:
+                raise ValueError("bad fmt parameters")
+            if block_align != 2 * channels:
+                raise ValueError("inconsistent block align")
+        elif cid == b"data":
+            data_off, data_len = off, csize
+        off += csize + (csize & 1)  # chunks are word-aligned
+    if sr is None:
+        raise ValueError("missing fmt chunk")
+    if data_off is None:
+        raise ValueError("missing data chunk")
+    if data_len % block_align:
+        raise ValueError("data size not a multiple of the frame size")
+    n_frames = data_len // block_align
+    if n_frames == 0:
+        raise ValueError("no audio frames")
+    return sr, channels, data_off, n_frames
+
+
+def decode_wav(payload: bytes):
+    """Parse a PCM-16 RIFF/WAVE payload -> (sample_rate, channels,
+    int16 ndarray of shape (n_frames, channels))."""
+    import numpy as np
+
+    sr, channels, data_off, n_frames = _parse_wav_header(payload)
+    arr = np.frombuffer(
+        payload, dtype="<i2", count=n_frames * channels, offset=data_off
+    ).reshape(n_frames, channels)
+    return sr, channels, arr
+
+
+def wav_features(samples, sample_rate: int) -> list[float]:
+    """16 audio features from an (n_frames, channels) int16 array:
+    [capped duration, rms, zero-crossing rate, mean |amplitude|] + 12
+    spectral band-energy fractions (rfft power over the first
+    _WAV_ANALYSIS_FRAMES mono frames, DC excluded, equal bands). Time-
+    domain stats use exact int64 sums so they are engine-independent; the
+    band energies share numpy's FFT/pairwise-sum order between the engine
+    and the independent oracle (the same documented caveat as the LSH
+    sign-bit matmul)."""
+    import numpy as np
+
+    n_total, channels = samples.shape
+    mono = samples.astype(np.int64).sum(axis=1) // channels
+    x = mono[:_WAV_ANALYSIS_FRAMES]
+    m = len(x)
+    feats = [
+        min(1.0, (n_total / sample_rate) / 10.0),
+        float(np.sqrt(int(np.sum(x * x)) / m) / 32768.0),
+        float(np.count_nonzero((x[1:] >= 0) != (x[:-1] >= 0)) / (m - 1))
+        if m > 1
+        else 0.0,
+        float(int(np.sum(np.abs(x))) / m / 32768.0),
+    ]
+    power = np.abs(np.fft.rfft(x.astype(np.float64))) ** 2
+    tail = power[1:]
+    total = float(tail.sum())
+    if total > 0.0 and len(tail) >= 1:
+        feats.extend(float(band.sum() / total) for band in np.array_split(tail, 12))
+    else:
+        feats.extend([0.0] * 12)
+    return feats
+
+
+def wav_decoder(payload: bytes) -> list[float]:
+    sr, _channels, samples = decode_wav(payload)
+    return wav_features(samples, sr)
 
 
 def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
@@ -136,13 +259,17 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
 
 
 def bmp_decoder(payload: bytes, kind: str) -> list[float]:
-    """Real image featurize: BMP decode -> ITU-R 601-2 integer grayscale
-    -> 4x4 center-sample downsample -> 16 floats in [0,1], computed in
-    pure integer arithmetic until the final /255 so it is bit-stable.
-    Samples the 16 pixels DIRECTLY from the payload (no full-image
-    materialization): work per row is O(1) regardless of the declared
-    dimensions, so an adversarial max-dimension header costs nothing.
-    Non-image kinds fall through to the declared stub."""
+    """Dependency-free default featurizer: images through the real BMP
+    decode -> ITU-R 601-2 integer grayscale -> 4x4 center-sample
+    downsample -> 16 floats in [0,1], computed in pure integer arithmetic
+    until the final /255 so it is bit-stable. Samples the 16 pixels
+    DIRECTLY from the payload (no full-image materialization): work per
+    row is O(1) regardless of the declared dimensions, so an adversarial
+    max-dimension header costs nothing. Audio routes through the real
+    RIFF/WAVE PCM-16 codec (wav_decoder); only video still falls through
+    to the declared stub (no ffmpeg in this container)."""
+    if kind == "audio":
+        return wav_decoder(payload)
     if kind != "image":
         return _decode_stub(payload, kind)
     pixel_off, width, height, stride, top_down = _parse_bmp_header(payload)
@@ -179,6 +306,8 @@ def resolve_decoder():
             # floor((i+.5)*h/4) sample points vs bmp_decoder's
             # (i*h+h//2)//4, which differ for some odd sizes — golden pins
             # are valid for the BMP decoder only.
+            if kind == "audio":
+                return wav_decoder(payload)
             if kind != "image":
                 return _decode_stub(payload, kind)
             img = (
@@ -195,11 +324,12 @@ def resolve_decoder():
 
 def synthetic_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
     """Deterministic media fixture. Image rows carry GENUINE 24-bit BMP
-    payloads (encode_bmp over seeded pixels) so the real decoder path is
-    exercised byte-for-byte; audio/video rows carry opaque random bytes
-    for the stubbed codecs. Failure rows: every 37th is empty, and every
-    51st (an image slot, 51 = 3*17 coprime to 37) is garbage that a real
-    parser must reject."""
+    payloads (encode_bmp over seeded pixels) and audio rows GENUINE
+    RIFF/WAVE PCM-16 payloads (encode_wav over seeded samples), so both
+    real decoder paths are exercised byte-for-byte; video rows carry
+    opaque random bytes for the stubbed codec. Failure rows: every 37th
+    is empty; every 51st (an image slot, 51 = 3*17 coprime to 37) and
+    every 55th audio slot carry garbage a real parser must reject."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -212,12 +342,22 @@ def synthetic_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
             h = int(rng.integers(4, 33))
             rgb = rng.integers(0, 256, size=3 * w * h, dtype=np.uint8).tobytes()
             payload = encode_bmp(w, h, rgb)
+        elif kind == "audio":
+            sr = [8000, 16000, 22050, 44100][int(rng.integers(0, 4))]
+            channels = int(rng.integers(1, 3))
+            frames = int(rng.integers(64, 2048))
+            pcm = rng.integers(
+                -32768, 32768, size=frames * channels, dtype=np.int16
+            )
+            payload = encode_wav(sr, channels, pcm.tobytes())
         else:
-            size = int(rng.integers(64, 4096)) * (8 if kind == "video" else 1)
+            size = int(rng.integers(64, 4096)) * 8
             payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
         if i % 37 == 0:
             payload = b""  # decode-failure row
-        elif i % 51 == 0:  # i%3==0 => an image slot: corrupt, not absent
+        elif i % 51 == 0 or (kind == "audio" and i % 55 == 0):
+            # corrupt, not absent: i%51 hits image slots (51 = 3*17);
+            # i%55 with i%3==1 hits audio slots — real parsers must reject
             payload = b"JUNK" + payload[4:]
         rows.append(
             {

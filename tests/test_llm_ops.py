@@ -353,9 +353,14 @@ def test_multimodal_feature_plumbing(spark):
     rows = feats.collect()
     assert len(rows) == 120
     bad = {r.media_id for r in rows if not r.decode_ok}
-    # empty payloads (every 37th) AND corrupt image payloads (every 51st,
-    # rejected by the real BMP parser) both isolate per-row
-    assert bad == {i for i in range(120) if i % 37 == 0 or i % 51 == 0}
+    # empty payloads (every 37th), corrupt image payloads (every 51st,
+    # rejected by the real BMP parser) AND the corrupt audio payload
+    # (i=55, rejected by the real WAV parser) all isolate per-row
+    assert bad == {
+        i
+        for i in range(120)
+        if i % 37 == 0 or i % 51 == 0 or (i % 3 == 1 and i % 55 == 0)
+    }
     ok = [r for r in rows if r.decode_ok]
     assert all(r.feat_dim == 16 for r in ok)
     # determinism: same payload -> same features
@@ -473,5 +478,67 @@ def test_bmp_decoder_rejects_garbage():
         try:
             multimodal.bmp_decoder(junk, "image")
             assert False, "should have raised"
+        except ValueError:
+            pass
+
+
+def test_wav_roundtrip_and_features():
+    """encode_wav -> decode_wav round-trips samples exactly, and the
+    features do real signal math: a pure 1 kHz tone at 8 kHz lands in
+    rfft bin 500 of 2000 -> DC-excluded tail index 499 -> band
+    499 // ceil(2000/12) = 2 of the 12 equal slices, with hand-computable
+    duration/rms/zcr values."""
+    import numpy as np
+
+    sr, n = 8000, 4000  # 0.5 s
+    t = np.arange(n)
+    tone = (16384 * np.sin(2 * np.pi * 1000.0 * t / sr)).astype(np.int16)
+    payload = multimodal.encode_wav(sr, 1, tone.tobytes())
+    sr2, ch, samples = multimodal.decode_wav(payload)
+    assert (sr2, ch) == (sr, 1)
+    assert np.array_equal(samples[:, 0], tone)
+
+    feats = multimodal.wav_decoder(payload)
+    assert len(feats) == 16
+    assert feats[0] == (n / sr) / 10.0  # 0.05 of the 10 s cap
+    assert abs(feats[1] - 16384 / 32768 / np.sqrt(2)) < 0.01  # sine rms
+    assert abs(feats[2] - 2 * 1000 / sr) < 0.01  # 2 crossings per cycle
+    bands = feats[4:]
+    assert bands.index(max(bands)) == 2
+    assert max(bands) > 0.95
+
+
+def test_wav_stereo_mixdown():
+    import numpy as np
+
+    # L = +1000, R = -1000 -> mono mix 0 everywhere -> rms 0
+    pcm = np.tile(np.array([1000, -1000], dtype=np.int16), 100)
+    payload = multimodal.encode_wav(16000, 2, pcm.tobytes())
+    feats = multimodal.wav_decoder(payload)
+    assert feats[1] == 0.0 and feats[3] == 0.0
+    assert feats[4:] == [0.0] * 12  # zero signal -> zero band energy
+
+
+def test_wav_decoder_rejects_garbage():
+    import numpy as np
+
+    good = multimodal.encode_wav(
+        8000, 1, np.zeros(64, dtype=np.int16).tobytes()
+    )
+    bad_fmt = bytearray(good)
+    bad_fmt[20] = 3  # IEEE-float fmt code: unsupported
+    odd_data = bytearray(good)
+    odd_data[40:44] = (127).to_bytes(4, "little")  # 127 % 2 != 0
+    for junk in [
+        b"",
+        b"JUNK" + good[4:],          # bad magic
+        good[:40],                    # truncated before data
+        bytes(bad_fmt),
+        bytes(odd_data),
+        multimodal.encode_wav(8000, 1, b""),  # zero frames
+    ]:
+        try:
+            multimodal.wav_decoder(junk)
+            assert False, f"should have raised: {junk[:12]!r}"
         except ValueError:
             pass

@@ -366,37 +366,74 @@ def s1_ctlog_scan(
 
 def _synth_media(n: int = 200, seed: int = 42):
     """Re-derive the synthetic_media fixture stream: (media_id, kind,
-    payload_len, rgb, w, h, raw_payload). BMP container layout is the
-    public Windows format: 14-byte file header + 40-byte info header +
-    bottom-up BGR rows padded to 4 bytes."""
+    payload_len, rgb, w, h, raw_payload, pcm, sr, channels, empty,
+    corrupt). BMP container layout is the public Windows format; WAV is
+    the public RIFF/WAVE PCM-16 layout (44-byte canonical header)."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     out = []
     for i in range(n):
         kind = kinds[i % 3]
-        rgb = w = h = None
+        rgb = w = h = payload = pcm = sr = channels = None
         if kind == "image":
             w = int(rng.integers(4, 33))
             h = int(rng.integers(4, 33))
             rgb = rng.integers(0, 256, size=3 * w * h, dtype=np.uint8).tobytes()
             pad = (-3 * w) % 4
             payload_len = 54 + (3 * w + pad) * h
-            payload = None  # only needed for stub rows; images use rgb
+        elif kind == "audio":
+            sr = [8000, 16000, 22050, 44100][int(rng.integers(0, 4))]
+            channels = int(rng.integers(1, 3))
+            frames = int(rng.integers(64, 2048))
+            pcm = rng.integers(-32768, 32768, size=frames * channels, dtype=np.int16)
+            payload_len = 44 + 2 * frames * channels
         else:
-            size = int(rng.integers(64, 4096)) * (8 if kind == "video" else 1)
+            size = int(rng.integers(64, 4096)) * 8
             payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
             payload_len = size
         empty = i % 37 == 0
-        corrupt = (not empty) and i % 51 == 0
-        out.append((i, kind, payload_len, rgb, w, h, payload, empty, corrupt))
+        corrupt = (not empty) and (
+            i % 51 == 0 or (kind == "audio" and i % 55 == 0)
+        )
+        out.append(
+            (i, kind, payload_len, rgb, w, h, payload, pcm, sr, channels,
+             empty, corrupt)
+        )
     return out
+
+
+def _wav_feats(pcm: np.ndarray, sr: int, channels: int) -> list[float]:
+    """Audio features re-derived from the ORIGINAL int16 samples (never
+    the encoded payload — independently checks the WAV encode->parse
+    round trip). Time-domain stats are exact int64 sums; the 12 spectral
+    band fractions share numpy's FFT (module-docstring caveat)."""
+    samples = pcm.reshape(-1, channels)
+    n_total = samples.shape[0]
+    mono = samples.astype(np.int64).sum(axis=1) // channels
+    x = mono[:65536]
+    m = len(x)
+    feats = [
+        min(1.0, (n_total / sr) / 10.0),
+        float(np.sqrt(int(np.sum(x * x)) / m) / 32768.0),
+        float(np.count_nonzero((x[1:] >= 0) != (x[:-1] >= 0)) / (m - 1))
+        if m > 1
+        else 0.0,
+        float(int(np.sum(np.abs(x))) / m / 32768.0),
+    ]
+    power = np.abs(np.fft.rfft(x.astype(np.float64))) ** 2
+    tail = power[1:]
+    total = float(tail.sum())
+    if total > 0.0 and len(tail) >= 1:
+        feats.extend(float(b.sum() / total) for b in np.array_split(tail, 12))
+    else:
+        feats.extend([0.0] * 12)
+    return feats
 
 
 def mm_extract_features(sf_dir: str, n: int = 200, seed: int = 42) -> list[tuple]:
     per_kind: dict[str, list[tuple[bool, list[float] | None]]] = {}
-    for (i, kind, _plen, rgb, w, h, payload, empty, corrupt) in _synth_media(
-        n, seed
-    ):
+    for (i, kind, _plen, rgb, w, h, payload, pcm, sr, channels, empty,
+         corrupt) in _synth_media(n, seed):
         if empty or corrupt:
             ok, feats = False, None
         elif kind == "image":
@@ -408,6 +445,8 @@ def mm_extract_features(sf_dir: str, n: int = 200, seed: int = 42) -> list[tuple
                     r, g, b = rgb[3 * (y * w + x) : 3 * (y * w + x) + 3]
                     feats.append((299 * r + 587 * g + 114 * b) // 1000 / 255.0)
             ok = True
+        elif kind == "audio":
+            feats, ok = _wav_feats(pcm, sr, channels), True
         else:
             d = hashlib.sha256(payload).digest()
             feats, ok = [b / 255.0 for b in d[:16]], True
@@ -439,9 +478,8 @@ def mm_sample_frames(
     max_frames: int = 8,
 ) -> list[tuple]:
     rows = []
-    for (i, kind, plen, _rgb, _w, _h, _payload, empty, _c) in _synth_media(
-        n, seed
-    ):
+    for (i, kind, plen, _rgb, _w, _h, _payload, _pcm, _sr, _ch, empty,
+         _c) in _synth_media(n, seed):
         if kind != "video":
             continue
         length = 0 if empty else plen
