@@ -96,6 +96,114 @@ def _fetch_range(
         )
 
 
+DEFAULT_BACKOFF_MIN_S = 0.5  # ct-fetch.go:409-413 (Min: 500ms)
+DEFAULT_BACKOFF_MAX_S = 300.0  # (Max: 5 minutes)
+
+
+class Backoff:
+    """Jittered exponential backoff with reset-on-success — the retry
+    policy of the reference's 429 loop (cmd/ct-fetch/ct-fetch.go:409-437,
+    jpillora/backoff semantics: duration(attempt) = min * factor^attempt
+    capped at max; jitter draws uniformly between min and that)."""
+
+    def __init__(
+        self,
+        min_s: float = DEFAULT_BACKOFF_MIN_S,
+        max_s: float = DEFAULT_BACKOFF_MAX_S,
+        factor: float = 2.0,
+        rng=None,
+    ):
+        import random
+
+        self.min_s, self.max_s, self.factor = min_s, max_s, factor
+        self.attempt = 0
+        self._rng = rng or random.Random()
+
+    def next_duration(self) -> float:
+        cap = min(self.max_s, self.min_s * self.factor**self.attempt)
+        self.attempt += 1
+        return self.min_s + self._rng.random() * max(0.0, cap - self.min_s)
+
+    def reset(self) -> None:
+        self.attempt = 0
+
+
+def _http_fetch_range(
+    base_url: str,
+    log_url: str,
+    start: int,
+    end: int,
+    backoff: Backoff | None = None,
+    timeout_s: float = 30.0,
+    sleep=None,
+) -> list[tuple]:
+    """One ranged fetch over real HTTP: GET
+    {base_url}/ct/v1/get-entries?start=S&end=E-1 (inclusive end, the CT
+    API convention). 429 responses retry forever under jittered
+    exponential backoff with reset-on-success; any other failure raises
+    (Spark's task retry is the outer loop, like the reference returning
+    the error to its caller). JSON body: {"entries": [{"index", "ts_ms",
+    "serial" (hex), "issuer_id"}]}."""
+    import datetime as dt
+    import json as _json
+    import time
+    import urllib.error
+    import urllib.request
+
+    backoff = backoff or Backoff()
+    sleep = sleep or time.sleep
+    url = f"{base_url}/ct/v1/get-entries?start={start}&end={end - 1}"
+    while True:
+        try:
+            with urllib.request.urlopen(url, timeout=timeout_s) as resp:
+                body = _json.loads(resp.read().decode("utf-8"))
+            backoff.reset()
+            break
+        except urllib.error.HTTPError as e:
+            if e.code == 429:
+                sleep(backoff.next_duration())
+                continue
+            raise RuntimeError(f"get-entries failed: HTTP {e.code}") from e
+    out = []
+    for entry in body["entries"]:
+        out.append(
+            (
+                int(entry["index"]),
+                log_url,
+                dt.datetime.fromtimestamp(
+                    entry["ts_ms"] / 1000.0, tz=dt.timezone.utc
+                ),
+                bytes.fromhex(entry["serial"]),
+                entry["issuer_id"],
+            )
+        )
+    return out
+
+
+def _make_fetcher(options: dict):
+    """Transport seam: returns `(log_url, start, end, emit) -> rows`.
+    transport=synthetic (default) keeps the deterministic in-process
+    payloads; transport=http fetches over the wire with the reference's
+    429 backoff policy. Reads option knobs eagerly so the returned
+    closure ships to executors without the options dict."""
+    if options.get("transport", "synthetic") != "http":
+        return _fetch_range
+    base_url = options["base_url"]
+    min_s = float(options.get("backoff_min_ms", DEFAULT_BACKOFF_MIN_S * 1000)) / 1000
+    max_s = float(options.get("backoff_max_ms", DEFAULT_BACKOFF_MAX_S * 1000)) / 1000
+
+    def fetch(log_url: str, start: int, end: int, emit: str = "entries"):
+        if emit != "entries":
+            raise ValueError("transport=http supports emit=entries only")
+        # iter(): the batch reader contract wants an iterator; a list
+        # iterator also satisfies the stream reader's pickle requirement
+        return iter(
+            _http_fetch_range(base_url, log_url, start, end, Backoff(min_s, max_s))
+        )
+
+    return fetch
+
+
 def _read_tree_size(options: dict) -> int:
     """Tree head: explicit option wins; else read the sth JSON (the
     GetSTH analog — re-read per call so a growing log is observed)."""
@@ -134,7 +242,7 @@ class CTLogBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        return _fetch_range(
+        return _make_fetcher(self.options)(
             partition.log_url,
             partition.start,
             partition.end,
@@ -162,7 +270,8 @@ class CTLogStreamReader(SimpleDataSourceStreamReader):
         # The max_entries_per_trigger cap bounds the prefetch (the 16Ki
         # channel-capacity analog, ct-fetch.go:132).
         emit = self.options.get("emit", "entries")
-        return iter(list(_fetch_range(log_url, lo, hi, emit))), {"index": hi}
+        fetch = _make_fetcher(self.options)
+        return iter(list(fetch(log_url, lo, hi, emit))), {"index": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         # Deterministic replay for recovery: same range, same rows. Runs
@@ -173,7 +282,7 @@ class CTLogStreamReader(SimpleDataSourceStreamReader):
         log_url = self.options.get("log_url", "ct.example/log0")
         return iter(
             list(
-                _fetch_range(
+                _make_fetcher(self.options)(
                     log_url,
                     start["index"],
                     end["index"],
@@ -188,7 +297,10 @@ class CTLogDataSource(DataSource):
     `spark.read.format("ctlog").option(...)`. Options: log_url,
     tree_size | sth_path, offset, limit, batch_size (batch),
     max_entries_per_trigger (streaming), emit=entries|certs (certs =
-    full parsed-certificate rows for end-to-end ingest)."""
+    full parsed-certificate rows for end-to-end ingest),
+    transport=synthetic|http (+ base_url, backoff_min_ms,
+    backoff_max_ms: ranged fetches over real HTTP with the reference's
+    jittered-exponential 429 retry policy, ct-fetch.go:409-437)."""
 
     @classmethod
     def name(cls) -> str:
