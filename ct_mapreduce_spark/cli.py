@@ -103,6 +103,58 @@ def cmd_fetch(
     return 0
 
 
+def cmd_fetch_follow(
+    spark: SparkSession,
+    cfg,
+    now: dt.datetime | None = None,
+    health_addr: str | None = None,
+    max_staleness: float = 60.0,
+    checkpoint: str | None = None,
+    once: bool = False,
+) -> int:
+    """ct-fetch daemon mode: the streaming ingest (T1/T2/T3) with the
+    reference's sidecar /health endpoint (ct-fetch.go:567-608) serving
+    the staleness rule over live StreamingQueryListener telemetry.
+    --once drains available input then exits (tests/batch catch-up);
+    otherwise runs until terminated, like the reference daemon."""
+    from ct_mapreduce_spark.streaming.health import HealthServer
+    from ct_mapreduce_spark.streaming.ingest_stream import (
+        read_cert_stream,
+        start_ingest_query,
+        streaming_ingest,
+    )
+    from ct_mapreduce_spark.streaming.telemetry import IngestTelemetryListener
+
+    if not cfg.cert_path:
+        print("fetch --follow requires --store", file=sys.stderr)
+        return 2
+    listener = IngestTelemetryListener()
+    spark.streams.addListener(listener)
+    health = None
+    if health_addr:
+        host, _, port = health_addr.rpartition(":")
+        health = HealthServer(
+            listener, max_staleness, host or "127.0.0.1", int(port)
+        ).start()
+        print(f"health endpoint: http://{host or '127.0.0.1'}:{health.port}/health")
+    q = start_ingest_query(
+        streaming_ingest(read_cert_stream(spark, cfg.sf_dir), now=now),
+        cfg.cert_path,
+        checkpoint or cfg.cert_path + "_checkpoint",
+        metadata_path=cfg.cert_path + "_metadata",
+    )
+    try:
+        if once:
+            q.processAllAvailable()
+            q.stop()
+        q.awaitTermination()
+        return 0
+    finally:
+        if health is not None:
+            health.stop()
+        spark.streams.removeListener(listener)
+
+
 def cmd_statistics(
     spark: SparkSession,
     cfg,
@@ -186,6 +238,29 @@ def build_parser() -> argparse.ArgumentParser:
     )
     f.add_argument("--log-expired", action="store_true")
     f.add_argument("--issuer-cn-filter", default=None)
+    f.add_argument(
+        "--follow",
+        action="store_true",
+        help="daemon mode: streaming ingest with checkpoint/resume",
+    )
+    f.add_argument(
+        "--once",
+        action="store_true",
+        help="with --follow: drain available input, then exit",
+    )
+    f.add_argument(
+        "--health-addr",
+        default=None,
+        help="with --follow: serve /health at host:port (port 0 = ephemeral)",
+    )
+    f.add_argument(
+        "--max-staleness",
+        type=float,
+        default=60.0,
+        help="seconds since last batch progress before /health degrades "
+        "(the reference's 2 x pollingDelayMean bound)",
+    )
+    f.add_argument("--checkpoint", default=None)
     s = sub.add_parser("statistics")
     common(s, required_source=False)
     s.add_argument("--store", help="read a fetched partitioned store instead of raw entries")
@@ -225,6 +300,16 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     )
     spark = spark or get_spark("ct_mapreduce_spark-cli")
     if args.cmd == "fetch":
+        if getattr(args, "follow", False):
+            return cmd_fetch_follow(
+                spark,
+                cfg,
+                now=now,
+                health_addr=args.health_addr,
+                max_staleness=args.max_staleness,
+                checkpoint=args.checkpoint,
+                once=args.once,
+            )
         return cmd_fetch(
             spark, cfg, now=now, append=getattr(args, "append", False)
         )

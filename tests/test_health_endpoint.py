@@ -1,0 +1,114 @@
+"""/health endpoint for the streaming ingest daemon: the reference's
+three-way contract (ct-fetch.go:567-608) — 503 + Retry-After before any
+update, 200 while fresh, 500 once the most recent batch progress is older
+than the staleness bound — served over real HTTP from live
+StreamingQueryListener telemetry, and reachable through the CLI's
+`fetch --follow --health-addr`."""
+
+import datetime as dt
+import sys
+import time
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from ct_mapreduce_spark.sources.certificates import synthetic_certificates
+from ct_mapreduce_spark.streaming.health import HealthServer
+from ct_mapreduce_spark.streaming.telemetry import IngestTelemetryListener
+
+NOW = dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)
+
+
+def _get(port: int, path: str = "/health") -> tuple[int, str]:
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=10
+        ) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_health_transitions_with_live_stream(spark, tmp_path):
+    """503 (never updated) -> 200 (fresh) -> 500 (stale past the bound),
+    against a real streaming query."""
+    from ct_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").limit(100)
+    src = str(tmp_path / "src")
+    ev.write.mode("overwrite").parquet(src)
+
+    listener = IngestTelemetryListener()
+    spark.streams.addListener(listener)
+    health = HealthServer(listener, max_staleness_seconds=3600).start()
+    tight = HealthServer(listener, max_staleness_seconds=0.05).start()
+    try:
+        code, body = _get(health.port)
+        assert code == 503 and "no health updates yet" in body
+
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            stream.groupBy("event_type").count()
+            .writeStream.outputMode("complete")
+            .format("memory").queryName("health_out").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        time.sleep(1)  # listener delivery is async
+
+        code, body = _get(health.port)
+        assert code == 200 and body.startswith("ok:")
+
+        time.sleep(0.3)  # let the tight bound lapse
+        code, body = _get(tight.port)
+        assert code == 500 and "longer than the staleness bound" in body
+
+        code, body = _get(health.port, "/metrics")
+        assert code == 200 and "health_out" in body
+        assert _get(health.port, "/nope")[0] == 404
+    finally:
+        health.stop()
+        tight.stop()
+        spark.streams.removeListener(listener)
+
+
+def test_cli_follow_serves_health_and_ingests(spark, tmp_path):
+    """End-to-end daemon: `fetch --follow --once --health-addr` ingests
+    the landing zone through the streaming dedup pipeline, writes the
+    partitioned store, and the health port answers while it runs."""
+    import contextlib
+    import io
+    import re
+
+    from ct_mapreduce_spark import cli
+
+    src = str(tmp_path / "landing")
+    synthetic_certificates(spark, n=800, seed=3).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    store = str(tmp_path / "store")
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main(
+            [
+                "fetch",
+                "--source", src,
+                "--store", store,
+                "--follow", "--once",
+                "--health-addr", "127.0.0.1:0",
+                "--now", "2024-01-02T00:00:00",
+            ],
+            spark=spark,
+        )
+    assert rc == 0
+    out = buf.getvalue()
+    m = re.search(r"health endpoint: http://127\.0\.0\.1:(\d+)/health", out)
+    assert m, out
+    # the server was stopped with the daemon; the store must exist with
+    # deduped rows partitioned by (exp_date, issuer_id)
+    stored = spark.read.parquet(store)
+    assert stored.count() > 0
+    assert {"exp_date", "issuer_id"} <= set(stored.columns)
