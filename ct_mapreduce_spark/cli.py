@@ -160,36 +160,79 @@ def cmd_statistics(
     cfg,
     now: dt.datetime | None = None,
     exact: bool = True,
+    verbose: int = 0,
 ) -> int:
     """storage-statistics: the 3-level report (storage-statistics.go:
     36-82) printed per issuer plus grand totals. With --store it reads
     the partitioned store a fetch run wrote — the reference workflow,
     where statistics consumes the post-dedup state, never the raw log —
-    and skips the filter/dedup passes."""
+    and skips the filter/dedup passes.
+
+    Verbosity mirrors the reference's glog levels (-v per-expDate counts
+    :56; -vv serial listings :58-59; -vvv PEM dumps :62-74 — which the
+    engine can actually serve, where the reference's disk
+    LoadCertificatePEM is Unimplemented). The listings aggregate in one
+    distributed pass and stream through toLocalIterator — the driver
+    holds one partition of report lines at a time, never the corpus."""
+    from pyspark.sql import functions as F
+
     from ct_mapreduce_spark.operators.metadata import issuer_metadata
     from ct_mapreduce_spark.operators.statistics import full_report, stats_rollup
     from ct_mapreduce_spark.plans.statistics import statistics_report
 
     if cfg.cert_path:
-        store = spark.read.parquet(cfg.cert_path)
+        detail = spark.read.parquet(cfg.cert_path)
         rollup, report = (
-            stats_rollup(store, exact=exact),
-            full_report(store, issuer_metadata(store)),
+            stats_rollup(detail, exact=exact),
+            full_report(detail, issuer_metadata(detail)),
         )
     else:
         certs = _load_source(spark, cfg.sf_dir, cfg)
         rollup, report = statistics_report(certs, now=now)
-        if not exact:
-            from ct_mapreduce_spark.plans.ingest import ingest_batch
+        from ct_mapreduce_spark.plans.ingest import ingest_batch
 
-            rollup = stats_rollup(
-                ingest_batch(certs, now=now), exact=False
+        detail = ingest_batch(certs, now=now)
+        if not exact:
+            rollup = stats_rollup(detail, exact=False)
+
+    buckets: dict[str, list] = {}
+    if verbose:
+        aggs = [F.count_distinct("serial").alias("n_serials")]
+        if verbose >= 2:
+            aggs.append(
+                F.sort_array(F.collect_set(F.hex("serial"))).alias("serials")
             )
+        bucket_rows = (
+            detail.groupBy("issuer_id", "exp_date")
+            .agg(*aggs)
+            .orderBy("issuer_id", "exp_date")
+        )
+        for r in bucket_rows.toLocalIterator():
+            buckets.setdefault(r.issuer_id, []).append(r)
+
     for r in sorted(report.collect(), key=lambda r: r.issuer_id):
         print(
             f"issuer={r.issuer_id} serials={r.n_serials} "
             f"expDates={r.n_exp_dates} crls={r.n_crls} dns={r.n_dns}"
         )
+        for b in buckets.get(r.issuer_id, []):
+            print(f"- {b.exp_date} ({b.n_serials} serials)")
+            if verbose >= 2:
+                print(f"  Serials: [{' '.join(b.serials)}]")
+
+    if verbose >= 3 and "raw_der" in detail.columns:
+        from ct_mapreduce_spark.functions.codecs import pem_encode
+
+        pems = detail.select(
+            "issuer_id",
+            "exp_date",
+            F.hex("serial").alias("serial_hex"),
+            pem_encode("raw_der").alias("pem"),
+        ).orderBy("issuer_id", "exp_date", "serial_hex")
+        for p in pems.toLocalIterator():
+            print(f"Certificate serial={{{p.serial_hex}}}")
+            sys.stdout.write(p.pem)
+
     totals = [r for r in rollup.collect() if r.g_issuer == 1 and r.g_exp == 1]
     if totals:
         print(f"total serials={totals[0].n_serials} rows={totals[0].n_rows}")
@@ -269,6 +312,14 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="HLL sketch counts instead of exact distinct (the 100 TB path)",
     )
+    s.add_argument(
+        "-v",
+        "--verbose",
+        action="count",
+        default=0,
+        help="-v per-expDate counts, -vv serial listings, -vvv PEM dumps "
+        "(the reference's glog V(1)/V(2)/V(3) report levels)",
+    )
     g = sub.add_parser("getcert")
     common(g)
     g.add_argument("--log-url", required=True)
@@ -315,7 +366,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         )
     if args.cmd == "statistics":
         return cmd_statistics(
-            spark, cfg, now=now, exact=not getattr(args, "approx", False)
+            spark,
+            cfg,
+            now=now,
+            exact=not getattr(args, "approx", False),
+            verbose=getattr(args, "verbose", 0),
         )
     if args.cmd == "getcert":
         return cmd_getcert(spark, cfg, args.log_url, args.entry_id)

@@ -205,3 +205,37 @@ def test_fetch_append_bootstraps_leaf_counts(spark, cert_src, tmp_path):
     a = {(r.issuer_id, r.exp_date): r.n_serials for r in counts.collect()}
     b = {(r.issuer_id, r.exp_date): r.n_serials for r in want.collect()}
     assert a == b  # covers [0,500) history + the appended tail, not just delta
+
+
+def test_statistics_verbose_levels(spark, cert_src, tmp_path, capsys):
+    """-v / -vv / -vvv mirror the reference's glog report levels
+    (storage-statistics.go:56,58-59,62-74): per-expDate counts, serial
+    listings, PEM dumps. Each level's detail is consistent with the
+    summary lines above it."""
+    store = str(tmp_path / "vstore")
+    assert main(
+        ["fetch", "--source", cert_src, "--store", store, "--now", "2024-01-02"],
+        spark=spark,
+    ) == 0
+    capsys.readouterr()
+
+    assert main(["statistics", "--store", store, "-v"], spark=spark) == 0
+    out = capsys.readouterr().out
+    bucket_lines = [l for l in out.splitlines() if l.startswith("- ")]
+    assert bucket_lines and all("serials)" in l for l in bucket_lines)
+    # per-bucket counts sum to the grand total (unique by bucket contract)
+    total = int(out.splitlines()[-1].split("serials=")[1].split()[0])
+    assert sum(int(l.split("(")[1].split()[0]) for l in bucket_lines) == total
+    assert "Serials: [" not in out
+
+    assert main(["statistics", "--store", store, "-vv"], spark=spark) == 0
+    out2 = capsys.readouterr().out
+    serial_lines = [l for l in out2.splitlines() if "Serials: [" in l]
+    assert len(serial_lines) == len(bucket_lines)
+    n_listed = sum(len(l.split("[")[1].rstrip("]").split()) for l in serial_lines)
+    assert n_listed == total
+
+    assert main(["statistics", "--store", store, "-vvv"], spark=spark) == 0
+    out3 = capsys.readouterr().out
+    assert out3.count("-----BEGIN CERTIFICATE-----") == total
+    assert out3.count("Certificate serial={") == total
