@@ -266,10 +266,13 @@ def bmp_decoder(payload: bytes, kind: str) -> list[float]:
     DIRECTLY from the payload (no full-image materialization): work per
     row is O(1) regardless of the declared dimensions, so an adversarial
     max-dimension header costs nothing. Audio routes through the real
-    RIFF/WAVE PCM-16 codec (wav_decoder); only video still falls through
-    to the declared stub (no ffmpeg in this container)."""
+    RIFF/WAVE PCM-16 codec (wav_decoder) and video through the real
+    RIFF/AVI DIB codec (avi_decoder) — no stub remains in any of the
+    three kinds' default paths."""
     if kind == "audio":
         return wav_decoder(payload)
+    if kind == "video":
+        return avi_decoder(payload)
     if kind != "image":
         return _decode_stub(payload, kind)
     pixel_off, width, height, stride, top_down = _parse_bmp_header(payload)
@@ -282,6 +285,132 @@ def bmp_decoder(payload: bytes, kind: str) -> list[float]:
             at = pixel_off + src_y * stride + 3 * x
             b, g, r = payload[at : at + 3]
             feats.append((299 * r + 587 * g + 114 * b) // 1000 / 255.0)
+    return feats
+
+
+# ---------------------------------------------------------------------------
+# Video: dependency-free RIFF/AVI codec (uncompressed 24-bit DIB frames)
+# ---------------------------------------------------------------------------
+
+
+def encode_avi(
+    width: int, height: int, frames_rgb: list[bytes], fps: int = 10
+) -> bytes:
+    """Serialize top-down row-major RGB frames as a minimal valid RIFF/AVI
+    ('vids'/'DIB ' stream, uncompressed bottom-up 24-bit DIB '00db'
+    chunks — the same pixel layout as the BMP codec). Pure stdlib; used
+    to build genuine video fixtures."""
+    import struct
+
+    stride = 3 * width + ((-3 * width) % 4)
+    dibs = []
+    for rgb in frames_rgb:
+        if len(rgb) != width * height * 3:
+            raise ValueError("frame length != width*height*3")
+        rows = []
+        for y in range(height - 1, -1, -1):  # bottom-up, RGB->BGR
+            row = rgb[y * width * 3 : (y + 1) * width * 3]
+            bgr = bytearray()
+            for x in range(width):
+                r, g, b = row[3 * x : 3 * x + 3]
+                bgr += bytes((b, g, r))
+            rows.append(bytes(bgr) + b"\x00" * ((-3 * width) % 4))
+        dibs.append(b"".join(rows))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, stride * height * fps, 0, 0x10, len(dibs), 0, 1,
+        stride * height, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(dibs),
+        stride * height, 0xFFFFFFFF, 0, 0, 0, width, # rcFrame packed as 4 shorts
+    )
+    # rcFrame: the struct above ends with 4 int16 (left, top, right, bottom)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height,
+        2835, 2835, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(
+        b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)
+    ))
+    movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dibs))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _parse_avi_header(payload: bytes) -> tuple[int, int, int, list[tuple[int, int]]]:
+    """Validate an uncompressed 24-bit DIB AVI and return (width, height,
+    stride, [(frame_off, frame_len), ...]). Strict: RIFF/AVI magic, strf
+    sanity (planes/bpp/compression like the BMP path), per-frame chunk
+    size == stride*height, at least one frame; ValueError otherwise."""
+    import struct
+
+    if len(payload) < 24 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    width = height = stride = None
+    frames: list[tuple[int, int]] = []
+
+    def walk(off: int, end: int) -> None:
+        nonlocal width, height, stride
+        while off + 8 <= end:
+            cid, csize = struct.unpack_from("<4sI", payload, off)
+            off += 8
+            if off + csize > end:
+                raise ValueError("truncated chunk")
+            if cid == b"LIST":
+                walk(off + 4, off + csize)
+            elif cid == b"strf":
+                if csize < 40:
+                    raise ValueError("short strf")
+                hdr, w, h, planes, bpp = struct.unpack_from("<IiiHH", payload, off)
+                comp = struct.unpack_from("<I", payload, off + 16)[0]
+                if hdr < 40 or planes != 1 or bpp != 24 or comp != 0:
+                    raise ValueError("unsupported AVI variant")
+                if w <= 0 or h <= 0 or w * h > 1 << 24:
+                    raise ValueError("bad dimensions")
+                width, height = w, h
+                stride = 3 * w + ((-3 * w) % 4)
+            elif cid[2:] in (b"db", b"dc"):
+                frames.append((off, csize))
+            off += csize + (csize & 1)
+
+    walk(12, len(payload))
+    if width is None:
+        raise ValueError("missing strf header")
+    if not frames:
+        raise ValueError("no frames")
+    for _f_off, f_len in frames:
+        if f_len != stride * height:
+            raise ValueError("frame size mismatch")
+    return width, height, stride, frames
+
+
+def avi_decoder(payload: bytes) -> list[float]:
+    """Real video featurize: sample 4 frames evenly across the stream and
+    a 2x2 pixel grid per frame (integer grayscale, the BMP formula) -> 16
+    floats in [0,1]. Pixels are read DIRECTLY at computed offsets, so
+    per-row work is O(1) regardless of frame count or dimensions."""
+    w, h, stride, frames = _parse_avi_header(payload)
+    n = len(frames)
+    feats = []
+    for fi in range(4):
+        f_off, _ = frames[min(n - 1, (fi * n + n // 2) // 4)]
+        for gy in range(2):
+            y = min(h - 1, (gy * h + h // 2) // 2)
+            src_y = h - 1 - y  # DIB rows are bottom-up
+            for gx in range(2):
+                x = min(w - 1, (gx * w + w // 2) // 2)
+                at = f_off + src_y * stride + 3 * x
+                b, g, r = payload[at : at + 3]
+                feats.append((299 * r + 587 * g + 114 * b) // 1000 / 255.0)
     return feats
 
 
@@ -308,6 +437,8 @@ def resolve_decoder():
             # are valid for the BMP decoder only.
             if kind == "audio":
                 return wav_decoder(payload)
+            if kind == "video":
+                return avi_decoder(payload)
             if kind != "image":
                 return _decode_stub(payload, kind)
             img = (
@@ -323,13 +454,13 @@ def resolve_decoder():
 
 
 def synthetic_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
-    """Deterministic media fixture. Image rows carry GENUINE 24-bit BMP
-    payloads (encode_bmp over seeded pixels) and audio rows GENUINE
-    RIFF/WAVE PCM-16 payloads (encode_wav over seeded samples), so both
-    real decoder paths are exercised byte-for-byte; video rows carry
-    opaque random bytes for the stubbed codec. Failure rows: every 37th
-    is empty; every 51st (an image slot, 51 = 3*17 coprime to 37) and
-    every 55th audio slot carry garbage a real parser must reject."""
+    """Deterministic media fixture. All three kinds carry GENUINE
+    payloads: 24-bit BMP images (encode_bmp over seeded pixels),
+    RIFF/WAVE PCM-16 audio (encode_wav over seeded samples), RIFF/AVI
+    DIB video (encode_avi over seeded frames) — every real decoder path
+    is exercised byte-for-byte. Failure rows: every 37th is empty; every
+    51st (an image slot, 51 = 3*17 coprime to 37), every 55th audio slot
+    and every 56th video slot carry garbage a real parser must reject."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -351,13 +482,24 @@ def synthetic_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
             )
             payload = encode_wav(sr, channels, pcm.tobytes())
         else:
-            size = int(rng.integers(64, 4096)) * 8
-            payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+            w = int(rng.integers(4, 17))
+            h = int(rng.integers(4, 17))
+            n_frames = int(rng.integers(2, 11))
+            frames_rgb = [
+                rng.integers(0, 256, size=3 * w * h, dtype=np.uint8).tobytes()
+                for _ in range(n_frames)
+            ]
+            payload = encode_avi(w, h, frames_rgb)
         if i % 37 == 0:
             payload = b""  # decode-failure row
-        elif i % 51 == 0 or (kind == "audio" and i % 55 == 0):
+        elif (
+            i % 51 == 0
+            or (kind == "audio" and i % 55 == 0)
+            or (kind == "video" and i % 56 == 0)
+        ):
             # corrupt, not absent: i%51 hits image slots (51 = 3*17);
-            # i%55 with i%3==1 hits audio slots — real parsers must reject
+            # i%55 lands on audio and i%56 on video slots — every real
+            # parser gets a garbage row to reject
             payload = b"JUNK" + payload[4:]
         rows.append(
             {
@@ -413,17 +555,31 @@ def extract_features(df: DataFrame, decoder=None) -> DataFrame:
 
 def sample_frames(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
     """Frame sampling for video rows: 1 row in, up to max_frames out.
-    Output batches are yielded per input batch — the iterator contract
-    keeps peak memory at one batch regardless of fan-out."""
+    AVI payloads emit REAL frames (the uncompressed DIB chunk per frame,
+    first max_frames of the stream); undecodable payloads fall back to
+    fixed-size byte slices, so garbage still yields the kind-agnostic
+    sampling contract instead of poisoning the batch. Output batches are
+    yielded per input batch — the iterator contract keeps peak memory at
+    one batch regardless of fan-out."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                payload = row["payload"] or b""
-                n = min(max_frames, max(0, len(payload) // every_n_bytes))
-                for i in range(n):
-                    chunk = payload[i * every_n_bytes : (i + 1) * every_n_bytes]
+                payload = bytes(row["payload"] or b"")
+                try:
+                    _w, _h, _stride, frames = _parse_avi_header(payload)
+                    chunks = [
+                        payload[off : off + ln]
+                        for off, ln in frames[:max_frames]
+                    ]
+                except ValueError:
+                    n = min(max_frames, max(0, len(payload) // every_n_bytes))
+                    chunks = [
+                        payload[i * every_n_bytes : (i + 1) * every_n_bytes]
+                        for i in range(n)
+                    ]
+                for i, chunk in enumerate(chunks):
                     out.append(
                         {
                             "media_id": row["media_id"],

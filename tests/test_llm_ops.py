@@ -353,13 +353,16 @@ def test_multimodal_feature_plumbing(spark):
     rows = feats.collect()
     assert len(rows) == 120
     bad = {r.media_id for r in rows if not r.decode_ok}
-    # empty payloads (every 37th), corrupt image payloads (every 51st,
-    # rejected by the real BMP parser) AND the corrupt audio payload
-    # (i=55, rejected by the real WAV parser) all isolate per-row
+    # empty payloads (every 37th) and the corrupt payloads of all three
+    # kinds (image i%51, audio i%55, video i%56 — each rejected by its
+    # real parser) all isolate per-row
     assert bad == {
         i
         for i in range(120)
-        if i % 37 == 0 or i % 51 == 0 or (i % 3 == 1 and i % 55 == 0)
+        if i % 37 == 0
+        or i % 51 == 0
+        or (i % 3 == 1 and i % 55 == 0)
+        or (i % 3 == 2 and i % 56 == 0)
     }
     ok = [r for r in rows if r.decode_ok]
     assert all(r.feat_dim == 16 for r in ok)
@@ -395,11 +398,36 @@ def test_multimodal_decoder_swap_in(spark):
 
 
 def test_multimodal_frame_fanout(spark):
+    """AVI videos emit their REAL frames (one uncompressed DIB chunk per
+    frame, capped at 8); empty payloads emit none; the corrupt video
+    falls back to byte-slice sampling."""
     media = multimodal.synthetic_media(spark, n=60)
     frames = multimodal.sample_frames(media).collect()
-    assert all(r.frame_bytes <= 1024 for r in frames)
-    vids = {r["media_id"] for r in media.where("kind='video' and n_bytes >= 1024").collect()}
-    assert {r.media_id for r in frames} == vids
+    per_media: dict[int, list] = {}
+    for r in frames:
+        per_media.setdefault(r.media_id, []).append(r)
+    vids = {r["media_id"]: r for r in media.where("kind='video'").collect()}
+    for mid, v in vids.items():
+        if v.n_bytes == 0:  # empty rows emit nothing
+            assert mid not in per_media
+            continue
+        if mid % 56 == 0:  # the corrupt video: byte-slice fallback
+            expect = min(8, v.n_bytes // 1024)
+            got = per_media.get(mid, [])
+            assert len(got) == expect
+            assert all(r.frame_bytes == 1024 for r in got)
+            continue
+        got = per_media[mid]
+        assert [r.frame_idx for r in sorted(got, key=lambda r: r.frame_idx)] == list(
+            range(len(got))
+        )
+        w, h, stride, avi_frames = multimodal._parse_avi_header(bytes(v.payload))
+        assert len(got) == min(8, len(avi_frames))
+        assert all(r.frame_bytes == stride * h for r in got)
+        # the emitted chunk IS the DIB: byte-identical to the container's
+        first = min(got, key=lambda r: r.frame_idx)
+        off, ln = avi_frames[0]
+        assert bytes(first.frame_payload) == bytes(v.payload)[off : off + ln]
 
 
 def test_repartition_by_bytes(spark):
@@ -539,6 +567,52 @@ def test_wav_decoder_rejects_garbage():
     ]:
         try:
             multimodal.wav_decoder(junk)
+            assert False, f"should have raised: {junk[:12]!r}"
+        except ValueError:
+            pass
+
+
+def test_avi_decoder_golden_features():
+    """Hand-computed golden for a 2-frame 2x2 video: frame sampling picks
+    frames (fi*2+1)//4 -> [0,0,1,1] and the 2x2 pixel grid covers all
+    four pixels — real pixel math through the AVI container."""
+    red = bytes([255, 0, 0] * 4)       # frame 0: all red
+    blue = bytes([0, 0, 255] * 4)      # frame 1: all blue
+    payload = multimodal.encode_avi(2, 2, [red, blue])
+    feats = multimodal.avi_decoder(payload)
+    gray = {"r": 76 / 255.0, "b": 29 / 255.0}
+    assert feats == [gray["r"]] * 8 + [gray["b"]] * 8
+
+
+def test_avi_roundtrip_frames():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    frames = [
+        rng.integers(0, 256, size=3 * 5 * 3, dtype=np.uint8).tobytes()
+        for _ in range(4)
+    ]
+    payload = multimodal.encode_avi(5, 3, frames)
+    w, h, stride, offs = multimodal._parse_avi_header(payload)
+    assert (w, h) == (5, 3) and len(offs) == 4
+    # decode frame 2 back to top-down RGB and compare to the original
+    off, ln = offs[2]
+    dib = payload[off : off + ln]
+    rows = [dib[y * stride : y * stride + 3 * w] for y in range(h)][::-1]
+    rgb = b"".join(
+        bytes((px[2], px[1], px[0]))
+        for row in rows
+        for px in (row[3 * x : 3 * x + 3] for x in range(w))
+    )
+    assert rgb == frames[2]
+
+
+def test_avi_decoder_rejects_garbage():
+    good = multimodal.encode_avi(2, 2, [bytes(12)])
+    no_frames = good[: good.index(b"00db")]  # truncate before any frame
+    for junk in [b"", b"JUNK" + good[4:], b"RIFF" + b"\x00" * 40, no_frames]:
+        try:
+            multimodal.avi_decoder(junk)
             assert False, f"should have raised: {junk[:12]!r}"
         except ValueError:
             pass

@@ -388,18 +388,31 @@ def _synth_media(n: int = 200, seed: int = 42):
             pcm = rng.integers(-32768, 32768, size=frames * channels, dtype=np.int16)
             payload_len = 44 + 2 * frames * channels
         else:
-            size = int(rng.integers(64, 4096)) * 8
-            payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
-            payload_len = size
+            w = int(rng.integers(4, 17))
+            h = int(rng.integers(4, 17))
+            n_frames = int(rng.integers(2, 11))
+            vframes = [
+                rng.integers(0, 256, size=3 * w * h, dtype=np.uint8).tobytes()
+                for _ in range(n_frames)
+            ]
+            payload = vframes  # list of pre-encode RGB frames
+            payload_len = None  # AVI length not needed by any derivation
         empty = i % 37 == 0
         corrupt = (not empty) and (
-            i % 51 == 0 or (kind == "audio" and i % 55 == 0)
+            i % 51 == 0
+            or (kind == "audio" and i % 55 == 0)
+            or (kind == "video" and i % 56 == 0)
         )
         out.append(
             (i, kind, payload_len, rgb, w, h, payload, pcm, sr, channels,
              empty, corrupt)
         )
     return out
+
+
+def _gray(rgb: bytes, w: int, x: int, y: int) -> float:
+    r, g, b = rgb[3 * (y * w + x) : 3 * (y * w + x) + 3]
+    return (299 * r + 587 * g + 114 * b) // 1000 / 255.0
 
 
 def _wav_feats(pcm: np.ndarray, sr: int, channels: int) -> list[float]:
@@ -437,19 +450,36 @@ def mm_extract_features(sf_dir: str, n: int = 200, seed: int = 42) -> list[tuple
         if empty or corrupt:
             ok, feats = False, None
         elif kind == "image":
-            feats = []
-            for fi in range(4):
-                y = min(h - 1, (fi * h + h // 2) // 4)
-                for fj in range(4):
-                    x = min(w - 1, (fj * w + w // 2) // 4)
-                    r, g, b = rgb[3 * (y * w + x) : 3 * (y * w + x) + 3]
-                    feats.append((299 * r + 587 * g + 114 * b) // 1000 / 255.0)
+            feats = [
+                _gray(
+                    rgb,
+                    w,
+                    min(w - 1, (fj * w + w // 2) // 4),
+                    min(h - 1, (fi * h + h // 2) // 4),
+                )
+                for fi in range(4)
+                for fj in range(4)
+            ]
             ok = True
         elif kind == "audio":
             feats, ok = _wav_feats(pcm, sr, channels), True
         else:
-            d = hashlib.sha256(payload).digest()
-            feats, ok = [b / 255.0 for b in d[:16]], True
+            # video: 4 evenly-sampled frames x 2x2 pixel grid, re-derived
+            # from the ORIGINAL per-frame RGB (checks the AVI round trip)
+            vframes = payload
+            nf = len(vframes)
+            feats = [
+                _gray(
+                    vframes[min(nf - 1, (fi * nf + nf // 2) // 4)],
+                    w,
+                    min(w - 1, (gx * w + w // 2) // 2),
+                    min(h - 1, (gy * h + h // 2) // 2),
+                )
+                for fi in range(4)
+                for gy in range(2)
+                for gx in range(2)
+            ]
+            ok = True
         per_kind.setdefault(kind, []).append((ok, feats))
 
     rows = []
@@ -478,14 +508,26 @@ def mm_sample_frames(
     max_frames: int = 8,
 ) -> list[tuple]:
     rows = []
-    for (i, kind, plen, _rgb, _w, _h, _payload, _pcm, _sr, _ch, empty,
-         _c) in _synth_media(n, seed):
+    for (i, kind, _plen, _rgb, w, h, payload, _pcm, _sr, _ch, empty,
+         corrupt) in _synth_media(n, seed):
         if kind != "video":
             continue
-        length = 0 if empty else plen
-        nf = min(max_frames, length // every_n_bytes)
-        if nf > 0:
-            rows.append((i, nf, nf * every_n_bytes))
+        if empty:
+            continue
+        stride = 3 * w + ((-3 * w) % 4)
+        n_frames = len(payload)
+        if corrupt:
+            # JUNK prefix keeps the AVI byte length; the engine falls back
+            # to fixed-size byte slices. Container layout: 8 (RIFF hdr) +
+            # 4 ('AVI ') + 196 (hdrl) + 12 (movi LIST hdr) + per-frame
+            # (8-byte chunk hdr + stride*h DIB)
+            length = 220 + n_frames * (8 + stride * h)
+            nf = min(max_frames, length // every_n_bytes)
+            if nf > 0:
+                rows.append((i, nf, nf * every_n_bytes))
+            continue
+        nf = min(max_frames, n_frames)
+        rows.append((i, nf, nf * stride * h))
     return sorted(rows)
 
 
