@@ -33,6 +33,12 @@ MAX_EXCHANGES = 4
 
 # (query, flag-kind) pairs that are understood and accepted, with why.
 ALLOWED: dict[tuple[str, str], str] = {
+    ("docs_minhash_lsh_dedup", "exchanges"): "the hot-bucket cap is fully "
+    "lazy (r5): its semi/anti split, rank window, and union sit in the "
+    "static plan unconditionally so no driver-blocking count() gates the "
+    "operator — on a healthy corpus those exchanges carry ~zero rows "
+    "(hot list empty), and removing the count() job measured ~0.5 s "
+    "faster at sf0.1 (BASELINE.md round-5 notes)",
     ("emb_cosine_topk", "bnlj"): "query side is a broadcast of a bounded "
     "query set joined on a non-equi self-exclusion — by design; corpus "
     "side streams once",
