@@ -314,6 +314,46 @@ def lsh_near_dup_pairs(
     )
 
 
+def _ivf_centroid_frame(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+) -> DataFrame:
+    """Deterministic 'centroid' pick: the n_cells corpus vectors with the
+    lowest xxhash64(id) (cheap stand-in for k-means; same plan shape),
+    numbered 0..n_cells-1 in hash order."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("cell_src"),
+            F.col(vec_col).alias("centroid"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_cells)
+        .withColumn("cell", F.row_number().over(W.orderBy("h")) - 1)
+        .select("cell", "centroid")
+    )
+
+
+def _centroid_literal(cent_rows) -> Column:
+    """Embed the collected centroid rows as a literal array of (cell,
+    centroid) structs — the broadcast-as-expression form the narrow
+    assignment uses."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cell"])).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias(
+                    "centroid"
+                ),
+            )
+            for r in sorted(cent_rows, key=lambda r: r["cell"])
+        ]
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -328,20 +368,10 @@ def ivf_topk(
     (cheap stand-in for k-means; same plan shape), vectors assigned to
     nearest centroid, queries probe their n_probe nearest cells.
 
-    At scale the corpus->cell assignment is written bucketed by cell once;
-    queries then read only probed cells (partition pruning)."""
-    # Deterministic 'centroid' pick: lowest xxhash64 of id, n_cells rows.
-    cents = (
-        corpus.select(
-            F.col(id_col).alias("cell_src"),
-            F.col(vec_col).alias("centroid"),
-            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("h"),
-        )
-        .orderBy("h")
-        .limit(n_cells)
-        .withColumn("cell", F.row_number().over(W.orderBy("h")) - 1)
-        .select("cell", "centroid")
-    )
+    At scale, build the cell-partitioned index ONCE with ivf_build_index
+    and serve queries from ivf_topk_indexed — same math, but the probe
+    reads only the probed cells' files (partition pruning)."""
+    cents = _ivf_centroid_frame(corpus, n_cells, id_col, vec_col, seed)
     # The centroid table is n_cells rows by construction — embed it as a
     # literal array so the corpus-side nearest-cell assignment is a NARROW
     # projection (argmin via array_min over (dist, cell) structs: struct
@@ -351,53 +381,60 @@ def ivf_topk(
     # driver-side collect is n_cells rows (16), the same payload a
     # broadcast would ship.
     cent_rows = cents.collect()
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cell"])).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias(
-                    "centroid"
-                ),
-            )
-            for r in cent_rows
-        ]
+    cent_lit = _centroid_literal(cent_rows)
+
+    ca = _assign_nearest(corpus, cent_lit, id_col, vec_col, "neighbor")
+    qa = _assign_probes(queries, cents, id_col, vec_col, "query", n_probe)
+    return _rank_cell_candidates(ca, qa, k)
+
+
+def _assign_nearest(
+    df: DataFrame, cent_lit: Column, id_col: str, vec_col: str, prefix: str
+) -> DataFrame:
+    """Narrow nearest-cell assignment (argmin over the literal centroid
+    array; no shuffle — see ivf_topk)."""
+    best = F.array_min(
+        F.transform(
+            cent_lit,
+            lambda s: F.struct(
+                (-cosine(F.col(vec_col), s["centroid"])).alias("dist"),
+                s["cell"].alias("cell"),
+            ),
+        )
+    )
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        F.col(vec_col).alias(f"{prefix}_vec"),
+        best["cell"].alias("cell"),
     )
 
-    def assign_nearest(df: DataFrame, prefix: str) -> DataFrame:
-        best = F.array_min(
-            F.transform(
-                cent_lit,
-                lambda s: F.struct(
-                    (-cosine(F.col(vec_col), s["centroid"])).alias("dist"),
-                    s["cell"].alias("cell"),
-                ),
-            )
-        )
-        return df.select(
+
+def _assign_probes(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    prefix: str,
+    n: int,
+) -> DataFrame:
+    """Query-side n-nearest-cells (rank form; queries are few, so the
+    window shuffle is trivially small)."""
+    joined = df.crossJoin(F.broadcast(cents)).withColumn(
+        "dist", -cosine(F.col(vec_col), F.col("centroid"))
+    )
+    w = W.partitionBy(id_col).orderBy("dist", "cell")
+    return (
+        joined.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= n)
+        .select(
             F.col(id_col).alias(f"{prefix}_id"),
             F.col(vec_col).alias(f"{prefix}_vec"),
-            best["cell"].alias("cell"),
+            "cell",
         )
+    )
 
-    def assign_probes(df: DataFrame, prefix: str, n: int) -> DataFrame:
-        # Query side keeps the rank form (n_probe > 1 cells per query);
-        # queries are few, so the window shuffle is trivially small.
-        joined = df.crossJoin(F.broadcast(cents)).withColumn(
-            "dist", -cosine(F.col(vec_col), F.col("centroid"))
-        )
-        w = W.partitionBy(id_col).orderBy("dist", "cell")
-        return (
-            joined.withColumn("crank", F.row_number().over(w))
-            .where(F.col("crank") <= n)
-            .select(
-                F.col(id_col).alias(f"{prefix}_id"),
-                F.col(vec_col).alias(f"{prefix}_vec"),
-                "cell",
-            )
-        )
 
-    ca = assign_nearest(corpus, "neighbor")
-    qa = assign_probes(queries, "query", n_probe)
+def _rank_cell_candidates(ca: DataFrame, qa: DataFrame, k: int) -> DataFrame:
     cand = (
         ca.join(F.broadcast(qa), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -412,3 +449,66 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Materialize the IVF index: the corpus written partitioned by its
+    nearest cell (`path/cell=<n>/...`), centroids alongside at
+    `path/_centroids` (underscore-prefixed, so corpus readers skip it).
+    One narrow pass over the corpus + one partitioned write — this is the
+    'written bucketed by cell once' half of the 100 TB plan; at that
+    scale you rebuild when centroid drift degrades recall, not per
+    query."""
+    cents = _ivf_centroid_frame(corpus, n_cells, id_col, vec_col, seed)
+    cent_rows = cents.collect()
+    assigned = _assign_nearest(
+        corpus, _centroid_literal(cent_rows), id_col, vec_col, "neighbor"
+    )
+    (
+        assigned.withColumnRenamed("neighbor_id", id_col)
+        .withColumnRenamed("neighbor_vec", vec_col)
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    cents.write.mode("overwrite").parquet(path + "/_centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve ANN queries from a materialized ivf_build_index: assign each
+    query its n_probe nearest cells from the stored centroids, then scan
+    ONLY those cells' files — the `cell` partition filter prunes at the
+    source (PartitionFilters in the scan, asserted in tests), so probe
+    cost tracks the probed fraction of the corpus, not its size. Result
+    is bit-identical to ivf_topk on the same corpus/parameters."""
+    cents = spark.read.parquet(path + "/_centroids")
+    qa = _assign_probes(queries, cents, id_col, vec_col, "query", n_probe)
+    # The probed-cell set is tiny (<= n_queries x n_probe distinct ints);
+    # collecting it makes the pruning predicate a literal IN-list the
+    # parquet source can evaluate against partition directories.
+    probe_cells = sorted({r["cell"] for r in qa.select("cell").distinct().collect()})
+    ca = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(probe_cells))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("neighbor_vec"),
+            "cell",
+        )
+    )
+    return _rank_cell_candidates(ca, qa, k)

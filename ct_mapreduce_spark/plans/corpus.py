@@ -1298,6 +1298,27 @@ def emb_ann_ivf(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@q("emb_ann_ivf_indexed", _pin("emb_ann_ivf"), "similarity")
+def emb_ann_ivf_indexed(spark, sf_dir):
+    """The 100 TB serving shape of emb_ann_ivf: build the cell-partitioned
+    index once (idempotent per sf_dir), probe with partition pruning
+    (PartitionFilters carries the probed-cell IN-list — asserted in
+    tests/test_llm_ops.py). Bit-identical to the inline path by
+    construction, so it shares emb_ann_ivf's independently re-derived
+    pin."""
+    import hashlib as _h
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = f"/tmp/ctspark_ivf_idx_{_h.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if not os.path.exists(idx + "/_centroids/_SUCCESS"):
+        similarity.ivf_build_index(emb, idx)
+    out = similarity.ivf_topk_indexed(
+        spark, idx, emb.where(F.col("vec_id") < 8), k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # North-star: multimodal column plumbing (stubbed codecs, real plumbing)
 # ---------------------------------------------------------------------------

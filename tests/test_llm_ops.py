@@ -616,3 +616,44 @@ def test_avi_decoder_rejects_garbage():
             assert False, f"should have raised: {junk[:12]!r}"
         except ValueError:
             pass
+
+
+def test_ivf_indexed_matches_inline_and_prunes(spark, emb, tmp_path):
+    """The materialized index path (build once, probe with partition
+    pruning) returns BIT-IDENTICAL results to inline ivf_topk, and the
+    probe scan carries the cell partition filter — reads track the probed
+    fraction of the corpus, not its size (the 100 TB serving shape)."""
+    idx = str(tmp_path / "ivf_idx")
+    similarity.ivf_build_index(emb, idx)
+    queries = emb.where(F.col("vec_id") < 8)
+
+    inline = sorted(tuple(r) for r in similarity.ivf_topk(emb, queries, k=5).collect())
+    served = similarity.ivf_topk_indexed(spark, idx, queries, k=5)
+    assert sorted(tuple(r) for r in served.collect()) == inline
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters", 1)[1][:120]
+    # Spark renders small literal sets as `IN (..)`, large ones as `INSET ..`
+    assert "cell" in pf and ("INSET" in pf or "IN (" in pf), pf
+
+    # pruning is real: probing ONE query reads exactly its n_probe cells
+    import re
+
+    one = similarity.ivf_topk_indexed(
+        spark, idx, emb.where(F.col("vec_id") == 3), k=5
+    )
+    pf1 = (
+        one._jdf.queryExecution().executedPlan().toString()
+        .split("PartitionFilters", 1)[1]
+    )
+    m = re.search(r"cell#\d+ IN \(([^)]*)\)", pf1) or re.search(
+        r"cell#\d+ INSET ([\d, ]+)", pf1
+    )
+    assert m, pf1[:160]
+    assert len(m.group(1).split(",")) == 4, m.group(1)  # n_probe cells, not 16
+    # the index layout: one directory per cell + hidden centroids table
+    import os
+
+    cells = {d for d in os.listdir(idx) if d.startswith("cell=")}
+    assert len(cells) == 16 and "_centroids" in os.listdir(idx)
