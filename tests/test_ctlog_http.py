@@ -151,3 +151,39 @@ def test_spark_batch_read_over_http(spark, ct_server):
     first = next(r for r in rows if r.entry_id == 100)
     assert bytes(first.serial) == d[:8]
     assert first.issuer_id == f"issuer-{d[16] % 8}"
+
+
+def test_spark_streaming_read_over_http(spark, ct_server, tmp_path):
+    """The streaming reader shares the HTTP fetcher seam: micro-batches
+    fetch ranged get-entries over the wire (429s retried) and the
+    tree-head growth loop still applies."""
+    import json as _json
+
+    sth = tmp_path / "sth.json"
+    sth.write_text(_json.dumps({"tree_size": 1500}))
+    ct_server.reject_first = 1
+    spark.dataSource.register(CTLogDataSource)
+    stream = (
+        spark.readStream.format("ctlog")
+        .option("transport", "http")
+        .option("base_url", f"http://127.0.0.1:{ct_server.server_address[1]}")
+        .option("backoff_min_ms", 10)
+        .option("backoff_max_ms", 50)
+        .option("log_url", "http-log")
+        .option("sth_path", str(sth))
+        .option("max_entries_per_trigger", 600)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("http_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    # the log grows; the next trigger must observe the new tree head
+    sth.write_text(_json.dumps({"tree_size": 2000}))
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("http_stream").collect()
+    assert {r.entry_id for r in rows} == set(range(0, 2000))
