@@ -512,3 +512,48 @@ def ivf_topk_indexed(
         )
     )
     return _rank_cell_candidates(ca, qa, k)
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|, q_i =
+    round(127 * x_i / scale) as TINYINT — 4x smaller embedding storage
+    (the knob that matters when the embedding table is a large fraction
+    of a 100 TB corpus). Pure expressions (transform/aggregate in
+    codegen); zero vectors get scale 0 and all-zero codes. Reconstruction
+    x~ = q * scale / 127; max abs error <= scale/254 by construction."""
+    x = F.col(vec_col)
+    scale = F.aggregate(
+        x, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v.cast("double")))
+    )
+    return emb.select(
+        id_col,
+        scale.alias("scale"),
+        F.when(
+            scale > 0,
+            F.transform(
+                x,
+                lambda v: F.round(v.cast("double") * 127.0 / scale).cast(
+                    "tinyint"
+                ),
+            ),
+        )
+        .otherwise(F.transform(x, lambda v: F.lit(0).cast("tinyint")))
+        .alias("qvec"),
+    )
+
+
+def dequantize_embeddings(
+    q: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Inverse of quantize_embeddings: x~_i = q_i * scale / 127 (double)."""
+    return q.select(
+        id_col,
+        F.transform(
+            F.col("qvec"),
+            lambda v: v.cast("double") * F.col("scale") / F.lit(127.0),
+        ).alias("embedding"),
+    )

@@ -1298,6 +1298,57 @@ def emb_ann_ivf(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@q(
+    "emb_quantize_error",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS x,
+             list_max(list_transform(embedding::DOUBLE[], v -> abs(v))) AS scale
+      FROM embeddings
+    ), quant AS (
+      SELECT vec_id, x, scale,
+             CASE WHEN scale > 0
+                  THEN list_transform(x, v -> CAST(round(v * 127.0 / scale) AS BIGINT))
+                  ELSE list_transform(x, v -> CAST(0 AS BIGINT)) END AS qv
+      FROM base
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale_r,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           round(list_max(list_transform(generate_series(1, array_length(x)),
+                 i -> abs(qv[i] * scale / 127.0 - x[i]))), 6) AS max_abs_err
+    FROM quant
+    """,
+    "similarity",
+)
+def emb_quantize_error(spark, sf_dir):
+    """Symmetric int8 embedding quantization (4x storage shrink — the
+    knob that matters when the embedding table dominates a 100 TB corpus)
+    with per-vector reconstruction-error audit. Pure codegen expressions
+    both sides; scale/q/error are order-independent (max, elementwise),
+    so the DuckDB oracle is a full value oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = similarity.quantize_embeddings(emb).join(emb, "vec_id")
+    err = F.array_max(
+        F.zip_with(
+            "qvec",
+            "embedding",
+            lambda qv, v: F.abs(
+                qv.cast("double") * F.col("scale") / F.lit(127.0)
+                - v.cast("double")
+            ),
+        )
+    )
+    return qdf.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.array_max(F.col("qvec").cast("array<bigint>")).alias("q_max"),
+        F.array_min(F.col("qvec").cast("array<bigint>")).alias("q_min"),
+        F.round(err, 6).alias("max_abs_err"),
+    )
+
+
 @q("emb_ann_ivf_indexed", _pin("emb_ann_ivf"), "similarity")
 def emb_ann_ivf_indexed(spark, sf_dir):
     """The 100 TB serving shape of emb_ann_ivf: build the cell-partitioned

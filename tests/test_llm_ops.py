@@ -657,3 +657,25 @@ def test_ivf_indexed_matches_inline_and_prunes(spark, emb, tmp_path):
 
     cells = {d for d in os.listdir(idx) if d.startswith("cell=")}
     assert len(cells) == 16 and "_centroids" in os.listdir(idx)
+
+
+def test_quantize_roundtrip_error_bound(spark, emb):
+    """int8 symmetric quantization: codes within [-127, 127], zero-scale
+    vectors all-zero, and reconstruction error <= scale/254 + eps per
+    vector (half a quantization step)."""
+    q = similarity.quantize_embeddings(emb)
+    deq = similarity.dequantize_embeddings(q)
+    joined = (
+        q.join(emb, "vec_id")
+        .join(deq.withColumnRenamed("embedding", "recon"), "vec_id")
+        .collect()
+    )
+    assert len(joined) == 500
+    for r in joined:
+        assert all(-127 <= v <= 127 for v in r.qvec)
+        if r.scale == 0:
+            assert all(v == 0 for v in r.qvec)
+            continue
+        bound = r.scale / 254.0 + 1e-12
+        for orig, rec in zip(r.embedding, r.recon):
+            assert abs(rec - float(orig)) <= bound, (r.vec_id, orig, rec)
