@@ -52,6 +52,37 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def exact_dedup_by_priority(
+    docs: DataFrame,
+    priority: Column | str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact dedup keeping the BEST copy instead of the first: canonical
+    row = max_by(doc_id, (priority, -doc_id)) per content hash. Training
+    pipelines usually prefer the longest / highest-quality duplicate over
+    the lowest-id one; `priority` is any numeric expression (e.g. a
+    quality score or `F.length("text")`). Ties break to the LOWEST doc_id
+    deterministically (the struct compares (priority, -doc_id)
+    lexicographically). Same one-shuffle shape as exact_dedup — map-side
+    combine keeps the shuffle at one row per (hash, partition)."""
+    p = F.col(priority) if isinstance(priority, str) else priority
+    tagged = docs.select(
+        F.md5(F.col(text_col)).alias("content_hash"),
+        "doc_id",
+        p.cast("double").alias("_prio"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("_prio").alias("p"), (-F.col("doc_id")).alias("negid")
+        )
+    )
+    return tagged.groupBy("content_hash").agg(
+        (-best["negid"]).cast("long").alias("canonical_doc_id"),
+        best["p"].alias("canonical_priority"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
 def _shingle_table(docs: DataFrame, text_col: str, k: int) -> DataFrame:
     return docs.select(
         "doc_id", F.explode(shingles(text_col, k)).alias("shingle")

@@ -1150,6 +1150,40 @@ def docs_exact_dedup(spark, sf_dir):
 
 
 @q(
+    "docs_exact_dedup_best",
+    """
+    WITH t AS (
+      SELECT md5(text) AS content_hash, doc_id,
+             CAST(n_chars AS DOUBLE) AS p
+      FROM documents
+    ), agg AS (
+      SELECT content_hash, max(p) AS canonical_priority,
+             count(*) AS n_copies
+      FROM t GROUP BY content_hash
+    )
+    SELECT a.content_hash,
+           CAST(min(t.doc_id) AS BIGINT) AS canonical_doc_id,
+           a.canonical_priority, a.n_copies
+    FROM agg a
+    JOIN t ON t.content_hash = a.content_hash AND t.p = a.canonical_priority
+    GROUP BY a.content_hash, a.canonical_priority, a.n_copies
+    """,
+    "dedup",
+)
+def docs_exact_dedup_best(spark, sf_dir):
+    """Exact dedup keeping the BEST duplicate (highest n_chars here; any
+    quality score in production), lowest doc_id on ties — the keep-best
+    policy training pipelines want, in the same one-shuffle shape as
+    first-seen dedup."""
+    out = dedup_fuzzy.exact_dedup_by_priority(
+        _t(spark, sf_dir, "documents"), priority="n_chars"
+    )
+    return out.select(
+        "content_hash", "canonical_doc_id", "canonical_priority", "n_copies"
+    )
+
+
+@q(
     "docs_ngram_jaccard",
     r"""
     WITH words AS (

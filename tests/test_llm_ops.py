@@ -679,3 +679,23 @@ def test_quantize_roundtrip_error_bound(spark, emb):
         bound = r.scale / 254.0 + 1e-12
         for orig, rec in zip(r.embedding, r.recon):
             assert abs(rec - float(orig)) <= bound, (r.vec_id, orig, rec)
+
+
+def test_exact_dedup_by_priority_keeps_best_then_lowest_id(spark):
+    rows = [
+        Row(doc_id=1, text="same", score=2.0),
+        Row(doc_id=2, text="same", score=5.0),   # best -> canonical
+        Row(doc_id=3, text="same", score=5.0),   # tie: higher id loses
+        Row(doc_id=9, text="other", score=1.0),
+    ]
+    out = {
+        r.content_hash: r
+        for r in dedup_fuzzy.exact_dedup_by_priority(
+            spark.createDataFrame(rows), priority="score"
+        ).collect()
+    }
+    assert len(out) == 2
+    by_copies = {r.n_copies: r for r in out.values()}
+    assert by_copies[3].canonical_doc_id == 2   # score 5.0, lowest id wins tie
+    assert by_copies[3].canonical_priority == 5.0
+    assert by_copies[1].canonical_doc_id == 9
