@@ -354,6 +354,62 @@ def _centroid_literal(cent_rows) -> Column:
     )
 
 
+def ivf_refine_centroids(
+    corpus: DataFrame,
+    cent_rows,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Lloyd's refinement of the seeded centroids: assign (narrow argmin,
+    no shuffle) -> per-(cell, dimension) mean -> repeat. The mean uses
+    label_centroids' decimal staging (floor(x * 1e9) summed in
+    DECIMAL(38,0), round-6 output), so every iteration is independent of
+    partial-aggregation order — the refined centroids are bit-stable and
+    therefore pinnable. Per iteration: one narrow pass over the corpus +
+    one map-side-combined shuffle of (cell, pos) keys with O(1) state;
+    the driver handles only n_cells x dim tiny rows (the model
+    parameters, not data). Cells that lose all members keep their
+    previous centroid."""
+    dim = len(cent_rows[0]["centroid"])
+    for _ in range(n_iters):
+        assigned = _assign_nearest(
+            corpus, _centroid_literal(cent_rows), id_col, vec_col, "m"
+        )
+        staged = F.floor(F.col("val").cast("double") * F.lit(1e9)).cast(
+            "decimal(38,0)"
+        )
+        agg = (
+            assigned.select(
+                "cell", F.posexplode(F.col("m_vec")).alias("pos", "val")
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.round(
+                    (F.sum(staged).cast("double") / F.lit(1e9))
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("cv")
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in agg:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["cv"]
+        cent_rows = [
+            {
+                "cell": r["cell"],
+                "centroid": (
+                    [by_cell[r["cell"]][i] for i in range(dim)]
+                    if r["cell"] in by_cell
+                    else [float(x) for x in r["centroid"]]
+                ),
+            }
+            for r in cent_rows
+        ]
+    return cent_rows
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -363,10 +419,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat ANN: centroids = deterministic hash-sampled corpus vectors
-    (cheap stand-in for k-means; same plan shape), vectors assigned to
-    nearest centroid, queries probe their n_probe nearest cells.
+    (optionally Lloyd-refined via refine_iters — see
+    ivf_refine_centroids), vectors assigned to nearest centroid, queries
+    probe their n_probe nearest cells.
 
     At scale, build the cell-partitioned index ONCE with ivf_build_index
     and serve queries from ivf_topk_indexed — same math, but the probe
@@ -381,6 +439,17 @@ def ivf_topk(
     # driver-side collect is n_cells rows (16), the same payload a
     # broadcast would ship.
     cent_rows = cents.collect()
+    if refine_iters:
+        cent_rows = ivf_refine_centroids(
+            corpus, cent_rows, refine_iters, id_col, vec_col
+        )
+        cents = corpus.sparkSession.createDataFrame(
+            [
+                (c["cell"], [float(x) for x in c["centroid"]])
+                for c in cent_rows
+            ],
+            "cell int, centroid array<double>",
+        )
     cent_lit = _centroid_literal(cent_rows)
 
     ca = _assign_nearest(corpus, cent_lit, id_col, vec_col, "neighbor")

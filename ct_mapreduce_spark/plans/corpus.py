@@ -1383,6 +1383,21 @@ def emb_quantize_error(spark, sf_dir):
     )
 
 
+@q("emb_ann_ivf_refined", _pin("emb_ann_ivf_refined"), "similarity")
+def emb_ann_ivf_refined(spark, sf_dir):
+    """IVF with Lloyd-refined centroids (2 iterations of the decimal-
+    staged k-means step — deterministic, so pinnable): better cell
+    balance than the hash-sampled seed, same probe shape. Recall
+    improvement on planted clusters asserted in tests/test_llm_ops.py;
+    pin independently re-derived (tools/independent_oracle.py replays
+    the staged-mean iterations in exact integer arithmetic)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 8), k=5, refine_iters=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @q("emb_ann_ivf_indexed", _pin("emb_ann_ivf"), "similarity")
 def emb_ann_ivf_indexed(spark, sf_dir):
     """The 100 TB serving shape of emb_ann_ivf: build the cell-partitioned

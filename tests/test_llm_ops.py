@@ -699,3 +699,29 @@ def test_exact_dedup_by_priority_keeps_best_then_lowest_id(spark):
     assert by_copies[3].canonical_doc_id == 2   # score 5.0, lowest id wins tie
     assert by_copies[3].canonical_priority == 5.0
     assert by_copies[1].canonical_doc_id == 9
+
+
+def test_ivf_refined_centroids_recall(spark):
+    """Lloyd refinement must not hurt — and on planted clusters with a
+    tight probe budget (n_probe=2) it should meet the 0.9 bar, where the
+    raw hash-sampled seed can land multiple centroids in one cluster and
+    leave another unrepresented."""
+    corpus, per = _planted_cluster_corpus(spark)
+    queries = corpus.where(F.col("vec_id") % per < 2)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(corpus, queries, k=5).collect()
+    }
+
+    def recall(refine_iters):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(
+                corpus, queries, k=5, n_probe=2, refine_iters=refine_iters
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0 - 0.02, (r0, r2)  # refinement must not regress
+    assert r2 >= 0.9, f"refined IVF recall@5 (n_probe=2) = {r2} (seed {r0})"

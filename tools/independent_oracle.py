@@ -315,6 +315,7 @@ def emb_ann_ivf(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> list[tuple]:
     ids, vecs = _load_embeddings(sf_dir)
     hs = [(spark_xxhash64(str(vid), Int32(seed)), vid, i) for i, vid in enumerate(ids)]
@@ -323,6 +324,29 @@ def emb_ann_ivf(
 
     def dists(v: np.ndarray) -> list[tuple[float, int]]:
         return [(-_cosine(v, c), cell) for cell, c in enumerate(centroids)]
+
+    for _ in range(refine_iters):
+        # Lloyd step, replicating the engine's decimal-staged mean:
+        # sum(floor(float64(v) * 1e9)) exactly (Python ints), cast the
+        # integer sum to double, /1e9, /count, ROUND_HALF_UP at 6.
+        members: dict[int, list[np.ndarray]] = {}
+        for v in vecs:
+            members.setdefault(min(dists(v))[1], []).append(v)
+        new_centroids = []
+        for cell, c in enumerate(centroids):
+            ms = members.get(cell)
+            if not ms:
+                new_centroids.append(np.asarray(c, dtype=np.float64))
+                continue
+            dim = len(ms[0])
+            cv = []
+            for pos in range(dim):
+                staged_sum = sum(
+                    int(np.floor(np.float64(m[pos]) * 1e9)) for m in ms
+                )
+                cv.append(_round6(float(staged_sum) / 1e9 / len(ms)))
+            new_centroids.append(np.asarray(cv, dtype=np.float64))
+        centroids = new_centroids
 
     assign = {ids[i]: min(dists(v)) [1] for i, v in enumerate(vecs)}
     qidx = [i for i, vid in enumerate(ids) if vid < 8]
@@ -335,6 +359,10 @@ def emb_ann_ivf(
             cos = _round6(_cosine(vecs[qi], vecs[ci]))
             scored[ids[qi]].append((cos, cid))
     return _rank_topk(scored, k)
+
+
+def emb_ann_ivf_refined(sf_dir: str) -> list[tuple]:
+    return emb_ann_ivf(sf_dir, refine_iters=2)
 
 
 # ---------------------------------------------------------------------------
@@ -536,6 +564,7 @@ DERIVATIONS = {
     "docs_simhash_pairs": docs_simhash_pairs,
     "emb_ann_lsh": emb_ann_lsh,
     "emb_ann_ivf": emb_ann_ivf,
+    "emb_ann_ivf_refined": emb_ann_ivf_refined,
     "emb_lsh_near_dup": emb_lsh_near_dup,
     "s1_ctlog_scan": s1_ctlog_scan,
     "mm_extract_features": mm_extract_features,
