@@ -1150,6 +1150,106 @@ def docs_exact_dedup(spark, sf_dir):
 
 
 @q(
+    "docs_repetition_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t
+    ), cnt AS (
+      SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac,
+           round(1.0 - count(*)::DOUBLE / sum(c), 6) AS dup_bigram_frac
+    FROM cnt GROUP BY doc_id
+    """,
+    "text",
+)
+def docs_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals per document: total/distinct
+    bigram counts, the most frequent bigram's share, and the duplicate-
+    bigram fraction — the standard 'remove repetitive documents' curation
+    rules. Two map-side-combined aggregations ((doc, bigram) then doc);
+    no windows, no Python. Docs with < 2 tokens emit no row (no bigrams)
+    on both engines."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return bg.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+            "top_bigram_frac"
+        ),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("c"), 6
+        ).alias("dup_bigram_frac"),
+    )
+
+
+@q(
+    "docs_token_entropy",
+    r"""
+    WITH t AS (
+      SELECT doc_id, unnest(str_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+    FROM cnt GROUP BY doc_id
+    """,
+    "text",
+)
+def docs_token_entropy(spark, sf_dir):
+    """Shannon entropy of the per-document token distribution (a cheap
+    perplexity proxy for quality filtering: near-zero = degenerate
+    repetition, high = diverse text). Single-pass identity
+    H = log2(n) - sum(c*log2(c))/n over the (doc, token) counts — one
+    map-side-combined shuffle, no second pass for n. The float term sum
+    is order-sensitive only at the 1e-14 scale (terms are O(c*log2 c)),
+    six decimal places below the round-6 output grid."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    cnt = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return cnt.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 6
+        ).alias("entropy"),
+    )
+
+
+@q(
     "docs_exact_dedup_best",
     """
     WITH t AS (
