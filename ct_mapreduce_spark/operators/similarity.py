@@ -527,6 +527,7 @@ def ivf_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> None:
     """Materialize the IVF index: the corpus written partitioned by its
     nearest cell (`path/cell=<n>/...`), centroids alongside at
@@ -537,6 +538,14 @@ def ivf_build_index(
     query."""
     cents = _ivf_centroid_frame(corpus, n_cells, id_col, vec_col, seed)
     cent_rows = cents.collect()
+    if refine_iters:
+        cent_rows = ivf_refine_centroids(
+            corpus, cent_rows, refine_iters, id_col, vec_col
+        )
+        cents = corpus.sparkSession.createDataFrame(
+            [(c["cell"], [float(x) for x in c["centroid"]]) for c in cent_rows],
+            "cell int, centroid array<double>",
+        )
     assigned = _assign_nearest(
         corpus, _centroid_literal(cent_rows), id_col, vec_col, "neighbor"
     )
