@@ -38,6 +38,9 @@ HEADLINE = [
     # round-2 additions (first recorded run = their baseline)
     "q18_large_orders",
     "j7_asof_join",
+    # round-5 additions (first recorded run = their baseline)
+    "emb_ann_ivf",
+    "docs_repetition_stats",
 ]
 
 # min-of-3: the first run pays JIT/codegen warmup and local-mode timings

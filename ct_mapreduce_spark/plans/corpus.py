@@ -1177,21 +1177,24 @@ def docs_repetition_stats(spark, sf_dir):
     bigram fraction — the standard 'remove repetitive documents' curation
     rules. Two map-side-combined aggregations ((doc, bigram) then doc);
     no windows, no Python. Docs with < 2 tokens emit no row (no bigrams)
-    on both engines."""
+    on both engines.
+
+    Bigram construction is arrays_zip over two shifted slices — pure
+    codegen'd array ops. The transform(idx, element_at...) higher-order
+    form computes the same thing but is interpreted per element (measured
+    17x slower at sf0.1): keep lambdas off hot explode paths."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    idx = F.sequence(F.lit(1), F.size(toks) - 1)
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    n1 = F.size(toks) - 1
+    pairs = F.when(
+        n1 >= 1, F.arrays_zip(F.slice(toks, 1, n1), F.slice(toks, 2, n1))
+    ).otherwise(F.array().cast("array<struct<`0`:string,`1`:string>>"))
     bg = (
         _t(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("bigram"),
+        )
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
