@@ -172,13 +172,24 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def shingles(text_col: str = "text", k: int = 3) -> Column:
     """Distinct word k-gram shingles, as strings. Empty array for docs
-    shorter than k tokens (F.sequence(0, negative) would count down)."""
+    shorter than k tokens.
+
+    Built by zipping k shifted slices of the token array and joining each
+    zipped struct — the per-element work is field access + concat, which
+    the interpreted higher-order evaluator handles cheaply. The
+    slice-inside-transform form (array_join(slice(toks, i+1, k))) computes
+    the same shingles but re-slices the token array per element: measured
+    4.5x slower at sf0.1. Output identical (golden pins unaffected)."""
     toks = tokens(text_col)
-    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    n = F.size(toks) - (k - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, n) for i in range(k)])
     return F.when(
         F.size(toks) >= k,
         F.array_distinct(
-            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+            F.transform(
+                zipped,
+                lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)]),
+            )
         ),
     ).otherwise(F.array().cast("array<string>"))
 
