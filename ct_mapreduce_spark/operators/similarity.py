@@ -337,10 +337,25 @@ def _ivf_centroid_frame(
     )
 
 
+def _py_fold_norm(vec) -> float:
+    """Driver-side replica of _norm's left fold (float32->double exact,
+    sequential accumulation, IEEE sqrt) — bit-identical to the engine
+    evaluating _norm on the same values, which the independent-oracle pin
+    gate proves continuously."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def _centroid_literal(cent_rows) -> Column:
     """Embed the collected centroid rows as a literal array of (cell,
-    centroid) structs — the broadcast-as-expression form the narrow
-    assignment uses."""
+    centroid, norm) structs — the broadcast-as-expression form the narrow
+    assignment uses. The norm is precomputed driver-side (bit-identical
+    fold) so the per-row-per-cell interpreted work is one dot product,
+    not dot + two norm folds."""
     return F.array(
         *[
             F.struct(
@@ -348,6 +363,7 @@ def _centroid_literal(cent_rows) -> Column:
                 F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias(
                     "centroid"
                 ),
+                F.lit(_py_fold_norm(r["centroid"])).alias("norm"),
             )
             for r in sorted(cent_rows, key=lambda r: r["cell"])
         ]
@@ -461,19 +477,35 @@ def _assign_nearest(
     df: DataFrame, cent_lit: Column, id_col: str, vec_col: str, prefix: str
 ) -> DataFrame:
     """Narrow nearest-cell assignment (argmin over the literal centroid
-    array; no shuffle — see ivf_topk)."""
+    array; no shuffle — see ivf_topk). The row's norm is projected ONCE
+    before the transform (a lambda-captured expression would re-evaluate
+    per cell under the interpreted evaluator) and centroid norms ride as
+    literals, so per-cell work is a single dot fold. dist keeps cosine's
+    exact operand order dot / (norm_row * norm_centroid) — bit-identical
+    to computing cosine() in full."""
+    with_norm = df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        F.col(vec_col).alias(f"{prefix}_vec"),
+        _norm(F.col(vec_col)).alias("_vnorm"),
+    )
     best = F.array_min(
         F.transform(
             cent_lit,
             lambda s: F.struct(
-                (-cosine(F.col(vec_col), s["centroid"])).alias("dist"),
+                (
+                    -(
+                        _dot(F.col(f"{prefix}_vec"), s["centroid"])
+                        / (F.col("_vnorm") * s["norm"])
+                    )
+                ).alias("dist"),
                 s["cell"].alias("cell"),
             ),
         )
     )
-    return df.select(
-        F.col(id_col).alias(f"{prefix}_id"),
-        F.col(vec_col).alias(f"{prefix}_vec"),
+    return with_norm.select(
+        f"{prefix}_id",
+        f"{prefix}_vec",
+        F.col("_vnorm").alias(f"{prefix}_norm"),
         best["cell"].alias("cell"),
     )
 
@@ -498,6 +530,7 @@ def _assign_probes(
         .select(
             F.col(id_col).alias(f"{prefix}_id"),
             F.col(vec_col).alias(f"{prefix}_vec"),
+            _norm(F.col(vec_col)).alias(f"{prefix}_norm"),
             "cell",
         )
     )
@@ -509,8 +542,17 @@ def _rank_cell_candidates(ca: DataFrame, qa: DataFrame, k: int) -> DataFrame:
         .where(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # Re-rank with the norms both sides already carry — same operand
+    # order as cosine() (dot / (norm_q * norm_n)), so values stay
+    # bit-identical while the per-candidate interpreted work drops to
+    # one dot fold.
     scored = cand.withColumn(
-        "cosine", F.round(cosine(F.col("query_vec"), F.col("neighbor_vec")), 6)
+        "cosine",
+        F.round(
+            _dot(F.col("query_vec"), F.col("neighbor_vec"))
+            / (F.col("query_norm") * F.col("neighbor_norm")),
+            6,
+        ),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -552,6 +594,7 @@ def ivf_build_index(
     (
         assigned.withColumnRenamed("neighbor_id", id_col)
         .withColumnRenamed("neighbor_vec", vec_col)
+        .withColumnRenamed("neighbor_norm", "vnorm")  # reused at probe time
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(path)
@@ -586,6 +629,7 @@ def ivf_topk_indexed(
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("neighbor_vec"),
+            F.col("vnorm").alias("neighbor_norm"),
             "cell",
         )
     )

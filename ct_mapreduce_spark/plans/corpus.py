@@ -1513,7 +1513,8 @@ def emb_ann_ivf_indexed(spark, sf_dir):
     import os
 
     emb = _t(spark, sf_dir, "embeddings")
-    idx = f"/tmp/ctspark_ivf_idx_{_h.md5(sf_dir.encode()).hexdigest()[:8]}"
+    # v2: index files now persist the per-vector norm (vnorm column)
+    idx = f"/tmp/ctspark_ivf_idx_{_h.md5(sf_dir.encode()).hexdigest()[:8]}v2"
     if not os.path.exists(idx + "/_centroids/_SUCCESS"):
         similarity.ivf_build_index(emb, idx)
     out = similarity.ivf_topk_indexed(
