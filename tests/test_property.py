@@ -54,3 +54,59 @@ def test_spark_codec_roundtrip_bulk(spark):
         p = payloads[r["i"]]
         assert r["h"] == p.hex()
         assert r["u"] == base64.urlsafe_b64encode(p).decode()
+
+
+@given(
+    st.integers(min_value=1, max_value=24),   # width
+    st.integers(min_value=1, max_value=24),   # height
+    st.integers(min_value=1, max_value=5),    # frames
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_avi_roundtrip_property(w, h, nf, seed):
+    """Any geometry: encode_avi -> parse -> per-frame DIB decodes back to
+    the exact original RGB, in order."""
+    from ct_mapreduce_spark.operators import multimodal
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=3 * w * h, dtype=np.uint8).tobytes()
+        for _ in range(nf)
+    ]
+    payload = multimodal.encode_avi(w, h, frames)
+    pw, ph, stride, offs = multimodal._parse_avi_header(payload)
+    assert (pw, ph, len(offs)) == (w, h, nf)
+    for fi, (off, ln) in enumerate(offs):
+        dib = payload[off : off + ln]
+        rows = [dib[y * stride : y * stride + 3 * w] for y in range(h)][::-1]
+        rgb = b"".join(
+            bytes((px[2], px[1], px[0]))
+            for row in rows
+            for px in (row[3 * x : 3 * x + 3] for x in range(w))
+        )
+        assert rgb == frames[fi]
+
+
+@given(
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(min_value=1, max_value=4),    # channels
+    st.integers(min_value=1, max_value=600),  # frames
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(sr, ch, nf, seed):
+    """Any PCM-16 stream: encode_wav -> decode_wav returns the exact
+    samples, shape, and rate; features are finite and bounded."""
+    import math
+
+    from ct_mapreduce_spark.operators import multimodal
+
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32768, size=nf * ch, dtype=np.int16)
+    payload = multimodal.encode_wav(sr, ch, pcm.tobytes())
+    sr2, ch2, samples = multimodal.decode_wav(payload)
+    assert (sr2, ch2, samples.shape) == (sr, ch, (nf, ch))
+    assert np.array_equal(samples.reshape(-1), pcm)
+    feats = multimodal.wav_features(samples, sr)
+    assert len(feats) == 16
+    assert all(math.isfinite(f) and 0.0 <= f <= 1.0 for f in feats)
