@@ -64,14 +64,27 @@ def cosine_topk(
     once, no shuffle of the corpus side — the only shuffle is the final
     per-query top-k (k rows per query)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
     )
     c = fan_out(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
     )
+    # norms computed once per row/query instead of once per pair; operand
+    # order matches cosine() (dot / (norm_q * norm_c)) => bit-identical
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -137,15 +150,19 @@ def lsh_ann_topk(
     r = n_bits // bands
 
     def banded(df: DataFrame, prefix: str) -> DataFrame:
+        # carries the vector norm (projected once per row) so the
+        # candidate re-rank pays one dot fold, not dot + two norm folds
         return (
             df.select(
                 F.col(id_col).alias(f"{prefix}_id"),
                 F.col(vec_col).alias(f"{prefix}_vec"),
+                _norm(F.col(vec_col)).alias(f"{prefix}_norm"),
                 signature_bits_udf(planes)(F.col(vec_col)).alias("_bits"),
             )
             .select(
                 f"{prefix}_id",
                 f"{prefix}_vec",
+                f"{prefix}_norm",
                 F.explode(
                     F.transform(
                         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -158,7 +175,10 @@ def lsh_ann_topk(
                     )
                 ).alias("bb"),
             )
-            .select(f"{prefix}_id", f"{prefix}_vec", "bb.band", "bb.bucket")
+            .select(
+                f"{prefix}_id", f"{prefix}_vec", f"{prefix}_norm",
+                "bb.band", "bb.bucket",
+            )
         )
     cb = banded(corpus, "neighbor")
     qb = banded(queries, "query")
@@ -169,11 +189,20 @@ def lsh_ann_topk(
             & (cb.bucket == qb.bucket)
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select("query_id", "neighbor_id", "query_vec", "neighbor_vec")
+        .select(
+            "query_id", "neighbor_id", "query_vec", "neighbor_vec",
+            "query_norm", "neighbor_norm",
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # same operand order as cosine() => bit-identical values
     scored = cand.withColumn(
-        "cosine", F.round(cosine(F.col("query_vec"), F.col("neighbor_vec")), 6)
+        "cosine",
+        F.round(
+            _dot(F.col("query_vec"), F.col("neighbor_vec"))
+            / (F.col("query_norm") * F.col("neighbor_norm")),
+            6,
+        ),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -265,6 +294,7 @@ def lsh_near_dup_pairs(
         .select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("vnorm"),  # once per row, for re-rank
             signature_bits_udf(planes)(F.col(vec_col)).alias("_bits"),
         )
         .localCheckpoint(eager=True)
@@ -303,12 +333,28 @@ def lsh_near_dup_pairs(
     )
     # Candidates are sparse: these attach joins move little data, and AQE
     # broadcasts the sides when genuinely small.
-    va = sigs.select(F.col("vid").alias("vec_a"), F.col("vec").alias("_va"))
-    vb = sigs.select(F.col("vid").alias("vec_b"), F.col("vec").alias("_vb"))
+    va = sigs.select(
+        F.col("vid").alias("vec_a"),
+        F.col("vec").alias("_va"),
+        F.col("vnorm").alias("_na"),
+    )
+    vb = sigs.select(
+        F.col("vid").alias("vec_b"),
+        F.col("vec").alias("_vb"),
+        F.col("vnorm").alias("_nb"),
+    )
+    # same operand order as cosine() => bit-identical values
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ),
+        )
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
