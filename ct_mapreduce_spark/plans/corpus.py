@@ -1484,6 +1484,49 @@ def emb_quantize_error(spark, sf_dir):
     )
 
 
+@q(
+    "emb_quantized_topk",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS x,
+             list_max(list_transform(embedding::DOUBLE[], v -> abs(v))) AS scale
+      FROM embeddings
+    ), deq AS (
+      SELECT vec_id,
+             CASE WHEN scale > 0
+                  THEN list_transform(x, v ->
+                       round(v * 127.0 / scale) * scale / 127.0)
+                  ELSE list_transform(x, v -> 0.0) END AS xd
+      FROM base
+    ), q AS (
+      SELECT vec_id AS query_id, xd AS qv FROM deq WHERE vec_id < 8
+    ), scored AS (
+      SELECT query_id, d.vec_id AS neighbor_id,
+             round(list_cosine_similarity(qv, d.xd), 6) AS cosine
+      FROM q, deq d WHERE d.vec_id <> query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+               AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    "similarity",
+)
+def emb_quantized_topk(spark, sf_dir):
+    """Exact top-k over the int8-quantized corpus (dequantize -> cosine):
+    proves the 4x-compressed codes remain searchable — the storage/recall
+    trade a 100 TB embedding table actually runs on. Full DuckDB oracle
+    over the same dequantization arithmetic; recall vs the fp32 exact
+    top-k asserted in tests/test_llm_ops.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    deq = similarity.dequantize_embeddings(similarity.quantize_embeddings(emb))
+    out = similarity.cosine_topk(deq, deq.where(F.col("vec_id") < 8), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @q("emb_ann_ivf_refined", _pin("emb_ann_ivf_refined"), "similarity")
 def emb_ann_ivf_refined(spark, sf_dir):
     """IVF with Lloyd-refined centroids (2 iterations of the decimal-

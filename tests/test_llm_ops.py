@@ -725,3 +725,20 @@ def test_ivf_refined_centroids_recall(spark):
     r0, r2 = recall(0), recall(2)
     assert r2 >= r0 - 0.02, (r0, r2)  # refinement must not regress
     assert r2 >= 0.9, f"refined IVF recall@5 (n_probe=2) = {r2} (seed {r0})"
+
+
+def test_quantized_topk_recall_vs_fp32(spark, emb):
+    """int8 quantization must barely perturb search: exact top-5 over the
+    dequantized corpus recovers >= 90% of the fp32 exact top-5."""
+    queries_pred = F.col("vec_id") < 20
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, emb.where(queries_pred), k=5).collect()
+    }
+    deq = similarity.dequantize_embeddings(similarity.quantize_embeddings(emb))
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(deq, deq.where(queries_pred), k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, f"quantized top-k recall = {recall}"

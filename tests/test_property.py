@@ -110,3 +110,39 @@ def test_wav_roundtrip_property(sr, ch, nf, seed):
     feats = multimodal.wav_features(samples, sr)
     assert len(feats) == 16
     assert all(math.isfinite(f) and 0.0 <= f <= 1.0 for f in feats)
+
+
+@given(st.binary(min_size=0, max_size=512))
+@settings(max_examples=300, deadline=None)
+def test_media_parsers_never_crash_on_fuzz(data):
+    """Arbitrary bytes through every strict parser: the only permitted
+    outcome besides success is ValueError — never IndexError/struct.error/
+    OverflowError — so extract_features' per-row isolation contract holds
+    for any input."""
+    from ct_mapreduce_spark.operators import multimodal
+
+    for parser in (
+        lambda b: multimodal.bmp_decoder(b, "image"),
+        multimodal.wav_decoder,
+        multimodal.avi_decoder,
+    ):
+        try:
+            parser(data)
+        except ValueError:
+            pass
+
+
+@given(st.binary(min_size=44, max_size=256))
+@settings(max_examples=200, deadline=None)
+def test_riff_flip_fuzz(data):
+    """Header-shaped fuzz: graft RIFF/WAVE and RIFF/AVI magics onto random
+    tails so the chunk walkers (not just the magic check) get exercised."""
+    from ct_mapreduce_spark.operators import multimodal
+
+    wav = b"RIFF" + data[4:8] + b"WAVE" + data[12:]
+    avi = b"RIFF" + data[4:8] + b"AVI " + data[12:]
+    for parser, payload in ((multimodal.wav_decoder, wav), (multimodal.avi_decoder, avi)):
+        try:
+            parser(payload)
+        except ValueError:
+            pass
