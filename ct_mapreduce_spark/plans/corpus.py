@@ -3547,6 +3547,56 @@ def _quality_sql() -> str:
     """
 
 
+def _curriculum_sql() -> str:
+    return f"""
+    WITH qres AS ({_quality_sql()}),
+    banded AS (
+      SELECT doc_id, quality,
+             CAST(least(4, CAST(floor(quality * 4) AS BIGINT) + 1) AS BIGINT)
+               AS band
+      FROM qres
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(quality), 6) AS min_q,
+           round(max(quality), 6) AS max_q,
+           round(CAST(sum(CAST(quality AS DECIMAL(12,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_q
+    FROM banded GROUP BY band
+    """
+
+
+@q("docs_curriculum_bands", _curriculum_sql(), "text")
+def docs_curriculum_bands(spark, sf_dir):
+    """Curriculum binning by FIXED quality bands (4 equal [0,1] slices)
+    with per-band stats — the ordering stage of curriculum training.
+    Fixed thresholds rather than ntile quartiles deliberately: an exact
+    global ntile is a single-task sort of the corpus (the no-parallelism
+    shape the plan audit flags), while banding is a narrow projection +
+    one map-side-combined aggregate at any scale; quantile-ish splits at
+    100 TB come from approx_percentile over these same scores. The mean
+    uses the round-6-exact decimal staging so float order can't flip
+    bits."""
+    q = text.quality_score(_t(spark, sf_dir, "documents"))
+    band = F.least(
+        F.lit(4), F.floor(F.col("quality") * 4).cast("long") + 1
+    ).cast("long")
+    return (
+        q.select(band.alias("band"), "quality")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("quality"), 6).alias("min_q"),
+            F.round(F.max("quality"), 6).alias("max_q"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(12,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_q"),
+        )
+    )
+
+
 @q("docs_quality", _quality_sql(), "text")
 def docs_quality(spark, sf_dir):
     """Composite quality score (operators/text.py:quality_score): the
