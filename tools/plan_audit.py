@@ -45,6 +45,15 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("emb_cosine_near_dup", "bnlj"): "bounded exactness witness (vec_id "
     "< 300 slice, broadcast); the scale path is emb_lsh_near_dup",
     ("emb_ann_ivf", "bnlj"): "crossJoin against 16 broadcast centroids",
+    ("emb_ann_ivf_refined", "bnlj"): "crossJoin against 16 broadcast "
+    "centroids (query-side probe assignment; corpus side is the narrow "
+    "argmin)",
+    ("emb_ann_ivf_indexed", "bnlj"): "crossJoin against 16 broadcast "
+    "centroids for the query-side probe assignment, twice in the plan "
+    "because the probed-cell list is derived from the same tiny frame",
+    ("emb_quantized_topk", "bnlj"): "cosine_topk's shape: bounded "
+    "dequantized query set broadcast on a non-equi self-exclusion; "
+    "corpus side streams once",
     ("emb_ann_ivf", "global_window"): "centroid numbering over exactly "
     "n_cells=16 rows",
     ("q6_forecast_revenue", "no_pushdown"): "spark.sql over a temp view: "
