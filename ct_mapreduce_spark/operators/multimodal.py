@@ -323,17 +323,21 @@ def encode_avi(
     def lst(ltype: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", ltype + body)
 
+    # avih dwFlags=0: we write no idx1 chunk, so AVIF_HASINDEX must stay
+    # clear for external decoders (an index-less file claiming an index is
+    # off-spec even though our own parser ignores the flag).
     avih = struct.pack(
         "<IIIIIIIIII4I",
-        1_000_000 // fps, stride * height * fps, 0, 0x10, len(dibs), 0, 1,
+        1_000_000 // fps, stride * height * fps, 0, 0, len(dibs), 0, 1,
         stride * height, width, height, 0, 0, 0, 0,
     )
+    # Full 56-byte AVISTREAMHEADER: ... dwQuality, dwSampleSize, then
+    # rcFrame as 4 int16 (left, top, right, bottom) = (0, 0, width, height).
     strh = struct.pack(
-        "<4s4sIHHIIIIIIIhhhh",
+        "<4s4sIHHIIIIIIIIhhhh",
         b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(dibs),
-        stride * height, 0xFFFFFFFF, 0, 0, 0, width, # rcFrame packed as 4 shorts
+        stride * height, 0xFFFFFFFF, 0, 0, 0, width, height,
     )
-    # rcFrame: the struct above ends with 4 int16 (left, top, right, bottom)
     strf = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height,
         2835, 2835, 0, 0,
@@ -350,7 +354,10 @@ def _parse_avi_header(payload: bytes) -> tuple[int, int, int, list[tuple[int, in
     """Validate an uncompressed 24-bit DIB AVI and return (width, height,
     stride, [(frame_off, frame_len), ...]). Strict: RIFF/AVI magic, strf
     sanity (planes/bpp/compression like the BMP path), per-frame chunk
-    size == stride*height, at least one frame; ValueError otherwise."""
+    size == stride*height, at least one frame; ValueError otherwise.
+    The LIST walk is iterative (explicit stack) so adversarially nested
+    LIST headers cannot blow the Python recursion limit — any garbage is
+    a ValueError, never a RecursionError escaping the row isolation."""
     import struct
 
     if len(payload) < 24 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -358,15 +365,21 @@ def _parse_avi_header(payload: bytes) -> tuple[int, int, int, list[tuple[int, in
     width = height = stride = None
     frames: list[tuple[int, int]] = []
 
-    def walk(off: int, end: int) -> None:
-        nonlocal width, height, stride
+    # (off, end) spans still to scan; a LIST pushes the continuation and
+    # descends immediately, so traversal order (hence frame order, even
+    # for frames inside 'rec ' LISTs) matches the recursive form exactly
+    stack: list[tuple[int, int]] = [(12, len(payload))]
+    while stack:
+        off, end = stack.pop()
         while off + 8 <= end:
             cid, csize = struct.unpack_from("<4sI", payload, off)
             off += 8
             if off + csize > end:
                 raise ValueError("truncated chunk")
             if cid == b"LIST":
-                walk(off + 4, off + csize)
+                stack.append((off + csize + (csize & 1), end))
+                off, end = off + 4, off + csize
+                continue
             elif cid == b"strf":
                 if csize < 40:
                     raise ValueError("short strf")
@@ -381,8 +394,6 @@ def _parse_avi_header(payload: bytes) -> tuple[int, int, int, list[tuple[int, in
             elif cid[2:] in (b"db", b"dc"):
                 frames.append((off, csize))
             off += csize + (csize & 1)
-
-    walk(12, len(payload))
     if width is None:
         raise ValueError("missing strf header")
     if not frames:

@@ -7,6 +7,7 @@ from __future__ import annotations
 import base64
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -146,3 +147,50 @@ def test_riff_flip_fuzz(data):
             parser(payload)
         except ValueError:
             pass
+
+
+def test_avi_deeply_nested_lists_no_recursion_error():
+    """Adversarial payload: thousands of nested LIST headers (12 bytes
+    each) must yield ValueError from the iterative chunk walk, never a
+    RecursionError that would escape sample_frames' ValueError catch and
+    poison the whole Spark task. The 512-byte fuzz cap above can't reach
+    this depth, so it gets an explicit case."""
+    import struct
+
+    from ct_mapreduce_spark.operators import multimodal
+
+    inner = b""
+    for _ in range(4000):  # ~4x the default recursion limit
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"nest" + inner
+    payload = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    with pytest.raises(ValueError):
+        multimodal._parse_avi_header(payload)
+
+
+def test_avi_frames_inside_rec_lists_preserve_order():
+    """Frames wrapped in 'rec ' LISTs (the interleaved-AVI layout) must
+    come back in stream order — the iterative walk descends into a LIST
+    before scanning past it, exactly like the recursive form."""
+    import struct
+
+    from ct_mapreduce_spark.operators import multimodal
+
+    frames = [bytes([i] * 12) for i in range(4)]
+    payload = multimodal.encode_avi(2, 2, frames)
+    w, h, stride, offs = multimodal._parse_avi_header(payload)
+    # rebuild the movi body with each 00db chunk wrapped in its own rec
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + b"\x00" * (len(body) & 1)
+
+    dibs = [payload[off : off + ln] for off, ln in offs]
+    movi = chunk(
+        b"LIST",
+        b"movi"
+        + b"".join(chunk(b"LIST", b"rec " + chunk(b"00db", d)) for d in dibs),
+    )
+    movi_at = payload.index(b"movi") - 8
+    rebuilt_body = payload[12:movi_at] + movi
+    rebuilt = b"RIFF" + struct.pack("<I", len(rebuilt_body) + 4) + b"AVI " + rebuilt_body
+    w2, h2, stride2, offs2 = multimodal._parse_avi_header(rebuilt)
+    assert (w2, h2, stride2) == (w, h, stride)
+    assert [rebuilt[o : o + n] for o, n in offs2] == dibs
