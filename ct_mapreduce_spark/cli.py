@@ -23,6 +23,16 @@ import sys
 from pyspark.sql import DataFrame, SparkSession
 
 
+def parse_hostport(addr: str, default_host: str = "127.0.0.1") -> tuple[str, int]:
+    """Parse a listen address as host:port, accepting bracketed IPv6
+    literals ("[::1]:8080" -> ("::1", 8080)) — getaddrinfo wants the bare
+    address, not the URL-style brackets. ":8080" binds the default host."""
+    host, _, port = addr.rpartition(":")
+    if host.startswith("[") and host.endswith("]"):
+        host = host[1:-1]
+    return host or default_host, int(port)
+
+
 def _load_source(spark: SparkSession, source: str, cfg) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -132,11 +142,10 @@ def cmd_fetch_follow(
     spark.streams.addListener(listener)
     health = None
     if health_addr:
-        host, _, port = health_addr.rpartition(":")
-        health = HealthServer(
-            listener, max_staleness, host or "127.0.0.1", int(port)
-        ).start()
-        print(f"health endpoint: http://{host or '127.0.0.1'}:{health.port}/health")
+        host, port = parse_hostport(health_addr)
+        health = HealthServer(listener, max_staleness, host, port).start()
+        disp = f"[{host}]" if ":" in host else host
+        print(f"health endpoint: http://{disp}:{health.port}/health")
     q = start_ingest_query(
         streaming_ingest(read_cert_stream(spark, cfg.sf_dir), now=now),
         cfg.cert_path,

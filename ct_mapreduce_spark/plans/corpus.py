@@ -61,6 +61,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+def _cache_tag(sf_dir: str, table: str, gen: str) -> str:
+    """Tag for /tmp materializations derived from a testdata table: folds
+    a content fingerprint (mtime+size of the source parquet) into the
+    hash so an in-place regeneration — which the driver does between
+    rounds — invalidates the cache instead of silently serving stale
+    derived data. `gen` marks the derived-schema generation (bump it when
+    the materialized layout changes, not when the data does)."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        stats = [os.stat(os.path.join(src, f)) for f in sorted(os.listdir(src))]
+        fp = ";".join(f"{s.st_mtime_ns}:{s.st_size}" for s in stats)
+    else:
+        s = os.stat(src)
+        fp = f"{s.st_mtime_ns}:{s.st_size}"
+    return hashlib.md5(f"{sf_dir}|{gen}|{fp}".encode()).hexdigest()[:12]
+
+
 def _dec(c, scale: int = 4):
     """Exact-sum staging: DOUBLE -> DECIMAL(25,scale)."""
     return F.col(c).cast(f"decimal(25,{scale})") if isinstance(c, str) else c.cast(
@@ -1550,12 +1570,14 @@ def emb_ann_ivf_indexed(spark, sf_dir):
     tests/test_llm_ops.py). Bit-identical to the inline path by
     construction, so it shares emb_ann_ivf's independently re-derived
     pin."""
-    import hashlib as _h
     import os
 
     emb = _t(spark, sf_dir, "embeddings")
-    # v2: index files now persist the per-vector norm (vnorm column)
-    idx = f"/tmp/ctspark_ivf_idx_{_h.md5(sf_dir.encode()).hexdigest()[:8]}v2"
+    # _cache_tag fingerprints embeddings.parquet so an in-place testdata
+    # regeneration invalidates the index instead of silently serving
+    # neighbors from stale embeddings. ("v2": index files persist the
+    # per-vector norm column.)
+    idx = f"/tmp/ctspark_ivf_idx_{_cache_tag(sf_dir, 'embeddings', 'v2')}"
     if not os.path.exists(idx + "/_centroids/_SUCCESS"):
         similarity.ivf_build_index(emb, idx)
     out = similarity.ivf_topk_indexed(
@@ -2295,13 +2317,12 @@ def w4_window_family(spark, sf_dir):
 
 def _stream_src(spark, sf_dir: str) -> str:
     """Materialize events as a multi-file replay source (idempotent)."""
-    import hashlib as _h
     import os
 
-    # v2: written from the NTZ-normalized frame (sources/tables.py); the
-    # tag bump orphans any replay dir written with TIMESTAMP_NTZ columns.
-    tag = _h.md5(sf_dir.encode()).hexdigest()[:8] + "v2"
-    path = f"/tmp/ctspark_stream_src_{tag}"
+    # _cache_tag fingerprints events.parquet so an in-place testdata
+    # regeneration rebuilds the replay dir. ("v2": written from the
+    # NTZ-normalized frame, sources/tables.py.)
+    path = f"/tmp/ctspark_stream_src_{_cache_tag(sf_dir, 'events', 'v2')}"
     if not os.path.exists(path + "/_SUCCESS"):
         _t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(path)
     return path

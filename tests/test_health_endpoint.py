@@ -112,3 +112,16 @@ def test_cli_follow_serves_health_and_ingests(spark, tmp_path):
     stored = spark.read.parquet(store)
     assert stored.count() > 0
     assert {"exp_date", "issuer_id"} <= set(stored.columns)
+
+
+def test_parse_hostport_variants():
+    """--health-addr accepts IPv4, hostname, bare-port, and bracketed
+    IPv6 forms; brackets are stripped so getaddrinfo gets a bare
+    address (a '[::1]' host aborts ThreadingHTTPServer at startup)."""
+    from ct_mapreduce_spark.cli import parse_hostport
+
+    assert parse_hostport("127.0.0.1:8080") == ("127.0.0.1", 8080)
+    assert parse_hostport("myhost:9") == ("myhost", 9)
+    assert parse_hostport(":8080") == ("127.0.0.1", 8080)
+    assert parse_hostport("[::1]:8080") == ("::1", 8080)
+    assert parse_hostport("[fe80::1%eth0]:443") == ("fe80::1%eth0", 443)
