@@ -435,9 +435,7 @@ def ivf_refine_centroids(
     previous centroid."""
     dim = len(cent_rows[0]["centroid"])
     for _ in range(n_iters):
-        assigned = _assign_nearest(
-            corpus, _centroid_literal(cent_rows), id_col, vec_col, "m"
-        )
+        assigned = _assign_nearest(corpus, cent_rows, id_col, vec_col, "m")
         staged = F.floor(F.col("val").cast("double") * F.lit(1e9)).cast(
             "decimal(38,0)"
         )
@@ -512,14 +510,95 @@ def ivf_topk(
             ],
             "cell int, centroid array<double>",
         )
-    cent_lit = _centroid_literal(cent_rows)
-
-    ca = _assign_nearest(corpus, cent_lit, id_col, vec_col, "neighbor")
+    ca = _assign_nearest(corpus, cent_rows, id_col, vec_col, "neighbor")
     qa = _assign_probes(queries, cents, id_col, vec_col, "query", n_probe)
     return _rank_cell_candidates(ca, qa, k)
 
 
+# Interpreted-fold budget for nearest-cell assignment: below this
+# n_cells x dim product the literal-argmin form (bit-exact verification
+# tier, where all golden pins live) wins — above it the per-row
+# interpreted cost grows linearly with n_cells and the Arrow matmul tier
+# takes over. 16 cells x 64 dims = 1024 stays comfortably interpreted.
+_ASSIGN_INTERPRETED_BUDGET = 4096
+
+
 def _assign_nearest(
+    df: DataFrame,
+    cent_rows,
+    id_col: str,
+    vec_col: str,
+    prefix: str,
+    vectorize: bool | None = None,
+) -> DataFrame:
+    """Nearest-cell assignment, always narrow (no corpus shuffle).
+    Dispatches between two equivalent tiers on n_cells x dim:
+
+    - literal-argmin (small): array_min over (dist, cell) structs built
+      from a literal centroid array — sequential double folds, bit-exact,
+      the tier every golden pin is derived on.
+    - Arrow matmul (large): one (batch x dim) @ (dim x n_cells) numpy
+      matmul + argmin per batch — the signature_bits_udf pattern; O(1)
+      interpreter overhead per row regardless of n_cells.
+
+    Tie-break is identical by construction: the literal form's struct-min
+    on (dist, cell) and np.argmax's first-max rule both pick the LOWEST
+    cell id on exact distance ties. The two tiers may disagree on a pair
+    of cells whose cosines differ only in the last ulp (numpy's pairwise
+    summation vs the sequential fold) — which is why pins stay on the
+    literal tier and the vectorized tier is gated by recall, not bits."""
+    if vectorize is None:
+        dim = len(cent_rows[0]["centroid"])
+        vectorize = len(cent_rows) * dim > _ASSIGN_INTERPRETED_BUDGET
+    if vectorize:
+        return _assign_nearest_vectorized(df, cent_rows, id_col, vec_col, prefix)
+    return _assign_nearest_literal(
+        df, _centroid_literal(cent_rows), id_col, vec_col, prefix
+    )
+
+
+def _assign_nearest_vectorized(
+    df: DataFrame, cent_rows, id_col: str, vec_col: str, prefix: str
+) -> DataFrame:
+    """Arrow tier of _assign_nearest: centroids ship to workers as a
+    closure-captured (dim x n_cells) float64 matrix (same payload a
+    broadcast would carry); each batch pays one matmul + argmax. The
+    centroid side is pre-normalized so per-batch work is exactly one GEMM;
+    dividing by the row norm (positive scalar per row) cannot change the
+    argmax, so it is skipped for assignment and returned separately for
+    the downstream re-rank."""
+    rows = sorted(cent_rows, key=lambda r: r["cell"])
+    cmat = np.asarray(
+        [[float(x) for x in r["centroid"]] for r in rows], dtype=np.float64
+    )
+    cells = np.asarray([int(r["cell"]) for r in rows], dtype=np.int32)
+    cmat_t = (cmat / np.linalg.norm(cmat, axis=1)[:, None]).T  # (dim, n_cells)
+
+    @F.pandas_udf("struct<cell:int, vnorm:double>")
+    def _assign(vecs: pd.Series) -> pd.DataFrame:
+        m = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
+        )
+        vnorm = np.sqrt((m * m).sum(axis=1))
+        # argmax of cosine == argmax of dot with unit centroids; first-max
+        # rule = lowest cell id on ties (cells are sorted ascending)
+        best = cells[np.argmax(m @ cmat_t, axis=1)]
+        return pd.DataFrame({"cell": best, "vnorm": vnorm})
+
+    out = df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        F.col(vec_col).alias(f"{prefix}_vec"),
+        _assign(F.col(vec_col)).alias("_a"),
+    )
+    return out.select(
+        f"{prefix}_id",
+        f"{prefix}_vec",
+        F.col("_a.vnorm").alias(f"{prefix}_norm"),
+        F.col("_a.cell").alias("cell"),
+    )
+
+
+def _assign_nearest_literal(
     df: DataFrame, cent_lit: Column, id_col: str, vec_col: str, prefix: str
 ) -> DataFrame:
     """Narrow nearest-cell assignment (argmin over the literal centroid
@@ -634,9 +713,7 @@ def ivf_build_index(
             [(c["cell"], [float(x) for x in c["centroid"]]) for c in cent_rows],
             "cell int, centroid array<double>",
         )
-    assigned = _assign_nearest(
-        corpus, _centroid_literal(cent_rows), id_col, vec_col, "neighbor"
-    )
+    assigned = _assign_nearest(corpus, cent_rows, id_col, vec_col, "neighbor")
     (
         assigned.withColumnRenamed("neighbor_id", id_col)
         .withColumnRenamed("neighbor_vec", vec_col)
