@@ -422,20 +422,39 @@ def ivf_refine_centroids(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_mod: int = 1,
+    sample_seed: int = 43,
 ):
     """Lloyd's refinement of the seeded centroids: assign (narrow argmin,
     no shuffle) -> per-(cell, dimension) mean -> repeat. The mean uses
     label_centroids' decimal staging (floor(x * 1e9) summed in
     DECIMAL(38,0), round-6 output), so every iteration is independent of
     partial-aggregation order — the refined centroids are bit-stable and
-    therefore pinnable. Per iteration: one narrow pass over the corpus +
-    one map-side-combined shuffle of (cell, pos) keys with O(1) state;
-    the driver handles only n_cells x dim tiny rows (the model
+    therefore pinnable. Per iteration: one narrow pass over the refine
+    set + one map-side-combined shuffle of (cell, pos) keys with O(1)
+    state; the driver handles only n_cells x dim tiny rows (the model
     parameters, not data). Cells that lose all members keep their
-    previous centroid."""
+    previous centroid.
+
+    sample_mod > 1 refines on the deterministic hash-sample
+    pmod(xxhash64(id, sample_seed), sample_mod) == 0 — a 1/sample_mod
+    slice that is stable across runs and engines (the oracle replays the
+    same rule), so sampled refinement stays pinnable. Centroids are model
+    parameters estimated from means; at 100 TB a ~1M-row sample estimates
+    them as well as the full corpus, and each iteration costs 1/sample_mod
+    of a pass. sample_mod=1 is the exact full-corpus tier."""
     dim = len(cent_rows[0]["centroid"])
+    refine_src = corpus
+    if sample_mod > 1:
+        refine_src = corpus.where(
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string"), F.lit(sample_seed)),
+                F.lit(sample_mod),
+            )
+            == 0
+        )
     for _ in range(n_iters):
-        assigned = _assign_nearest(corpus, cent_rows, id_col, vec_col, "m")
+        assigned = _assign_nearest(refine_src, cent_rows, id_col, vec_col, "m")
         staged = F.floor(F.col("val").cast("double") * F.lit(1e9)).cast(
             "decimal(38,0)"
         )
@@ -480,11 +499,13 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     refine_iters: int = 0,
+    refine_sample_mod: int = 1,
 ) -> DataFrame:
     """IVF-flat ANN: centroids = deterministic hash-sampled corpus vectors
     (optionally Lloyd-refined via refine_iters — see
-    ivf_refine_centroids), vectors assigned to nearest centroid, queries
-    probe their n_probe nearest cells.
+    ivf_refine_centroids; refine_sample_mod > 1 refines on a
+    deterministic 1/mod hash-sample), vectors assigned to nearest
+    centroid, queries probe their n_probe nearest cells.
 
     At scale, build the cell-partitioned index ONCE with ivf_build_index
     and serve queries from ivf_topk_indexed — same math, but the probe
@@ -501,7 +522,8 @@ def ivf_topk(
     cent_rows = cents.collect()
     if refine_iters:
         cent_rows = ivf_refine_centroids(
-            corpus, cent_rows, refine_iters, id_col, vec_col
+            corpus, cent_rows, refine_iters, id_col, vec_col,
+            sample_mod=refine_sample_mod,
         )
         cents = corpus.sparkSession.createDataFrame(
             [
@@ -695,6 +717,7 @@ def ivf_build_index(
     vec_col: str = "embedding",
     seed: int = 42,
     refine_iters: int = 0,
+    refine_sample_mod: int = 1,
 ) -> None:
     """Materialize the IVF index: the corpus written partitioned by its
     nearest cell (`path/cell=<n>/...`), centroids alongside at
@@ -707,7 +730,8 @@ def ivf_build_index(
     cent_rows = cents.collect()
     if refine_iters:
         cent_rows = ivf_refine_centroids(
-            corpus, cent_rows, refine_iters, id_col, vec_col
+            corpus, cent_rows, refine_iters, id_col, vec_col,
+            sample_mod=refine_sample_mod,
         )
         cents = corpus.sparkSession.createDataFrame(
             [(c["cell"], [float(x) for x in c["centroid"]]) for c in cent_rows],

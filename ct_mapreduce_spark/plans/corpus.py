@@ -1551,13 +1551,23 @@ def emb_quantized_topk(spark, sf_dir):
 def emb_ann_ivf_refined(spark, sf_dir):
     """IVF with Lloyd-refined centroids (2 iterations of the decimal-
     staged k-means step — deterministic, so pinnable): better cell
-    balance than the hash-sampled seed, same probe shape. Recall
-    improvement on planted clusters asserted in tests/test_llm_ops.py;
-    pin independently re-derived (tools/independent_oracle.py replays
-    the staged-mean iterations in exact integer arithmetic)."""
+    balance than the hash-sampled seed, same probe shape. Refinement
+    runs on the deterministic 1/4 hash-sample
+    (pmod(xxhash64(id, 43), 4) == 0) — centroids are model parameters
+    estimated from means, so a sample estimates them as well as the
+    full corpus at 1/4 the per-iteration cost; this is the shape a
+    100 TB corpus refines at (a ~1M-row slice, not full passes). The
+    full-corpus exact tier remains at refine_sample_mod=1. Recall
+    sample-vs-full compared in tests/test_llm_ops.py; pin independently
+    re-derived (tools/independent_oracle.py replays the sampling rule
+    and the staged-mean iterations in exact integer arithmetic)."""
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.ivf_topk(
-        emb, emb.where(F.col("vec_id") < 8), k=5, refine_iters=2
+        emb,
+        emb.where(F.col("vec_id") < 8),
+        k=5,
+        refine_iters=2,
+        refine_sample_mod=4,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 

@@ -787,11 +787,16 @@ def test_ivf_refined_centroids_recall(spark):
         for r in similarity.cosine_topk(corpus, queries, k=5).collect()
     }
 
-    def recall(refine_iters):
+    def recall(refine_iters, sample_mod=1):
         approx = {
             (r.query_id, r.neighbor_id)
             for r in similarity.ivf_topk(
-                corpus, queries, k=5, n_probe=2, refine_iters=refine_iters
+                corpus,
+                queries,
+                k=5,
+                n_probe=2,
+                refine_iters=refine_iters,
+                refine_sample_mod=sample_mod,
             ).collect()
         }
         return len(exact & approx) / len(exact)
@@ -799,6 +804,12 @@ def test_ivf_refined_centroids_recall(spark):
     r0, r2 = recall(0), recall(2)
     assert r2 >= r0 - 0.02, (r0, r2)  # refinement must not regress
     assert r2 >= 0.9, f"refined IVF recall@5 (n_probe=2) = {r2} (seed {r0})"
+
+    # sampled refinement (the 100 TB shape: means estimated from a
+    # deterministic 1/4 hash-slice) must track full-corpus refinement
+    r2s = recall(2, sample_mod=4)
+    assert r2s >= r2 - 0.05, (r2, r2s)
+    assert r2s >= 0.9, f"sampled-refined IVF recall@5 = {r2s} (full {r2})"
 
 
 def test_quantized_topk_recall_vs_fp32(spark, emb):

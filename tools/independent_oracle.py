@@ -316,6 +316,8 @@ def emb_ann_ivf(
     n_probe: int = 4,
     seed: int = 42,
     refine_iters: int = 0,
+    refine_sample_mod: int = 1,
+    refine_sample_seed: int = 43,
 ) -> list[tuple]:
     ids, vecs = _load_embeddings(sf_dir)
     hs = [(spark_xxhash64(str(vid), Int32(seed)), vid, i) for i, vid in enumerate(ids)]
@@ -325,12 +327,22 @@ def emb_ann_ivf(
     def dists(v: np.ndarray) -> list[tuple[float, int]]:
         return [(-_cosine(v, c), cell) for cell, c in enumerate(centroids)]
 
+    # sampled refinement replays the engine's deterministic slice:
+    # pmod(xxhash64(str(id), sample_seed), sample_mod) == 0
+    refine_vecs = [
+        v
+        for i, v in enumerate(vecs)
+        if refine_sample_mod <= 1
+        or spark_xxhash64(str(ids[i]), Int32(refine_sample_seed))
+        % refine_sample_mod
+        == 0
+    ]
     for _ in range(refine_iters):
         # Lloyd step, replicating the engine's decimal-staged mean:
         # sum(floor(float64(v) * 1e9)) exactly (Python ints), cast the
         # integer sum to double, /1e9, /count, ROUND_HALF_UP at 6.
         members: dict[int, list[np.ndarray]] = {}
-        for v in vecs:
+        for v in refine_vecs:
             members.setdefault(min(dists(v))[1], []).append(v)
         new_centroids = []
         for cell, c in enumerate(centroids):
@@ -362,7 +374,9 @@ def emb_ann_ivf(
 
 
 def emb_ann_ivf_refined(sf_dir: str) -> list[tuple]:
-    return emb_ann_ivf(sf_dir, refine_iters=2)
+    # mirrors plans/corpus.py emb_ann_ivf_refined: 2 Lloyd iterations on
+    # the deterministic 1/4 hash-sample (the 100 TB refinement shape)
+    return emb_ann_ivf(sf_dir, refine_iters=2, refine_sample_mod=4)
 
 
 # ---------------------------------------------------------------------------
