@@ -121,25 +121,38 @@ def cmd_fetch_follow(
     max_staleness: float = 60.0,
     checkpoint: str | None = None,
     once: bool = False,
+    statsd_addr: str | None = None,
 ) -> int:
     """ct-fetch daemon mode: the streaming ingest (T1/T2/T3) with the
     reference's sidecar /health endpoint (ct-fetch.go:567-608) serving
     the staleness rule over live StreamingQueryListener telemetry.
-    --once drains available input then exits (tests/batch catch-up);
-    otherwise runs until terminated, like the reference daemon."""
+    --statsd-addr mirrors the reference's statsdHost/statsdPort mode
+    (engine/engine.go:50-68): per-batch counters/gauges pushed to a
+    statsd server over UDP. --once drains available input then exits
+    (tests/batch catch-up); otherwise runs until terminated, like the
+    reference daemon."""
     from ct_mapreduce_spark.streaming.health import HealthServer
     from ct_mapreduce_spark.streaming.ingest_stream import (
         read_cert_stream,
         start_ingest_query,
         streaming_ingest,
     )
-    from ct_mapreduce_spark.streaming.telemetry import IngestTelemetryListener
+    from ct_mapreduce_spark.streaming.telemetry import (
+        IngestTelemetryListener,
+        StatsdEmitter,
+    )
 
     if not cfg.cert_path:
         print("fetch --follow requires --store", file=sys.stderr)
         return 2
     listener = IngestTelemetryListener()
     spark.streams.addListener(listener)
+    statsd = None
+    if statsd_addr:
+        shost, sport = parse_hostport(statsd_addr)
+        statsd = StatsdEmitter(shost, sport, prefix="ct-fetch")
+        spark.streams.addListener(statsd)
+        print(f"statsd metrics -> udp://{shost}:{sport}")
     health = None
     if health_addr:
         host, port = parse_hostport(health_addr)
@@ -161,6 +174,18 @@ def cmd_fetch_follow(
     finally:
         if health is not None:
             health.stop()
+        if statsd is not None:
+            # listener-bus delivery is async: without a grace period the
+            # final batch's progress datagram is lost at shutdown. Metrics
+            # are fire-and-forget, so this is a bounded wait, not a
+            # handshake — sent() goes up once the last event flushes.
+            import time as _time
+
+            deadline = _time.monotonic() + 5.0
+            while statsd.sent() == 0 and _time.monotonic() < deadline:
+                _time.sleep(0.1)
+            spark.streams.removeListener(statsd)
+            statsd.close()
         spark.streams.removeListener(listener)
 
 
@@ -313,6 +338,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(the reference's 2 x pollingDelayMean bound)",
     )
     f.add_argument("--checkpoint", default=None)
+    f.add_argument(
+        "--statsd-addr",
+        default=None,
+        help="with --follow: push per-batch counters/gauges to a statsd "
+        "server at host:port over UDP (the reference's statsdHost/"
+        "statsdPort mode)",
+    )
     s = sub.add_parser("statistics")
     common(s, required_source=False)
     s.add_argument("--store", help="read a fetched partitioned store instead of raw entries")
@@ -369,6 +401,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 max_staleness=args.max_staleness,
                 checkpoint=args.checkpoint,
                 once=args.once,
+                statsd_addr=args.statsd_addr,
             )
         return cmd_fetch(
             spark, cfg, now=now, append=getattr(args, "append", False)

@@ -1,15 +1,20 @@
 """Streaming telemetry (SURVEY §2.8 T6): the reference dumps counters every
 statsRefreshPeriod and serves a health endpoint whose staleness bound is
 2 x pollingDelayMean (telemetry/telemetry.go:37-87, ct-fetch.go:567-608).
+When statsdHost/statsdPort are configured it instead pushes metrics to a
+statsd server over UDP (engine/engine.go:50-68, config/config.go:200-201).
 
-Spark equivalent: a StreamingQueryListener collecting per-batch progress,
-plus a staleness predicate over the last progress timestamp.
+Spark equivalents: a StreamingQueryListener collecting per-batch progress,
+plus a staleness predicate over the last progress timestamp; and
+StatsdEmitter, a second listener that fires statsd counter/gauge datagrams
+per batch (stdlib socket only — the wire format is plain text).
 """
 
 from __future__ import annotations
 
 import datetime as dt
 import json
+import socket
 import threading
 
 from pyspark.sql.streaming import StreamingQueryListener
@@ -64,3 +69,71 @@ class IngestTelemetryListener(StreamingQueryListener):
                 if t is None or (now - t).total_seconds() > max_staleness_seconds:
                     return False
             return bool(self._stats)
+
+
+def _statsd_key(part: str) -> str:
+    """Key sanitization per the reference's flattenLabels
+    (telemetry/telemetry.go:90-100): spaces and colons become
+    underscores; '|' and newlines too, since they delimit the statsd
+    wire format itself."""
+    for bad in (" ", ":", "|", "\n"):
+        part = part.replace(bad, "_")
+    return part
+
+
+class StatsdEmitter(StreamingQueryListener):
+    """Optional statsd sink for the ingest daemon, mirroring the
+    reference's statsdHost/statsdPort mode (engine/engine.go:50-68): when
+    configured, metrics go to a statsd server instead of the periodic
+    stderr dump. Per query progress it emits one UDP datagram carrying
+
+        <prefix>.<query>.batches:1|c
+        <prefix>.<query>.input_rows:<n>|c
+        <prefix>.<query>.rows_per_sec:<r>|g
+
+    — counters as per-batch increments (statsd aggregates), throughput as
+    a gauge. Fire-and-forget: UDP send errors are swallowed, exactly the
+    posture a metrics sidecar needs (metrics must never take down
+    ingest). Stdlib socket only."""
+
+    def __init__(self, host: str, port: int, prefix: str = "ctspark") -> None:
+        self._addr = (host, port)
+        self._prefix = _statsd_key(prefix)
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sent = 0
+
+    def _emit(self, lines: list[str]) -> None:
+        try:
+            self._sock.sendto("\n".join(lines).encode("utf-8"), self._addr)
+            self._sent += 1
+        except OSError:
+            pass
+
+    def sent(self) -> int:
+        """Datagrams successfully handed to the socket — lets a shutdown
+        path bound its wait for the async listener bus to flush."""
+        return self._sent
+
+    def onQueryStarted(self, event) -> None:
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        name = _statsd_key(p.name or str(p.id))
+        lines = [
+            f"{self._prefix}.{name}.batches:1|c",
+            f"{self._prefix}.{name}.input_rows:{int(p.numInputRows or 0)}|c",
+        ]
+        rps = p.processedRowsPerSecond
+        if rps is not None and rps == rps:  # skip None/NaN
+            lines.append(f"{self._prefix}.{name}.rows_per_sec:{rps:.3f}|g")
+        self._emit(lines)
+
+    def onQueryTerminated(self, event) -> None:
+        pass
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def close(self) -> None:
+        self._sock.close()

@@ -125,3 +125,68 @@ def test_parse_hostport_variants():
     assert parse_hostport(":8080") == ("127.0.0.1", 8080)
     assert parse_hostport("[::1]:8080") == ("::1", 8080)
     assert parse_hostport("[fe80::1%eth0]:443") == ("fe80::1%eth0", 443)
+
+
+def test_statsd_emitter_wire_format(spark, tmp_path):
+    """`fetch --follow --statsd-addr` pushes statsd datagrams whose wire
+    format a real statsd server accepts: `key:value|c` / `key:value|g`
+    lines, keys sanitized (no spaces/colons/pipes), counters as per-batch
+    increments. Captured with a plain stdlib UDP socket — the same
+    transport the reference's NewStatsdSink uses (engine/engine.go:55)."""
+    import re
+    import socket
+    import threading
+
+    from ct_mapreduce_spark import cli
+
+    cap = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    cap.bind(("127.0.0.1", 0))
+    cap.settimeout(15)
+    port = cap.getsockname()[1]
+    grams: list[bytes] = []
+
+    def drain():
+        while True:
+            try:
+                grams.append(cap.recvfrom(65536)[0])
+            except (socket.timeout, OSError):
+                return
+
+    t = threading.Thread(target=drain, daemon=True)
+    t.start()
+
+    src = str(tmp_path / "landing")
+    synthetic_certificates(spark, n=400, seed=5).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    store = str(tmp_path / "store")
+    rc = cli.main(
+        [
+            "fetch",
+            "--source", src,
+            "--store", store,
+            "--follow", "--once",
+            "--statsd-addr", f"127.0.0.1:{port}",
+            "--now", "2024-01-02T00:00:00",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    # wait for the async listener to flush at least one datagram
+    deadline = time.time() + 10
+    while not grams and time.time() < deadline:
+        time.sleep(0.1)
+    cap.close()
+    assert grams, "no statsd datagrams captured"
+
+    lines = b"\n".join(grams).decode().splitlines()
+    metric = re.compile(r"^ct-fetch\.[^ :|]+\.[a-z_]+:\d+(\.\d+)?\|[cg]$")
+    assert all(metric.match(ln) for ln in lines), lines
+    assert any(ln.endswith("|c") and ".batches:" in ln for ln in lines)
+    assert any(".input_rows:" in ln for ln in lines)
+    rows = sum(
+        int(ln.split(":")[1].split("|")[0])
+        for ln in lines
+        if ".input_rows:" in ln
+    )
+    assert rows > 0  # counters carried the ingested volume

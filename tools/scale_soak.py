@@ -1,11 +1,18 @@
 #!/usr/bin/env python
-"""10x/100x scale soak for the two heaviest pipelines (r3 task 7):
+"""10x/100x scale soak for the heaviest pipelines:
 
 - ingest_batch + write_store at 20k / 200k / 2M synthetic certs
 - minhash_lsh_pairs at 1x / 10x the sf0.1 documents corpus (the 10x
   corpus is built JVM-side by replicating each doc with a perturbed tail
   token — deliberately near-dup-heavy, so the banded self-join does real
   pair work instead of the random-corpus nothing)
+- the ANN serve path (r5 task 4): ivf_build_index + ivf_topk_indexed at
+  1x / 10x / 100x the sf0.1 embeddings (each replica perturbed so
+  vectors are distinct). Per rung: build wall, probe wall, the probed
+  row fraction (must track n_probe/n_cells, not corpus size), and a
+  PartitionFilters assertion on the probe scan's executed plan. A final
+  100x rung at n_cells=128 exercises the vectorized (Arrow matmul)
+  assignment tier during the build.
 
 Protocol: source parquet materialized to /tmp first (generation excluded,
 like bench.py's ingest entries); each rung timed twice, both iterations
@@ -25,6 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 INGEST_RUNGS = [20_000, 200_000, 2_000_000]
 DOC_MULTS = [1, 10]
+EMB_MULTS = [1, 10, 100]
 ITERATIONS = 2
 
 
@@ -92,17 +100,103 @@ def main() -> None:
         }
         print(f"minhash x{mult}: {times} pairs={n_pairs}", file=sys.stderr)
 
+    # --- ANN serve path: build once, probe with partition pruning ---
+    from ct_mapreduce_spark.operators import similarity
+
+    def _emb_path(mult: int) -> str:
+        path = f"/tmp/ctspark_soak_emb_x{mult}"
+        try:
+            spark.read.parquet(path).head(1)
+        except Exception:
+            base = load_table(spark, "embeddings", "/root/testdata/sf0.1")
+            if mult == 1:
+                scaled = base
+            else:
+                reps = spark.range(mult).withColumnRenamed("id", "_rep")
+                # perturb each replica so vectors are distinct (JVM-side)
+                scaled = base.crossJoin(reps).select(
+                    (F.col("vec_id") * mult + F.col("_rep")).alias("vec_id"),
+                    F.transform(
+                        "embedding",
+                        lambda x: (
+                            x + (F.col("_rep") % 97).cast("float") * F.lit(1e-4)
+                        ).cast("float"),
+                    ).alias("embedding"),
+                )
+            scaled.write.mode("overwrite").parquet(path)
+        return path
+
+    for mult in EMB_MULTS:
+        emb = spark.read.parquet(_emb_path(mult))
+        n_rows = emb.count()
+        idx = tempfile.mkdtemp(prefix=f"ctspark_soak_ivf_x{mult}_")
+        t0 = time.perf_counter()
+        similarity.ivf_build_index(emb, idx)
+        build_s = round(time.perf_counter() - t0, 2)
+
+        queries = emb.where(F.col("vec_id") < 8)
+        probe_times = []
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            served = similarity.ivf_topk_indexed(spark, idx, queries, k=5)
+            served.count()
+            probe_times.append(round(time.perf_counter() - t0, 2))
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan, f"x{mult}: probe scan not pruned"
+
+        # probed fraction: rows in the probed cells / corpus rows — the
+        # quantity that must track n_probe/n_cells (0.25), not corpus size
+        cents = spark.read.parquet(idx + "/_centroids")
+        qa = similarity._assign_probes(
+            queries, cents, "vec_id", "embedding", "query", 4
+        )
+        probe_cells = {r["cell"] for r in qa.select("cell").distinct().collect()}
+        probed_rows = (
+            spark.read.parquet(idx)
+            .where(F.col("cell").isin(sorted(probe_cells)))
+            .count()
+        )
+        results[f"ann_x{mult}"] = {
+            "rows": n_rows,
+            "build_s": build_s,
+            "probe_iterations": probe_times,
+            "probe_min": min(probe_times),
+            "probed_fraction": round(probed_rows / n_rows, 3),
+            "n_probe_cells": len(probe_cells),
+        }
+        print(
+            f"ann x{mult}: build={build_s}s probe={probe_times} "
+            f"frac={probed_rows}/{n_rows}",
+            file=sys.stderr,
+        )
+        shutil.rmtree(idx, ignore_errors=True)
+
+    # 100x build with n_cells=128 (> interpreted budget / dim): the
+    # vectorized Arrow-matmul assignment tier under corpus-scale load
+    emb = spark.read.parquet(_emb_path(100))
+    idx = tempfile.mkdtemp(prefix="ctspark_soak_ivf_c128_")
+    t0 = time.perf_counter()
+    similarity.ivf_build_index(emb, idx, n_cells=128)
+    results["ann_x100_cells128_build_s"] = round(time.perf_counter() - t0, 2)
+    print(
+        f"ann x100 n_cells=128 build={results['ann_x100_cells128_build_s']}s",
+        file=sys.stderr,
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+
     import math
 
-    def expo(a: str, b: str, factor: float) -> float:
+    def expo(a: str, b: str, factor: float, key: str = "min") -> float:
         return round(
-            math.log(results[b]["min"] / results[a]["min"]) / math.log(factor), 3
+            math.log(results[b][key] / results[a][key]) / math.log(factor), 3
         )
 
     results["scaling"] = {
         "ingest_20k_to_200k": expo("ingest_20000", "ingest_200000", 10),
         "ingest_200k_to_2M": expo("ingest_200000", "ingest_2000000", 10),
         "minhash_1x_to_10x": expo("minhash_x1", "minhash_x10", 10),
+        "ann_build_1x_to_100x": expo("ann_x1", "ann_x100", 100, "build_s"),
+        "ann_probe_1x_to_100x": expo("ann_x1", "ann_x100", 100, "probe_min"),
     }
     print(json.dumps(results))
 
