@@ -378,7 +378,13 @@ def _ivf_centroid_frame(
         )
         .orderBy("h")
         .limit(n_cells)
-        .withColumn("cell", F.row_number().over(W.orderBy("h")) - 1)
+        # constant partition key: the frame is <= n_cells rows post-limit,
+        # so one window partition is the point — the literal silences the
+        # (correct in general, irrelevant here) global-window warning
+        .withColumn(
+            "cell",
+            F.row_number().over(W.partitionBy(F.lit(0)).orderBy("h")) - 1,
+        )
         .select("cell", "centroid")
     )
 
