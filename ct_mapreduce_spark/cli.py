@@ -150,6 +150,13 @@ def cmd_fetch_follow(
     statsd = None
     if statsd_addr:
         shost, sport = parse_hostport(statsd_addr)
+    else:
+        # ini/env layer (statsdHost/statsdPort), gated by the reference's
+        # enable rule — port > 1 and non-empty host (engine.go:54)
+        shost, sport = cfg.statsd_host, cfg.statsd_port
+        if not (sport > 1 and shost):
+            shost = None
+    if shost:
         statsd = StatsdEmitter(shost, sport, prefix="ct-fetch")
         spark.streams.addListener(statsd)
         print(f"statsd metrics -> udp://{shost}:{sport}")

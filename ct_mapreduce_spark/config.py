@@ -24,6 +24,8 @@ class EngineConfig:
     save_period: str = "15m"  # savePeriod (config.go:192) -> trigger cadence
     limit: int | None = None  # scan bound (config.go:184)
     offset: int | None = None  # scan start (config.go:185)
+    statsd_host: str = ""  # statsdHost (config.go:200)
+    statsd_port: int = 0  # statsdPort (config.go:201); enabled when > 1
     # engine knobs
     sf_dir: str = "/root/testdata/sf0.1"
     shuffle_partitions: int | None = None

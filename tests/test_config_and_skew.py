@@ -32,6 +32,18 @@ def test_config_precedence(tmp_path):
     assert cfg.cn_prefixes == ["ISRG"]
 
 
+def test_config_statsd_keys(tmp_path):
+    """statsdHost/statsdPort ride the same ini/env layering as the
+    reference (config/config.go:200-201); ints coerce from strings."""
+    ini = tmp_path / "ct.ini"
+    ini.write_text("[ctspark]\nstatsd_host = metrics.local\nstatsd_port = 8125\n")
+    cfg = load_config(ini_path=str(ini), env={})
+    assert (cfg.statsd_host, cfg.statsd_port) == ("metrics.local", 8125)
+    cfg = load_config(env={"CTSPARK_STATSD_PORT": "9125"})
+    assert cfg.statsd_port == 9125
+    assert load_config(env={}).statsd_port == 0  # disabled by default
+
+
 def test_salted_count_distinct_exact(spark):
     # heavy skew: one key gets 90% of rows, values repeat
     df = spark.range(20000).select(
