@@ -36,7 +36,7 @@ from pyspark.sql import types as T
 
 _LOG = logging.getLogger(__name__)
 
-from ct_mapreduce_spark.operators.text import shingles
+from ct_mapreduce_spark.operators.text import gram_stream, shingles
 from ct_mapreduce_spark.operators.util import fan_out
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -86,6 +86,86 @@ def exact_dedup_by_priority(
 def _shingle_table(docs: DataFrame, text_col: str, k: int) -> DataFrame:
     return docs.select(
         "doc_id", F.explode(shingles(text_col, k)).alias("shingle")
+    )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: for each corpus document, count the
+    distinct benchmark word k-grams it contains (n_hits > 0 => the
+    document leaks evaluation data and must be dropped before training).
+
+    Plan: corpus shingle table (set semantics per doc) inner-joined to
+    the distinct benchmark k-gram dictionary, then a per-doc count. The
+    dictionary side is BROADCAST — eval suites are bounded (~1e5 examples
+    -> ~1e7 grams) while the corpus is not, so the corpus never shuffles:
+    each task filters its own rows against the in-memory dictionary. If
+    the dictionary outgrows broadcast reach, put `bloom_membership` (the
+    same prefilter shape) in front and keep the exact join for survivors.
+
+    Returns (doc_id, n_hits) for contaminated documents only; the clean
+    keep-list is `docs.join(result, 'doc_id', 'left_anti')`.
+    """
+    corpus_sh = _shingle_table(docs, text_col, k)
+    bench_sh = (
+        _shingle_table(bench_docs, text_col, k).select("shingle").distinct()
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Duplicate-passage detection (exact substring tier, the
+    train-data-dedup complement to document-level MinHash): a span is a
+    word k-gram occurrence; a span is *duplicated* when its k-gram appears
+    in >= 2 distinct documents. Reports per-document span counts and the
+    duplicated fraction — the signal used to strip boilerplate/templated
+    passages that document-level dedup can't see.
+
+    Plan: positional gram stream (non-distinct) -> gram-level distinct-doc
+    counts (map-side-combined groupBy on the gram — the one honest big
+    shuffle) -> join occurrences back to the duplicated-gram set (AQE
+    picks broadcast only if that set is genuinely small) -> per-doc
+    rollup. Work scales with corpus token count, not corpus^2.
+    """
+    g = docs.select(
+        "doc_id", F.explode(gram_stream(text_col, k)).alias("gram")
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    per_doc = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    hits = (
+        g.join(dup, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
+            F.round(
+                F.coalesce("n_dup_spans", F.lit(0).cast("long"))
+                / F.col("n_spans").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
     )
 
 

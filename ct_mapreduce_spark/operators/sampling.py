@@ -30,6 +30,34 @@ def hash_bucket(key: Column | str, buckets: int = 100) -> Column:
     )
 
 
+def hash_uniform(key: Column | str) -> Column:
+    """Stable uniform draw in [0, 1) from md5 of the key's string form.
+
+    32 hash bits / 2^32 — the division is exact in IEEE double (numerator
+    < 2^32, power-of-two denominator), so Spark and the DuckDB oracle
+    compute bit-identical values and membership decisions agree exactly.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+        / F.lit(float(1 << 32))
+    )
+
+
+def weighted_sample(df: DataFrame, key: str, weight: Column) -> DataFrame:
+    """Keep each row independently with probability min(1, weight),
+    deterministically: row survives iff hash_uniform(key) < weight.
+
+    The curation use-case is quality-weighted downsampling — high-quality
+    documents kept at (or near) full rate, low-quality ones thinned — with
+    the same reproducibility contract as hash_split: membership is a pure
+    function of (key, weight), stable under retries, repartitioning, and
+    corpus growth, and replayable by any engine with md5. Expected kept
+    fraction = E[min(1, weight)]; no shuffle (a scan-local filter that
+    Catalyst pushes toward the source)."""
+    return df.where(hash_uniform(key) < F.least(F.lit(1.0), weight))
+
+
 def hash_split(
     df: DataFrame,
     key: str,

@@ -170,28 +170,35 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(text_col: str = "text", k: int = 3) -> Column:
-    """Distinct word k-gram shingles, as strings. Empty array for docs
-    shorter than k tokens.
+def gram_stream(text_col: str = "text", k: int = 3) -> Column:
+    """All word k-grams in document order (NON-distinct: one element per
+    token position — duplicate-passage analysis needs every occurrence).
+    Empty array for docs shorter than k tokens.
 
     Built by zipping k shifted slices of the token array and joining each
     zipped struct — the per-element work is field access + concat, which
     the interpreted higher-order evaluator handles cheaply. The
     slice-inside-transform form (array_join(slice(toks, i+1, k))) computes
-    the same shingles but re-slices the token array per element: measured
-    4.5x slower at sf0.1. Output identical (golden pins unaffected)."""
+    the same grams but re-slices the token array per element: measured
+    4.5x slower at sf0.1."""
     toks = tokens(text_col)
     n = F.size(toks) - (k - 1)
     zipped = F.arrays_zip(*[F.slice(toks, i + 1, n) for i in range(k)])
     return F.when(
         F.size(toks) >= k,
-        F.array_distinct(
-            F.transform(
-                zipped,
-                lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)]),
-            )
+        F.transform(
+            zipped,
+            lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text_col: str = "text", k: int = 3) -> Column:
+    """Distinct word k-gram shingles, as strings (set semantics — the
+    similarity/dedup tiers work on shingle sets). Empty array for docs
+    shorter than k tokens (gram_stream already guards). Output identical
+    to the pre-refactor form: array_distinct over the positional stream."""
+    return F.array_distinct(gram_stream(text_col, k))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:

@@ -1337,6 +1337,76 @@ def docs_ngram_jaccard(spark, sf_dir):
 
 
 @q(
+    "docs_decontaminate",
+    r"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS s
+      FROM words, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+    ), bench AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0
+    )
+    SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM sh JOIN bench USING (s)
+    WHERE sh.doc_id % 50 <> 0
+    GROUP BY 1
+    """,
+    "dedup",
+    "text",
+)
+def docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup_fuzzy.py:
+    contamination_hits): flag corpus documents sharing any word 4-gram
+    with a held-out benchmark set (here the deterministic doc_id%50==0
+    slice stands in for an eval suite). The benchmark gram dictionary is
+    broadcast, so the corpus side never shuffles — the decontamination
+    pass a training pipeline runs before every corpus release."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    corpus = d.where(F.col("doc_id") % 50 != 0)
+    return dedup_fuzzy.contamination_hits(corpus, bench, k=4)
+
+
+@q(
+    "docs_dup_spans",
+    r"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), g AS (
+      SELECT doc_id, array_to_string(w[i:i+7], ' ') AS s
+      FROM words, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+    ), dup AS (
+      SELECT s FROM g GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+    ), per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM g GROUP BY 1
+    ), hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+      FROM g JOIN dup USING (s) GROUP BY 1
+    )
+    SELECT p.doc_id, p.n_spans,
+           coalesce(h.n_dup_spans, 0) AS n_dup_spans,
+           round(coalesce(h.n_dup_spans, 0) / CAST(p.n_spans AS DOUBLE), 6)
+             AS dup_frac
+    FROM per_doc p LEFT JOIN hits h USING (doc_id)
+    """,
+    "dedup",
+    "text",
+)
+def docs_dup_spans(spark, sf_dir):
+    """Duplicate-passage detection (operators/dedup_fuzzy.py:
+    dup_span_stats): per-document fraction of word 8-gram occurrences that
+    also appear in another document — the exact substring-dedup signal
+    (boilerplate, templates, licenses) that document-level near-dedup
+    can't see. Gram-level distinct-doc counts are one map-side-combined
+    shuffle; integer-exact arithmetic end-to-end, so the oracle agrees
+    bit-for-bit."""
+    return dedup_fuzzy.dup_span_stats(
+        _t(spark, sf_dir, "documents"), k=8
+    )
+
+
+@q(
     "docs_dedup_clusters",
     r"""
     WITH RECURSIVE words AS (
@@ -3696,6 +3766,33 @@ def docs_stratified_sample(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return stratified_sample(d, "lang", "doc_id", 20)
+
+
+@q(
+    "docs_weighted_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          / 4294967296.0
+          < least(1.0, n_chars / 4000.0)
+    """,
+    "sampling",
+)
+def docs_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic downsampling
+    (operators/sampling.py:weighted_sample): keep probability
+    min(1, n_chars/4000) — longer documents kept at full rate, short ones
+    thinned proportionally. Membership = md5-uniform(doc_id) < weight, a
+    pure function of the data (no seed, no partitioning sensitivity), so
+    the oracle replays the identical draw. Physically a scan-local filter:
+    no shuffle, pushed at the parquet scan."""
+    from ct_mapreduce_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        d, "doc_id", F.col("n_chars") / F.lit(4000.0)
+    ).select("doc_id", "lang")
 
 
 @q(

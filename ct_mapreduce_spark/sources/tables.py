@@ -61,8 +61,30 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return _normalize_timestamps(df)
-    return _normalize_timestamps(spark.read.parquet(path))
+        return _annotate_scan_parts(spark, _normalize_timestamps(df), path)
+    return _annotate_scan_parts(spark, _normalize_timestamps(spark.read.parquet(path)), path)
+
+
+def _annotate_scan_parts(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Attach a filesystem-derived scan-partition estimate so fan_out can
+    decide "under-parallelized?" from os.stat arithmetic instead of a
+    df.rdd probe (which costs an extra physical-planning pass)."""
+    from ct_mapreduce_spark.operators.util import SCAN_PARTS_ATTR, estimate_scan_partitions
+
+    try:
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet") or not f.startswith(("_", "."))
+            ]
+            sizes = [os.stat(f).st_size for f in files if os.path.isfile(f)]
+        else:
+            sizes = [os.stat(path).st_size]
+        setattr(df, SCAN_PARTS_ATTR, estimate_scan_partitions(spark, sum(sizes), len(sizes)))
+    except OSError:
+        pass  # non-local path (hdfs/s3): leave unannotated, fan_out probes
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:

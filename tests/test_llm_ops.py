@@ -827,3 +827,85 @@ def test_quantized_topk_recall_vs_fp32(spark, emb):
     }
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.9, f"quantized top-k recall = {recall}"
+
+
+def test_weighted_sample_determinism_and_monotonicity(spark, docs):
+    """weighted_sample membership is a pure function of (key, weight):
+    weight 1 keeps everything, weight 0 nothing, and raising the weight
+    only ever ADDS rows (the uniform draw is fixed per key)."""
+    from ct_mapreduce_spark.operators.sampling import weighted_sample
+
+    n = docs.count()
+    assert weighted_sample(docs, "doc_id", F.lit(1.0)).count() == n
+    assert weighted_sample(docs, "doc_id", F.lit(0.0)).count() == 0
+    lo = {r.doc_id for r in weighted_sample(docs, "doc_id", F.lit(0.3)).collect()}
+    hi = {r.doc_id for r in weighted_sample(docs, "doc_id", F.lit(0.6)).collect()}
+    assert lo <= hi, "raising weight must only add rows"
+    # ~uniform draw: 30% target within a loose binomial tolerance
+    assert 0.15 <= len(lo) / n <= 0.45
+
+
+def test_contamination_hits_flags_only_leaked_docs(spark):
+    """A corpus doc sharing a 4-gram passage with the benchmark is
+    flagged with the right hit count; disjoint docs are not."""
+    mk = lambda i, t: Row(doc_id=i, text=t)
+    bench = spark.createDataFrame(
+        [mk(1, "the quick brown fox jumps over the lazy dog")]
+    )
+    corpus = spark.createDataFrame(
+        [
+            mk(10, "intro text then the quick brown fox appears here"),
+            mk(11, "completely unrelated words about certificate logs"),
+            mk(12, "quick brown fox jumps elsewhere quick brown fox jumps"),
+        ]
+    )
+    hits = {
+        r.doc_id: r.n_hits
+        for r in dedup_fuzzy.contamination_hits(corpus, bench, k=4).collect()
+    }
+    # doc 10 shares "the quick brown fox"; doc 12 shares "quick brown fox
+    # jumps" (distinct-shingle semantics: counted once despite repetition)
+    assert hits == {10: 1, 12: 1}, hits
+
+
+def test_dup_span_stats_fractions(spark):
+    """Two docs sharing one 4-gram passage + one unique doc: the shared
+    occurrences count as duplicated spans, the unique doc scores 0."""
+    mk = lambda i, t: Row(doc_id=i, text=t)
+    d = spark.createDataFrame(
+        [
+            mk(1, "alpha beta gamma delta one two"),   # grams: 3, 1 dup
+            mk(2, "x alpha beta gamma delta y"),       # grams: 3, 1 dup
+            mk(3, "p q r s t u"),                      # grams: 3, 0 dup
+        ]
+    )
+    out = {r.doc_id: r for r in dedup_fuzzy.dup_span_stats(d, k=4).collect()}
+    assert out[1].n_spans == 3 and out[1].n_dup_spans == 1
+    assert out[2].n_spans == 3 and out[2].n_dup_spans == 1
+    assert out[3].n_spans == 3 and out[3].n_dup_spans == 0
+    assert abs(out[1].dup_frac - round(1 / 3, 6)) < 1e-9
+    assert out[3].dup_frac == 0.0
+
+
+def test_fan_out_uses_scan_estimate_without_rdd(spark):
+    """load_table annotates a filesystem-derived scan-partition estimate;
+    fan_out must use it (no df.rdd probe) and still spread a small scan
+    across defaultParallelism partitions."""
+    from ct_mapreduce_spark.operators.util import (
+        SCAN_PARTS_ATTR,
+        estimate_scan_partitions,
+        fan_out,
+    )
+    from ct_mapreduce_spark.sources.tables import load_table
+
+    d = load_table(spark, "documents", SF)
+    est = getattr(d, SCAN_PARTS_ATTR, None)
+    assert isinstance(est, int) and est >= 1
+    # tiny file => estimate says under-parallelized => fan_out repartitions
+    spread = fan_out(d)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # estimator sanity: one tiny file = 1 partition; a 100 GiB scan is
+    # never "under-parallelized", so fan_out must leave it alone
+    assert estimate_scan_partitions(spark, 1 << 20, 1) == 1
+    big = estimate_scan_partitions(spark, 100 << 30, 800)
+    assert big > spark.sparkContext.defaultParallelism
