@@ -1960,6 +1960,45 @@ def d4_distinct_idempotent(spark, sf_dir):
 
 
 @q(
+    "d6_bloom_prefilter_join",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    )
+    GROUP BY l_returnflag
+    """,
+    "dedup",
+    "join",
+)
+def d6_bloom_prefilter_join(spark, sf_dir):
+    """Set membership at scan speed (operators/bloom.py): the reference's
+    SISMEMBER primitive (rediscache.go:74-78) restated as a bloom-
+    prefiltered exact semi-join — known keys build a broadcast-literal
+    bloom (k seeded xxhash64 probes into a bit_or-aggregated word array),
+    probe rows failing the filter die scan-locally, survivors go through
+    the exact semi-join. Same answer as the plain semi-join (the oracle
+    computes exactly that); the physical win is that at 100 TB the probe
+    side ships only the matching sliver into the shuffle."""
+    from ct_mapreduce_spark.operators.bloom import bloom_prefilter_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    known = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    kept = bloom_prefilter_semi_join(li, known, "l_orderkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@q(
     "scalar_nulls",
     """
     SELECT s_suppkey,

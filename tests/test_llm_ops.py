@@ -909,3 +909,34 @@ def test_fan_out_uses_scan_estimate_without_rdd(spark):
     assert estimate_scan_partitions(spark, 1 << 20, 1) == 1
     big = estimate_scan_partitions(spark, 100 << 30, 800)
     assert big > spark.sparkContext.defaultParallelism
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp(spark):
+    """Every known key passes the bloom; unknown-key false positives stay
+    near the designed rate (m=2^17 bits, k=5, 1000 keys -> fpp << 1%)."""
+    from ct_mapreduce_spark.operators import bloom
+
+    keys = spark.range(1000).select(F.col("id").alias("k"))
+    words = bloom.bloom_literal(keys, "k", m_bits=1 << 17, k_hashes=5)
+    probe = spark.range(101_000).select(F.col("id").alias("k"))
+    passed = probe.where(
+        bloom.might_contain(F.col("k"), words, 1 << 17, 5)
+    ).count()
+    fps = passed - 1000
+    assert passed >= 1000, "bloom dropped a known key (false negative)"
+    assert fps / 100_000 < 0.01, f"false-positive rate {fps / 100_000}"
+
+
+def test_bloom_prefilter_semi_join_exact(spark):
+    """The bloom-prefiltered semi-join returns exactly the plain
+    semi-join's rows — the filter prunes physically, never logically."""
+    from ct_mapreduce_spark.operators import bloom
+
+    probe = spark.range(5000).select((F.col("id") * 3).alias("k"), F.col("id").alias("v"))
+    keys = spark.range(2000).select((F.col("id") * 7).alias("k"))
+    got = {
+        (r.k, r.v)
+        for r in bloom.bloom_prefilter_semi_join(probe, keys, "k").collect()
+    }
+    want = {(r.k, r.v) for r in probe.join(keys, "k", "left_semi").collect()}
+    assert got == want and len(want) > 0
