@@ -832,3 +832,284 @@ def dequantize_embeddings(
             lambda v: v.cast("double") * F.col("scale") / F.lit(127.0),
         ).alias("embedding"),
     )
+
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.25,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023 shape): embedding
+    near-duplicate pairs found WITHIN clusters only — assign every vector
+    to its nearest cell (narrow, no shuffle; same seeded centroids as
+    ivf_topk), then self-join per cell. The cluster blocking turns the
+    O(n^2) all-pairs cosine into sum-of-cell^2 local work: the self-join
+    shuffles both sides by `cell`, so pair generation is bucket-local —
+    at 100 TB each cell's pairs materialize on one executor's partition,
+    never a global cross join (the exactness witness for the in-cell
+    math is emb_cosine_near_dup's full-oracle query).
+
+    Returns (cell, vec_a, vec_b, cosine) with vec_a < vec_b, cosine
+    rounded to 6; the canonical keep-rule downstream is min-id (drop any
+    row appearing as vec_b). Cross-cell near-dups are invisible by
+    design — that recall/cost trade is the published algorithm's.
+    """
+    cents = _ivf_centroid_frame(corpus, n_cells, id_col, vec_col, seed)
+    cent_rows = cents.collect()
+    ca = _assign_nearest(corpus, cent_rows, id_col, vec_col, "m")
+    a = ca.select(
+        "cell",
+        F.col("m_id").alias("vec_a"),
+        F.col("m_vec").alias("ea"),
+        F.col("m_norm").alias("na"),
+    )
+    b = ca.select(
+        "cell",
+        F.col("m_id").alias("vec_b"),
+        F.col("m_vec").alias("eb"),
+        F.col("m_norm").alias("nb"),
+    )
+    pairs = a.join(b, "cell").where(F.col("vec_a") < F.col("vec_b"))
+    # same operand order as cosine(): dot / (norm_a * norm_b)
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("cell", "vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def semdedup_keep(
+    corpus: DataFrame,
+    threshold: float = 0.25,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep-list after semantic dedup: drop every vector that appears as
+    the HIGHER id of some within-cell near-dup pair (greedy min-id-wins —
+    deterministic, one anti-join)."""
+    drops = semdedup_pairs(
+        corpus, threshold, n_cells, id_col, vec_col, seed
+    ).select(F.col("vec_b").alias(id_col))
+    return corpus.join(drops, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): m_sub subspace codebooks, uint8 codes, ADC scan
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Seeded PQ codebooks: for subspace j, the n_codes sub-vectors of
+    the corpus rows with the lowest xxhash64(id, seed + j) — one
+    deterministic hash-sample per subspace (different rows per subspace,
+    so the product of codebooks is diverse), the same
+    cheap-stand-in-for-k-means pick as _ivf_centroid_frame. Driver
+    payload: m_sub x n_codes x (dim/m_sub) floats — model parameters,
+    independent of corpus size. At 100 TB you'd estimate codebooks from
+    a hash-sample anyway; the per-subspace pass here becomes a single
+    sampled pass."""
+    dim = int(corpus.select(F.size(vec_col).alias("d")).head()["d"])
+    assert dim % m_sub == 0, f"dim {dim} not divisible by m_sub {m_sub}"
+    d = dim // m_sub
+    books = []
+    for j in range(m_sub):
+        rows = (
+            corpus.select(
+                F.slice(F.col(vec_col), j * d + 1, d).alias("sub"),
+                F.xxhash64(F.col(id_col).cast("string"), F.lit(seed + j)).alias(
+                    "h"
+                ),
+            )
+            .orderBy("h")
+            .limit(n_codes)
+            .collect()
+        )
+        books.append([[float(x) for x in r["sub"]] for r in rows])
+    return books
+
+
+def _pq_book_literal(book: list[list[float]]) -> Column:
+    """One subspace's codebook as a literal array of (code, cvec) structs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("code"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+            )
+            for c, vec in enumerate(book)
+        ]
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to m_sub uint8-range codes: per subspace, the
+    argmin-L2 codebook entry (array_min over (dist, code) structs — the
+    _assign_nearest_literal pattern; sequential fold, lowest code on
+    ties). Narrow projection: no shuffle, no Python. The codes column is
+    m_sub small ints per row — a 32x storage cut at dim=64 fp32, the
+    memory tier below int8 quantization."""
+    m_sub = len(books)
+    d = len(books[0][0])
+    code_cols = []
+    for j, book in enumerate(books):
+        sub = F.slice(F.col(vec_col), j * d + 1, d)
+        best = F.array_min(
+            F.transform(
+                _pq_book_literal(book),
+                lambda s: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            s["cvec"],
+                            lambda x, y: (x.cast("double") - y)
+                            * (x.cast("double") - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("dist"),
+                    s["code"].alias("code"),
+                ),
+            )
+        )
+        code_cols.append(best["code"])
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.array(*code_cols).alias("codes"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    rerank_factor: int = 0,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k by inner product: queries stay
+    full-precision, corpus rows are m_sub codes; score(q, x) =
+    sum_j LUT_q[j][code_j(x)] where LUT_q[j][c] = <q_sub_j, book_j[c]>.
+
+    Physical shape: the per-query lookup tables (m_sub x n_codes doubles)
+    are computed once per query and BROADCAST; the corpus side then pays
+    m_sub array lookups + adds per row instead of `dim` multiplies — the
+    ADC scan is a narrow map over the codes table (8 bytes/row at
+    m_sub=8), no corpus shuffle; only the per-query top-k window moves
+    candidate rows. Approximation is gated by recall tests
+    (test_llm_ops.py), bit-stability by the golden-pin gate.
+
+    ADC alone cannot rank INSIDE a tight cluster — co-cluster members
+    quantize to the same codes and tie. rerank_factor > 0 adds the
+    published fix (FAISS IVFPQ+refine shape): shortlist k*rerank_factor
+    by ADC, then re-score only the shortlist with exact cosine on the
+    full vectors — the shortlist is queries x k x factor rows, so it
+    broadcasts against the corpus for the vector fetch; the corpus still
+    never shuffles and full vectors are only read for the sliver."""
+    books = pq_codebooks(corpus, m_sub, n_codes, id_col, vec_col, seed)
+    d = len(books[0][0])
+    codes = pq_encode(corpus, books, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    lut_cols = []
+    for j, book in enumerate(books):
+        qsub = F.slice(F.col(vec_col), j * d + 1, d)
+        lut_cols.append(
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            qsub,
+                            F.array(*[F.lit(float(x)) for x in vec]),
+                            lambda x, y: x.cast("double") * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    for vec in book
+                ]
+            )
+        )
+    qlut = queries.select(
+        F.col(id_col).alias("query_id"), F.array(*lut_cols).alias("lut")
+    )
+    scored = (
+        codes.join(F.broadcast(qlut))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("lut"),
+                        F.col("codes"),
+                        lambda l, c: F.element_at(l, c + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    if not rerank_factor:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank")
+        )
+    short = (
+        scored.withColumn("r0", F.row_number().over(w))
+        .where(F.col("r0") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        _norm(F.col(vec_col)).alias("nnorm"),
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
+    )
+    rescored = (
+        cvec.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "score",
+            F.round(
+                _dot(F.col("qvec"), F.col("nvec"))
+                / (F.col("qnorm") * F.col("nnorm")),
+                6,
+            ),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -4077,6 +4077,50 @@ def emb_lsh_near_dup(spark, sf_dir):
     return lsh_near_dup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
+@q("emb_semdedup", _pin("emb_semdedup"), "dedup")
+def emb_semdedup(spark, sf_dir):
+    """Semantic dedup pairs (operators/similarity.py:semdedup_pairs —
+    SemDeDup shape): near-dup pairs found within seeded clusters only, so
+    pair generation is bucket-local instead of corpus^2. Seeded xxhash64
+    centroid pick is not SQL-recomputable => golden-literal oracle
+    (tools/pin_golden.py, independently re-derived by
+    tools/independent_oracle.py); in-cell cosine exactness is witnessed
+    by emb_cosine_near_dup's full oracle, the keep-rule unit-tested in
+    tests/test_llm_ops.py."""
+    from ct_mapreduce_spark.operators.similarity import semdedup_pairs
+
+    return semdedup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+@q("emb_pq_topk", _pin("emb_pq_topk"), "similarity")
+def emb_pq_topk(spark, sf_dir):
+    """Product-quantization ADC search (operators/similarity.py:pq_topk):
+    seeded per-subspace codebooks, corpus rows as m_sub=8 codes (32x
+    smaller than fp32 at dim=64 — the memory tier below int8), queries
+    score candidates via broadcast lookup tables: 8 adds per candidate
+    instead of 64 multiplies, no corpus shuffle. Seeded hash codebook
+    pick => golden-literal oracle; recall vs exact cosine asserted in
+    tests/test_llm_ops.py."""
+    from ct_mapreduce_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
+@q("emb_pq_rerank_topk", _pin("emb_pq_rerank_topk"), "similarity")
+def emb_pq_rerank_topk(spark, sf_dir):
+    """PQ with exact re-rank (the FAISS refine shape): ADC shortlists
+    k*4 candidates from the code table, then only that sliver's full
+    vectors are fetched (broadcast shortlist, corpus unshuffled) and
+    re-scored with exact cosine. Recovers exact-top-k recall where pure
+    ADC ties inside tight clusters (asserted in tests/test_llm_ops.py);
+    seeded codebooks => golden-literal oracle."""
+    from ct_mapreduce_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.where(F.col("vec_id") < 8), k=5, rerank_factor=4)
+
+
 @q(
     "a11_unpivot",
     """

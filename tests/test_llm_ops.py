@@ -940,3 +940,47 @@ def test_bloom_prefilter_semi_join_exact(spark):
     }
     want = {(r.k, r.v) for r in probe.join(keys, "k", "left_semi").collect()}
     assert got == want and len(want) > 0
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """Two-tier PQ contract on the planted-cluster fixture: the pure ADC
+    tier retrieves from the right CLUSTER (codes collapse within a tight
+    cluster, so in-cluster order is id-tie-broken — cluster membership is
+    what ADC can promise), and the reranked tier (shortlist + exact
+    cosine) recovers the true exact top-5."""
+    corpus, per = _planted_cluster_corpus(spark)
+    queries = corpus.where(F.col("vec_id") % per < 2)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(corpus, queries, k=5).collect()
+    }
+    adc = similarity.pq_topk(corpus, queries, k=5).collect()
+    same_cluster = [r for r in adc if r.query_id // per == r.neighbor_id // per]
+    assert len(same_cluster) / len(adc) >= 0.9, (
+        f"ADC same-cluster fraction = {len(same_cluster) / len(adc)}"
+    )
+    reranked = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_topk(
+            corpus, queries, k=5, rerank_factor=8
+        ).collect()
+    }
+    recall = len(exact & reranked) / len(exact)
+    assert recall >= 0.9, f"PQ+rerank recall@5 = {recall}"
+
+
+def test_semdedup_drops_planted_duplicates(spark):
+    """Exact-duplicate vectors always share a cell (identical cosine to
+    every centroid, deterministic tie-break), so semdedup must pair them
+    and the keep-rule must drop the higher id."""
+    corpus, per = _planted_cluster_corpus(spark)
+    base = corpus.where(F.col("vec_id") < 3)
+    dups = base.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    test = corpus.unionByName(dups)
+    pairs = similarity.semdedup_pairs(test, threshold=0.999)
+    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    for i in range(3):
+        assert (i, i + 10_000) in got, (i, sorted(got)[:5])
+    kept = {r.vec_id for r in similarity.semdedup_keep(test, threshold=0.999).collect()}
+    assert {10_000, 10_001, 10_002}.isdisjoint(kept)
+    assert {0, 1, 2} <= kept

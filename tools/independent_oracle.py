@@ -573,7 +573,130 @@ def mm_sample_frames(
     return sorted(rows)
 
 
+def emb_semdedup(
+    sf_dir: str,
+    threshold: float = 0.25,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> list[tuple]:
+    # mirrors operators/similarity.py:semdedup_pairs — seeded centroid
+    # pick (lowest xxhash64), narrow nearest-cell assignment (min on
+    # (-cosine, cell)), within-cell pairs a<b filtered on the UNROUNDED
+    # cosine, output rounded to 6.
+    ids, vecs = _load_embeddings(sf_dir)
+    hs = [(spark_xxhash64(str(vid), Int32(seed)), vid, i) for i, vid in enumerate(ids)]
+    hs.sort()
+    centroids = [vecs[i] for _, _, i in hs[:n_cells]]
+    cnorms = [_fold_norm(c) for c in centroids]
+
+    def cell_of(v: np.ndarray) -> int:
+        vn = _fold_norm(v)
+        return min(
+            (-(_fold_dot(v, c) / (vn * cn)), cell)
+            for cell, (c, cn) in enumerate(zip(centroids, cnorms))
+        )[1]
+
+    members: dict[int, list[int]] = {}
+    for i, v in enumerate(vecs):
+        members.setdefault(cell_of(v), []).append(i)
+    rows = []
+    for cell, idx in members.items():
+        idx = sorted(idx, key=lambda i: ids[i])
+        for ai in range(len(idx)):
+            for bi in range(ai + 1, len(idx)):
+                a, b = idx[ai], idx[bi]
+                cos = _cosine(vecs[a], vecs[b])
+                if cos >= threshold:
+                    rows.append((cell, ids[a], ids[b], _round6(cos)))
+    return sorted(rows)
+
+
+def emb_pq_topk(
+    sf_dir: str,
+    k: int = 5,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    rerank_factor: int = 0,
+) -> list[tuple]:
+    # mirrors operators/similarity.py:pq_codebooks/pq_encode/pq_topk —
+    # per-subspace seeded codebooks (lowest xxhash64(id, seed+j)), argmin
+    # L2 encode (sequential fold, lowest code on ties), ADC scoring via
+    # per-query LUTs summed in subspace order, rank on the ROUNDED score.
+    ids, vecs = _load_embeddings(sf_dir)
+    dim = len(vecs[0])
+    d = dim // m_sub
+    books: list[list[np.ndarray]] = []
+    for j in range(m_sub):
+        hs = [
+            (spark_xxhash64(str(vid), Int32(seed + j)), vid, i)
+            for i, vid in enumerate(ids)
+        ]
+        hs.sort()
+        books.append(
+            [
+                np.asarray(
+                    [float(x) for x in vecs[i][j * d : (j + 1) * d]],
+                    dtype=np.float64,
+                )
+                for _, _, i in hs[:n_codes]
+            ]
+        )
+
+    def encode(v: np.ndarray) -> list[int]:
+        codes = []
+        for j, book in enumerate(books):
+            sub = v[j * d : (j + 1) * d]
+            best = None
+            for code, cvec in enumerate(book):
+                acc = 0.0
+                for x, y in zip(sub.astype(np.float64), cvec):
+                    diff = float(x) - float(y)
+                    acc += diff * diff
+                if best is None or (acc, code) < best:
+                    best = (acc, code)
+            codes.append(best[1])
+        return codes
+
+    codes = {ids[i]: encode(v) for i, v in enumerate(vecs)}
+    scored: dict[int, list[tuple[float, int]]] = {}
+    for qi, qid in enumerate(ids):
+        if qid >= 8:
+            continue
+        lut = [
+            [_fold_dot(vecs[qi][j * d : (j + 1) * d], cvec) for cvec in book]
+            for j, book in enumerate(books)
+        ]
+        items = []
+        for nid in ids:
+            if nid == qid:
+                continue
+            acc = 0.0
+            for j, code in enumerate(codes[nid]):
+                acc += lut[j][code]
+            items.append((_round6(acc), nid))
+        if rerank_factor:
+            # shortlist by (ADC desc, id asc), then exact-cosine re-score
+            items.sort(key=lambda t: (-t[0], t[1]))
+            by_id = {vid: i for i, vid in enumerate(ids)}
+            items = [
+                (_round6(_cosine(vecs[qi], vecs[by_id[nid]])), nid)
+                for _, nid in items[: k * rerank_factor]
+            ]
+        scored[qid] = items
+    return _rank_topk(scored, k)
+
+
+def emb_pq_rerank_topk(sf_dir: str) -> list[tuple]:
+    # mirrors plans/corpus.py emb_pq_rerank_topk: ADC shortlist k*4,
+    # exact-cosine re-rank of the shortlist only
+    return emb_pq_topk(sf_dir, rerank_factor=4)
+
+
 DERIVATIONS = {
+    "emb_semdedup": emb_semdedup,
+    "emb_pq_topk": emb_pq_topk,
+    "emb_pq_rerank_topk": emb_pq_rerank_topk,
     "docs_minhash_lsh_dedup": docs_minhash_lsh_dedup,
     "docs_simhash_pairs": docs_simhash_pairs,
     "emb_ann_lsh": emb_ann_lsh,
