@@ -41,6 +41,11 @@ HEADLINE = [
     # round-5 additions (first recorded run = their baseline)
     "emb_ann_ivf",
     "docs_repetition_stats",
+    # round-6 additions (first recorded run = their baseline)
+    "docs_dup_spans",
+    "emb_semdedup",
+    "emb_pq_rerank_topk",
+    "d6_bloom_prefilter_join",
 ]
 
 # min-of-3: the first run pays JIT/codegen warmup and local-mode timings

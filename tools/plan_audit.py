@@ -54,6 +54,13 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("emb_quantized_topk", "bnlj"): "cosine_topk's shape: bounded "
     "dequantized query set broadcast on a non-equi self-exclusion; "
     "corpus side streams once",
+    ("emb_pq_topk", "bnlj"): "the ADC scan: bounded per-query LUT set "
+    "broadcast against the codes table on a non-equi self-exclusion — "
+    "by design (8 adds per candidate); corpus side streams once, "
+    "unshuffled",
+    ("emb_pq_rerank_topk", "bnlj"): "same ADC broadcast-LUT scan as "
+    "emb_pq_topk; the rerank tier adds only broadcast hash joins of the "
+    "shortlist",
     ("emb_ann_ivf", "global_window"): "centroid numbering over exactly "
     "n_cells=16 rows",
     ("q6_forecast_revenue", "no_pushdown"): "spark.sql over a temp view: "
