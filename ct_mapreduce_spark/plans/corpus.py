@@ -3834,6 +3834,93 @@ def docs_weighted_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+_PACK_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset // 512 AS seq_first,
+           (start_offset + n_tokens - 1) // 512 AS seq_last,
+           (start_offset + n_tokens - 1) // 512
+             - start_offset // 512 + 1 AS n_seqs
+    FROM c
+"""
+
+
+@q("docs_pack_sequences", _PACK_SQL, "packing")
+def docs_pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/packing.py:pack_sequences): each
+    document's span in the concatenated fixed-seq_len training stream —
+    global token offset, first/last sequence index, boundaries crossed.
+    The oracle is an ordinary window cumsum; the engine computes the SAME
+    pure-integer result via a two-phase distributed prefix sum (bucket
+    totals -> driver prefix of n_buckets model rows -> per-bucket
+    windows), because a global ORDER BY window is a single-partition plan
+    at 100 TB. No reference analog; extends §2.6."""
+    from ct_mapreduce_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=512, n_buckets=16
+    )
+
+
+@q(
+    "docs_packing_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_offset
+      FROM t
+    ), spans AS (
+      SELECT n_tokens,
+             (start_offset + n_tokens - 1) // 512
+               - start_offset // 512 + 1 AS n_seqs
+      FROM c
+    )
+    SELECT count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           (CAST(SUM(n_tokens) AS BIGINT) + 511) // 512 AS n_sequences,
+           CAST(SUM(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_straddlers,
+           ((CAST(SUM(n_tokens) AS BIGINT) + 511) // 512) * 512
+             - CAST(SUM(n_tokens) AS BIGINT) AS tail_pad_tokens
+    FROM spans
+    """,
+    "packing",
+)
+def docs_packing_stats(spark, sf_dir):
+    """Packing-efficiency audit (operators/packing.py:packing_stats):
+    corpus totals, straddler count, tail padding. One map-side-combined
+    global aggregate over the packed spans."""
+    from ct_mapreduce_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    packed = pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=512, n_buckets=16
+    )
+    return packing_stats(packed, seq_len=512)
+
+
 @q(
     "docs_vocab_topk",
     r"""
