@@ -326,7 +326,6 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, n_bands_matched, est_jaccard) where est_jaccard
     is the signature-agreement fraction (unbiased J estimate).
     """
-    r = num_hashes // bands
     # Signature computation is CPU-dense per-row work: fan out first.
     # Materialize the COMPACT signature frame (one row per doc), not the
     # exploded banded frame (which would duplicate each signature array
@@ -347,20 +346,7 @@ def minhash_lsh_pairs(
     # Checkpointed: five consumers read it (hot agg, semi, anti, both
     # self-join sides) — measured faster than re-deriving the explode+sha1
     # per consumer.
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.sha1(
-                        F.concat_ws(",", F.slice("minhash", i * r + 1, r))
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket").localCheckpoint(eager=True)
+    banded = _banded_frame(sigs, num_hashes, bands).localCheckpoint(eager=True)
     if max_bucket_width is not None:
         # Hot-bucket capping, fully LAZY — no driver-blocking count() job.
         # The hot list shrinks to one row per saturated (band, bucket)
@@ -426,6 +412,150 @@ def minhash_lsh_pairs(
         )
     )
     return pairs.select("doc_a", "doc_b", "n_bands_matched", "est_jaccard")
+
+
+def _banded_frame(
+    sigs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc_id, minhash) -> thin (doc_id, band, bucket) LSH frame — the
+    same banding minhash_lsh_pairs builds inline (sha1 over the band's
+    comma-joined signature slice)."""
+    r = num_hashes // bands
+    return (
+        sigs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda i: F.struct(
+                        i.alias("band"),
+                        F.sha1(
+                            F.concat_ws(",", F.slice("minhash", i * r + 1, r))
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select("doc_id", "bb.band", "bb.bucket")
+    )
+
+
+def minhash_index_build(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> None:
+    """Materialize a MinHash/LSH dedup index for the historical corpus.
+
+    This is the INCREMENTAL dedup architecture: at 100 TB you do not
+    re-pair the whole corpus for every incoming batch — you pay the
+    signature pass ONCE, persist the banded posting lists, and each new
+    batch probes them (minhash_probe_index). Layout:
+
+      {path}/banded/  (doc_id, band, bucket) partitioned by pfx =
+                      first 2 hex chars of bucket (256 partitions), so a
+                      probe's bounded bucket-prefix IN-list prunes the
+                      scan to the partitions its buckets can live in —
+                      the same serve shape as the materialized IVF index
+                      (operators/similarity.py:ivf_build_index).
+      {path}/sigs/    (doc_id, minhash) for signature-agreement scoring
+                      of surviving candidates.
+
+    Parameters must match between build and probe (they define the hash
+    family); both default to minhash_lsh_pairs' values, so probe results
+    agree bit-for-bit with the batch-vs-corpus slice of the one-shot
+    operator (asserted in tests/test_llm_ops.py).
+    """
+    sigs = minhash_signatures(fan_out(docs), text_col, k, num_hashes, seed)
+    sigs = sigs.localCheckpoint(eager=True)  # one Python-stage pass, two sinks
+    banded = _banded_frame(sigs, num_hashes, bands).withColumn(
+        "pfx", F.substring("bucket", 1, 2)
+    )
+    banded.write.mode("overwrite").partitionBy("pfx").parquet(path + "/banded")
+    sigs.write.mode("overwrite").parquet(path + "/sigs")
+
+
+def minhash_probe_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Probe a minhash_index_build index with an incoming batch: which
+    corpus documents is each new document a near-duplicate candidate of?
+
+    Output: (new_doc_id, corpus_doc_id, n_bands_matched, est_jaccard) —
+    est_jaccard is the signature-agreement fraction, same contract as
+    minhash_lsh_pairs.
+
+    Scale shape (the whole point): the batch side is SMALL relative to
+    the corpus, so the batch's banded frame is BROADCAST and the index
+    never shuffles — each scan task tests its own posting rows against
+    the in-memory batch buckets. Before that, the probe collects its
+    bounded distinct bucket-prefix list (<= 256 values, model-parameter
+    sized) and pushes it as a partition filter, so a small batch reads a
+    small fraction of the index files. Corpus work per probe is
+    O(index partitions touched), not O(corpus).
+    """
+    bsigs = minhash_signatures(
+        fan_out(new_docs), text_col, k, num_hashes, seed
+    ).localCheckpoint(eager=True)
+    bband = _banded_frame(bsigs, num_hashes, bands).withColumn(
+        "pfx", F.substring("bucket", 1, 2)
+    ).localCheckpoint(eager=True)
+    # Bounded driver action: the distinct prefix IN-list (<= 256 strings).
+    pfxs = [r["pfx"] for r in bband.select("pfx").distinct().collect()]
+    idx = spark.read.parquet(path + "/banded").where(F.col("pfx").isin(pfxs))
+    cand = (
+        idx.alias("c")
+        .join(
+            F.broadcast(bband.alias("n")),
+            (F.col("c.band") == F.col("n.band"))
+            & (F.col("c.bucket") == F.col("n.bucket"))
+            & (F.col("c.doc_id") != F.col("n.doc_id")),
+        )
+        .groupBy(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("c.doc_id").alias("corpus_doc_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+    csigs = spark.read.parquet(path + "/sigs").select(
+        F.col("doc_id").alias("corpus_doc_id"), F.col("minhash").alias("_mh_c")
+    )
+    nsigs = bsigs.select(
+        F.col("doc_id").alias("new_doc_id"), F.col("minhash").alias("_mh_n")
+    )
+    # Candidates are sparse; AQE broadcasts the candidate side against the
+    # signature store (no hint: csigs is corpus-cardinality).
+    pairs = (
+        cand.join(csigs, "corpus_doc_id")
+        .join(F.broadcast(nsigs), "new_doc_id")
+        .withColumn(
+            "n_hash_agree",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("_mh_n"), F.col("_mh_c"), lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ),
+        )
+        .withColumn(
+            "est_jaccard",
+            F.round(F.col("n_hash_agree").cast("double") / num_hashes, 6),
+        )
+    )
+    return pairs.select(
+        "new_doc_id", "corpus_doc_id", "n_bands_matched", "est_jaccard"
+    )
 
 
 def dedup_clusters(

@@ -1460,6 +1460,32 @@ def docs_minhash_lsh_dedup(spark, sf_dir):
     return dedup_fuzzy.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
+@q("docs_incremental_dedup", _pin("docs_incremental_dedup"), "dedup")
+def docs_incremental_dedup(spark, sf_dir):
+    """Incremental dedup: a new batch probed against a MATERIALIZED
+    MinHash/LSH index of the historical corpus
+    (operators/dedup_fuzzy.py:minhash_index_build / minhash_probe_index).
+    This is how a 100 TB pipeline actually runs dedup — the corpus
+    signature pass is paid once, each arriving batch pays O(batch)
+    signature work plus a bucket-prefix-pruned, broadcast-batch join
+    against the posting lists; the index never shuffles.
+
+    Here: corpus = documents with doc_id % 10 != 0 (index built once per
+    sf_dir, fingerprint-tagged so testdata regeneration invalidates it),
+    batch = doc_id % 10 == 0. Pin is independently re-derived
+    (tools/independent_oracle.py); batch-vs-corpus agreement with the
+    one-shot operator asserted in tests/test_llm_ops.py."""
+    import os
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    idx = f"/tmp/ctspark_mh_idx_{_cache_tag(sf_dir, 'documents', 'v1')}"
+    if not os.path.exists(idx + "/sigs/_SUCCESS"):
+        dedup_fuzzy.minhash_index_build(corpus, idx)
+    return dedup_fuzzy.minhash_probe_index(spark, idx, batch)
+
+
 @q("docs_simhash_pairs", _pin("docs_simhash_pairs"), "dedup")
 def docs_simhash_pairs(spark, sf_dir):
     """SimHash 64-bit signatures + hamming<=8 candidates via 16-bit-chunk

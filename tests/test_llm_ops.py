@@ -43,6 +43,46 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
         assert recall >= 0.9, f"LSH recall {recall} over {len(exact)} pairs"
 
 
+def test_minhash_index_probe_matches_oneshot(spark, docs, tmp_path):
+    """Incremental contract: probing the corpus index with a batch must
+    return exactly the batch-vs-corpus slice of the one-shot operator run
+    over the union (no cap triggers at this scale)."""
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    idx = str(tmp_path / "mh_idx")
+    dedup_fuzzy.minhash_index_build(corpus, idx)
+    got = {
+        (r.new_doc_id, r.corpus_doc_id): (r.n_bands_matched, r.est_jaccard)
+        for r in dedup_fuzzy.minhash_probe_index(spark, idx, batch).collect()
+    }
+    oneshot = dedup_fuzzy.minhash_lsh_pairs(docs, max_bucket_width=None)
+    want = {}
+    for r in oneshot.collect():
+        a_new, b_new = r.doc_a % 10 == 0, r.doc_b % 10 == 0
+        if a_new != b_new:  # cross pairs only, keyed (new, corpus)
+            key = (r.doc_a, r.doc_b) if a_new else (r.doc_b, r.doc_a)
+            want[key] = (r.n_bands_matched, r.est_jaccard)
+    assert got == want and len(got) > 0
+
+
+def test_minhash_index_probe_prunes_partitions(spark, docs, tmp_path):
+    """The probe's index scan must carry a pfx partition filter (the
+    bounded bucket-prefix IN-list) — the 100 TB serve contract: a small
+    batch reads a small fraction of the posting files."""
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") < 3)
+    idx = str(tmp_path / "mh_idx2")
+    dedup_fuzzy.minhash_index_build(corpus, idx)
+    out = dedup_fuzzy.minhash_probe_index(spark, idx, batch)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # (match the filter clause itself: Spark truncates the Location path,
+    # so the index dir name may not survive into the printed line)
+    assert any(
+        "PartitionFilters: [pfx" in l and "INSET" in l
+        for l in plan.splitlines()
+    ), "probe scan lost the pfx partition filter:\n" + plan[:2000]
+
+
 def test_minhash_estimate_tracks_exact(spark, docs):
     """est_jaccard from signature agreement should correlate with exact J
     on flagged pairs (loose band: +-0.25 absolute)."""

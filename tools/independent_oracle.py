@@ -693,8 +693,67 @@ def emb_pq_rerank_topk(sf_dir: str) -> list[tuple]:
     return emb_pq_topk(sf_dir, rerank_factor=4)
 
 
+def docs_incremental_dedup(
+    sf_dir: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> list[tuple]:
+    """Re-derive minhash_probe_index: batch (doc_id % 10 == 0) probed
+    against the corpus (doc_id % 10 != 0) posting lists. Same signature
+    family as docs_minhash_lsh_dedup; no hot-bucket cap (capping is a
+    build-time policy, the probe replays postings as materialized)."""
+    t = _read(sf_dir, "documents")
+    doc_ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+
+    p = np.uint64((1 << 61) - 1)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=num_hashes, dtype=np.uint64)
+
+    r = num_hashes // bands
+    sigs: dict[int, np.ndarray] = {}
+    for doc_id, text in zip(doc_ids, texts):
+        sh = _shingles(text, k)
+        if not sh:
+            sigs[doc_id] = np.zeros(num_hashes, dtype=np.int64)
+            continue
+        base = np.array(
+            [spark_xxhash64(s, Int32(seed)) for s in sh], dtype=np.int64
+        )
+        x = base.view(np.uint64) & p
+        with np.errstate(over="ignore"):
+            v = (a[:, None] * x[None, :] + b[:, None]) % p
+        sigs[doc_id] = v.min(axis=1).astype(np.int64)
+
+    banded: dict[tuple[int, str], list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for i in range(bands):
+            key = ",".join(str(int(s)) for s in sig[i * r : (i + 1) * r])
+            bucket = hashlib.sha1(key.encode()).hexdigest()
+            banded.setdefault((i, bucket), []).append(doc_id)
+
+    pair_bands: dict[tuple[int, int], int] = {}
+    for members in banded.values():
+        news = [d for d in members if d % 10 == 0]
+        olds = [d for d in members if d % 10 != 0]
+        for dn in news:
+            for dc in olds:
+                pr = (dn, dc)
+                pair_bands[pr] = pair_bands.get(pr, 0) + 1
+
+    rows = []
+    for (dn, dc), nb in pair_bands.items():
+        agree = int(np.sum(sigs[dn] == sigs[dc]))
+        rows.append((dn, dc, nb, _round6(agree / num_hashes)))
+    return sorted(rows)
+
+
 DERIVATIONS = {
     "emb_semdedup": emb_semdedup,
+    "docs_incremental_dedup": docs_incremental_dedup,
     "emb_pq_topk": emb_pq_topk,
     "emb_pq_rerank_topk": emb_pq_rerank_topk,
     "docs_minhash_lsh_dedup": docs_minhash_lsh_dedup,
