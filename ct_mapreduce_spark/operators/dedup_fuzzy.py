@@ -479,6 +479,31 @@ def minhash_index_build(
     sigs.write.mode("overwrite").parquet(path + "/sigs")
 
 
+def minhash_index_append(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> None:
+    """Fold an accepted batch into an existing index (the second half of
+    the incremental lifecycle: probe, drop near-dups, APPEND survivors so
+    the next batch dedups against them too). Parquet append into the same
+    pfx partition layout — no rewrite of existing posting files, so the
+    cost is O(batch) regardless of index size. Run compact_store on
+    {path}/banded periodically if many small batches accumulate small
+    files."""
+    sigs = minhash_signatures(fan_out(docs), text_col, k, num_hashes, seed)
+    sigs = sigs.localCheckpoint(eager=True)
+    banded = _banded_frame(sigs, num_hashes, bands).withColumn(
+        "pfx", F.substring("bucket", 1, 2)
+    )
+    banded.write.mode("append").partitionBy("pfx").parquet(path + "/banded")
+    sigs.write.mode("append").parquet(path + "/sigs")
+
+
 def minhash_probe_index(
     spark,
     path: str,

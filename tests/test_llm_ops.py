@@ -65,6 +65,37 @@ def test_minhash_index_probe_matches_oneshot(spark, docs, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_minhash_index_append_lifecycle(spark, docs, tmp_path):
+    """Probe -> append -> probe: after a batch is folded into the index,
+    the next batch's near-dups of THAT batch are found too."""
+    corpus = docs.where((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 5))
+    b1 = docs.where(F.col("doc_id") % 10 == 0)
+    b2 = docs.where(F.col("doc_id") % 10 == 5)
+    idx = str(tmp_path / "mh_idx_app")
+    dedup_fuzzy.minhash_index_build(corpus, idx)
+    before = {
+        (r.new_doc_id, r.corpus_doc_id)
+        for r in dedup_fuzzy.minhash_probe_index(spark, idx, b2).collect()
+    }
+    dedup_fuzzy.minhash_index_append(b1, idx)
+    after = {
+        (r.new_doc_id, r.corpus_doc_id)
+        for r in dedup_fuzzy.minhash_probe_index(spark, idx, b2).collect()
+    }
+    assert before <= after
+    b1_ids = {r.doc_id for r in b1.select("doc_id").collect()}
+    gained = {c for _, c in after - before}
+    assert gained <= b1_ids  # new hits come only from the appended batch
+    # the union-index probe equals one-shot cross pairs over everything
+    oneshot = dedup_fuzzy.minhash_lsh_pairs(docs, max_bucket_width=None)
+    want = set()
+    for r in oneshot.collect():
+        a5, b5 = r.doc_a % 10 == 5, r.doc_b % 10 == 5
+        if a5 != b5:
+            want.add((r.doc_a, r.doc_b) if a5 else (r.doc_b, r.doc_a))
+    assert after == want
+
+
 def test_minhash_index_probe_prunes_partitions(spark, docs, tmp_path):
     """The probe's index scan must carry a pfx partition filter (the
     bounded bucket-prefix IN-list) — the 100 TB serve contract: a small
