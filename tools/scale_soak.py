@@ -75,17 +75,20 @@ def main() -> None:
         print(f"ingest n={n}: {times}", file=sys.stderr)
 
     base_docs = load_table(spark, "documents", "/root/testdata/sf0.1")
-    for mult in DOC_MULTS:
+
+    def _docs_at(mult: int):
         if mult == 1:
-            docs = base_docs
-        else:
-            reps = spark.range(mult).withColumnRenamed("id", "_rep")
-            docs = base_docs.crossJoin(reps).select(
-                (F.col("doc_id") * mult + F.col("_rep")).alias("doc_id"),
-                F.concat(
-                    F.col("text"), F.lit(" v"), F.col("_rep").cast("string")
-                ).alias("text"),
-            )
+            return base_docs
+        reps = spark.range(mult).withColumnRenamed("id", "_rep")
+        return base_docs.crossJoin(reps).select(
+            (F.col("doc_id") * mult + F.col("_rep")).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" v"), F.col("_rep").cast("string")
+            ).alias("text"),
+        )
+
+    for mult in DOC_MULTS:
+        docs = _docs_at(mult)
         times = []
         n_pairs = None
         for _ in range(ITERATIONS):
@@ -99,6 +102,43 @@ def main() -> None:
             "n_pairs": n_pairs,
         }
         print(f"minhash x{mult}: {times} pairs={n_pairs}", file=sys.stderr)
+
+    # --- incremental dedup serve path: index build 1x/10x, probes with a
+    # FIXED batch — probe wall must track the touched-partition bytes (the
+    # bounded pfx IN-list), never the full index ---
+    from ct_mapreduce_spark.operators.dedup_fuzzy import (
+        minhash_index_build,
+        minhash_probe_index,
+    )
+
+    small_batch = base_docs.where(F.col("doc_id") < 8).select("doc_id", "text")
+    big_batch = base_docs.where(F.col("doc_id") < 500).select("doc_id", "text")
+    for mult in DOC_MULTS:
+        idx = tempfile.mkdtemp(prefix=f"ctspark_soak_mhidx_x{mult}_")
+        t0 = time.perf_counter()
+        minhash_index_build(_docs_at(mult).where(F.col("doc_id") % 10 != 0), idx)
+        build_s = round(time.perf_counter() - t0, 2)
+        entry = {"build_s": build_s}
+        for label, batch in (("small8", small_batch), ("big500", big_batch)):
+            probe_times = []
+            n_pairs = None
+            for _ in range(ITERATIONS):
+                t0 = time.perf_counter()
+                probed = minhash_probe_index(spark, idx, batch)
+                n_pairs = probed.count()
+                probe_times.append(round(time.perf_counter() - t0, 2))
+            plan = probed._jdf.queryExecution().executedPlan().toString()
+            assert any(
+                "PartitionFilters: [pfx" in l for l in plan.splitlines()
+            ), f"mhidx x{mult} {label}: probe scan not pfx-pruned"
+            entry[f"probe_{label}"] = {
+                "iterations": probe_times,
+                "min": min(probe_times),
+                "n_pairs": n_pairs,
+            }
+        results[f"mhidx_x{mult}"] = entry
+        print(f"mhidx x{mult}: {entry}", file=sys.stderr)
+        shutil.rmtree(idx, ignore_errors=True)
 
     # --- ANN serve path: build once, probe with partition pruning ---
     from ct_mapreduce_spark.operators import similarity
@@ -195,6 +235,21 @@ def main() -> None:
         "ingest_20k_to_200k": expo("ingest_20000", "ingest_200000", 10),
         "ingest_200k_to_2M": expo("ingest_200000", "ingest_2000000", 10),
         "minhash_1x_to_10x": expo("minhash_x1", "minhash_x10", 10),
+        "mhidx_build_1x_to_10x": round(
+            math.log(
+                results["mhidx_x10"]["build_s"] / results["mhidx_x1"]["build_s"]
+            )
+            / math.log(10),
+            3,
+        ),
+        "mhidx_probe_big500_1x_to_10x": round(
+            math.log(
+                max(results["mhidx_x10"]["probe_big500"]["min"], 0.01)
+                / max(results["mhidx_x1"]["probe_big500"]["min"], 0.01)
+            )
+            / math.log(10),
+            3,
+        ),
         "ann_build_1x_to_100x": expo("ann_x1", "ann_x100", 100, "build_s"),
         "ann_probe_1x_to_100x": expo("ann_x1", "ann_x100", 100, "probe_min"),
     }
