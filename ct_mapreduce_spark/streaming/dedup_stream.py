@@ -1,0 +1,167 @@
+"""Streaming incremental dedup — the curation daemon.
+
+A continuously-arriving document stream is deduplicated against
+everything ever accepted before it, using the materialized MinHash index
+(operators/dedup_fuzzy.py): per micro-batch, probe the index, drop
+near-dups (cross-batch AND within-batch), append the survivors' posting
+lists, and emit the survivors as the keep-list. This is the streaming
+face of the same build-once/probe-pruned architecture the batch path
+uses — a 100 TB corpus is not re-signed per batch; each trigger pays
+O(batch).
+
+Replay safety (foreachBatch re-delivers a batch after a crash): every
+write is keyed by the batch id and performed with DYNAMIC partition
+overwrite, so a replayed batch overwrites exactly its own partitions —
+postings, signatures, and keep-list are idempotent without a
+transactional store. (Plain parquet `append` would double-insert
+postings on replay, inflating n_bands_matched; that is why this module
+maintains its own ingest_batch=... partition level rather than calling
+minhash_index_append.)
+
+Reference anchor: the daemon shape mirrors SURVEY §2.8's T1-T3 ingest
+loop (backpressure via trigger bounds, resume via checkpointLocation,
+dedup making at-least-once delivery safe — ct-fetch.go:371-392); the
+dedup tier itself is the engine's north-star extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ct_mapreduce_spark.operators.dedup_fuzzy import (
+    _banded_frame,
+    minhash_lsh_pairs,
+    minhash_probe_index,
+    minhash_signatures,
+)
+from ct_mapreduce_spark.operators.util import fan_out
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def write_postings(
+    docs: DataFrame,
+    path: str,
+    batch_tag: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> None:
+    """Write one batch's posting lists + signatures under
+    ingest_batch=<batch_tag>, idempotently (dynamic partition overwrite:
+    a replay of the same tag replaces its own partitions and no others).
+    Layout: {path}/banded/ingest_batch=T/pfx=XX/ and
+    {path}/sigs/ingest_batch=T/ — probes prune on pfx exactly as with
+    the batch-built index; the extra partition level is invisible to
+    them. Initialize an index by writing the historical corpus under a
+    'base' tag."""
+    spark = docs.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        sigs = minhash_signatures(
+            fan_out(docs), text_col, k, num_hashes, seed
+        ).localCheckpoint(eager=True)
+        banded = _banded_frame(sigs, num_hashes, bands).select(
+            "doc_id",
+            "band",
+            "bucket",
+            F.lit(batch_tag).alias("ingest_batch"),
+            F.substring("bucket", 1, 2).alias("pfx"),
+        )
+        banded.write.mode("overwrite").partitionBy("ingest_batch", "pfx").parquet(
+            path + "/banded"
+        )
+        sigs.withColumn("ingest_batch", F.lit(batch_tag)).write.mode(
+            "overwrite"
+        ).partitionBy("ingest_batch").parquet(path + "/sigs")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def dedup_batch(
+    spark: SparkSession,
+    index_path: str,
+    batch: DataFrame,
+    est_threshold: float = 0.9,
+) -> DataFrame:
+    """One batch's keep-list: drop documents whose probe against the
+    index finds a candidate with est_jaccard >= threshold (cross-batch
+    tier), then drop within-batch near-dups keeping the min doc_id (the
+    engine-wide first-seen-wins rule). Returns the surviving rows of
+    `batch` unchanged."""
+    batch = batch.localCheckpoint(eager=True)  # one signature pass, 3 uses
+    cross_dups = (
+        minhash_probe_index(spark, index_path, batch)
+        .where(F.col("est_jaccard") >= est_threshold)
+        .select(F.col("new_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    survivors = batch.join(F.broadcast(cross_dups), "doc_id", "left_anti")
+    within = (
+        minhash_lsh_pairs(survivors)
+        .where(F.col("est_jaccard") >= est_threshold)
+        .select(F.greatest("doc_a", "doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return survivors.join(F.broadcast(within), "doc_id", "left_anti")
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    source_path: str,
+    index_path: str,
+    keep_path: str,
+    checkpoint: str,
+    est_threshold: float = 0.9,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """File-source document stream -> per-micro-batch incremental dedup.
+
+    Each trigger: probe + within-batch dedup (dedup_batch), write the
+    keep-list partitioned by ingest_batch, fold the survivors' postings
+    into the index so the NEXT batch dedups against them too. All three
+    writes are batch-id-keyed dynamic overwrites => replay-idempotent;
+    combined with checkpointLocation this is effectively-once.
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch hands the batch a CLONED SparkSession; conf must be
+        # set on THAT session (batch_df.sparkSession) or the keep write
+        # silently runs as a STATIC overwrite and truncates every other
+        # batch's partition. (write_postings already keys off its input's
+        # session for the same reason.)
+        session = batch_df.sparkSession
+        kept = dedup_batch(
+            session, index_path, batch_df, est_threshold
+        ).localCheckpoint(eager=True)
+        prev = session.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        session.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            kept.withColumn("ingest_batch", F.lit(str(batch_id))).write.mode(
+                "overwrite"
+            ).partitionBy("ingest_batch").parquet(keep_path)
+        finally:
+            session.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        write_postings(kept, index_path, batch_tag=str(batch_id))
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

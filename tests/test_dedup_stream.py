@@ -1,0 +1,127 @@
+"""Streaming incremental dedup (streaming/dedup_stream.py): cross-batch
+dedup through the growing index, within-batch dedup, and replay
+idempotence of the batch-keyed dynamic-overwrite writes."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ct_mapreduce_spark.streaming.dedup_stream import (
+    dedup_batch,
+    start_dedup_stream,
+    write_postings,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _one_file(df, src_dir: str, name: str, mtime: float) -> None:
+    tmp = src_dir + "_stage_" + name
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(tmp + "/part-*.parquet")[0]
+    os.makedirs(src_dir, exist_ok=True)
+    dst = os.path.join(src_dir, name + ".parquet")
+    shutil.copyfile(part, dst)
+    os.utime(dst, (mtime, mtime))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.fixture()
+def corpus_and_batches(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.where((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 5))
+    idx = str(tmp_path / "idx")
+    write_postings(corpus, idx, batch_tag="base")
+    batch_a = docs.where(F.col("doc_id") % 10 == 0)
+    # batch B = verbatim copies of batch A under new ids: every row must
+    # be deduped away — against A's survivors (appended postings) or
+    # against the corpus (A's dropped rows were near-dups of it).
+    batch_b = batch_a.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    src = str(tmp_path / "src")
+    _one_file(batch_a, src, "b0", 1_000_000.0)
+    _one_file(batch_b, src, "b1", 1_000_100.0)
+    return idx, src, batch_a, str(tmp_path)
+
+
+def _run(spark, idx, src, root, tag):
+    keep = f"{root}/keep_{tag}"
+    q = start_dedup_stream(
+        spark,
+        source_path=src,
+        index_path=idx,
+        keep_path=keep,
+        checkpoint=f"{root}/ckpt_{tag}",
+    )
+    q.awaitTermination(180)
+    return keep
+
+
+def test_stream_dedup_cross_and_within_batch(spark, corpus_and_batches):
+    idx, src, batch_a, root = corpus_and_batches
+    keep = _run(spark, idx, src, root, "t1")
+    kept = spark.read.parquet(keep)
+    by_batch = {
+        str(r["ingest_batch"]): r["n"]
+        for r in kept.groupBy("ingest_batch").agg(F.count("*").alias("n")).collect()
+    }
+    # batch 0 keeps a nonempty survivor subset of A; batch 1 (verbatim
+    # copies) is fully deduped away — partition exists with zero rows or
+    # is absent entirely.
+    assert 0 < by_batch.get("0", 0) <= batch_a.count()
+    assert by_batch.get("1", 0) == 0
+    # survivors within batch 0 carry no exact duplicate texts
+    texts = [
+        r["text"]
+        for r in kept.where(F.col("ingest_batch").cast("string") == "0").collect()
+    ]
+    assert len(texts) == len(set(texts))
+
+
+def test_stream_dedup_replay_idempotent(spark, corpus_and_batches):
+    idx, src, _, root = corpus_and_batches
+    keep = _run(spark, idx, src, root, "t2")
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(keep).select("doc_id").collect()
+    )
+    sigs_files_first = len(glob.glob(idx + "/sigs/ingest_batch=0/*.parquet"))
+    # crash-replay simulation: wipe the checkpoint so BOTH batches are
+    # re-delivered with the same batch ids against the already-written
+    # index/keep partitions
+    shutil.rmtree(f"{root}/ckpt_t2", ignore_errors=True)
+    q = start_dedup_stream(
+        spark,
+        source_path=src,
+        index_path=idx,
+        keep_path=keep,
+        checkpoint=f"{root}/ckpt_t2",
+    )
+    q.awaitTermination(180)
+    second = sorted(
+        tuple(r) for r in spark.read.parquet(keep).select("doc_id").collect()
+    )
+    assert second == first
+    # dynamic overwrite replaced the partition instead of doubling it
+    sigs_files_second = len(glob.glob(idx + "/sigs/ingest_batch=0/*.parquet"))
+    assert sigs_files_second == sigs_files_first
+
+
+def test_dedup_batch_exact_copy_dropped(spark, tmp_path):
+    rows = [(i, f"unique text number {i} " * 5) for i in range(20)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "idx2")
+    write_postings(corpus, idx, batch_tag="base")
+    batch = spark.createDataFrame(
+        [(100, rows[3][1]), (101, "completely fresh material never seen " * 4)],
+        "doc_id long, text string",
+    )
+    kept = dedup_batch(spark, idx, batch).select("doc_id").collect()
+    assert {r["doc_id"] for r in kept} == {101}
