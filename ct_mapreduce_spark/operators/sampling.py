@@ -81,6 +81,57 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def mixture_rebalance(
+    df: DataFrame,
+    stratum_col: str,
+    key: str,
+    target_shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministically downsample to a target stratum mixture — the
+    data-mixing step of a training pipeline (e.g. rebalance a web crawl
+    to uniform-over-languages before tokenization).
+
+    Given per-stratum counts n_s and target shares t_s (default
+    uniform), the largest corpus honoring the mixture with keep-prob
+    <= 1 everywhere has N' = min_s(n_s / t_s) rows; each stratum keeps
+    rows with probability p_s = t_s * N' / n_s. Membership is the
+    hash_uniform draw (pure function of the key), so the kept set is
+    engine/partitioning/growth-stable and the DuckDB oracle replays it
+    exactly. Expected result shares = t_s (exact up to hash
+    granularity); the binding stratum keeps everything.
+
+    Plan: one map-side-combined count per stratum (model-parameter-sized
+    frame), broadcast join of the per-stratum keep-prob, scan-local
+    filter. The corpus never shuffles.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    # Windows over the counts frame are windows over a model-parameter-
+    # sized input (one row per stratum); partitionBy(lit) keeps the
+    # partitionSpec non-empty so plan audits can tell this single-task
+    # window is over a bounded frame, not the corpus.
+    whole = W.partitionBy(F.lit(0))
+    if target_shares is None:
+        shared = counts.withColumn(
+            "_t", F.lit(1.0) / F.count(F.lit(1)).over(whole)
+        )
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in target_shares.items() for x in kv]
+        )
+        shared = counts.withColumn(
+            "_t", F.element_at(mapping, F.col(stratum_col))
+        )
+    n_prime = F.min(F.col("_n") / F.col("_t")).over(whole)
+    probs = shared.withColumn(
+        "_keep_p", F.least(F.lit(1.0), F.col("_t") * n_prime / F.col("_n"))
+    ).select(stratum_col, "_keep_p")
+    return (
+        df.join(F.broadcast(probs), stratum_col)
+        .where(hash_uniform(key) < F.col("_keep_p"))
+        .drop("_keep_p")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

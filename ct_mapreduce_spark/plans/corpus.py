@@ -3860,6 +3860,40 @@ def docs_weighted_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+@q(
+    "docs_mixture_rebalance",
+    """
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+    ), t AS (
+      SELECT lang, n, 1.0 / (SELECT count(*) FROM c) AS ts FROM c
+    ), np AS (
+      SELECT min(n / ts) AS n_prime FROM t
+    ), p AS (
+      SELECT lang,
+             least(1.0, ts * (SELECT n_prime FROM np) / n) AS keep_p
+      FROM t
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN p USING (lang)
+    WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          / 4294967296.0 < p.keep_p
+    """,
+    "sampling",
+)
+def docs_mixture_rebalance(spark, sf_dir):
+    """Data mixing (operators/sampling.py:mixture_rebalance): downsample
+    to a uniform-over-languages corpus — per-stratum keep-prob
+    t*N'/n with N' = min(n/t), membership by the md5-uniform draw, so
+    the kept set is a pure function of the data and the oracle replays
+    it exactly. One tiny count aggregate + broadcast of per-stratum
+    probabilities + a scan-local filter; the corpus never shuffles."""
+    from ct_mapreduce_spark.operators.sampling import mixture_rebalance
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_rebalance(d, "lang", "doc_id").select("doc_id", "lang")
+
+
 _PACK_SQL = r"""
     WITH t AS (
       SELECT doc_id,

@@ -437,6 +437,32 @@ def test_dedup_clusters_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
 
 
+def test_mixture_rebalance_uniform_and_stable(spark):
+    from ct_mapreduce_spark.operators.sampling import mixture_rebalance
+
+    rows = [(i, "a" if i % 10 < 6 else ("b" if i % 10 < 9 else "c")) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_rebalance(df, "lang", "doc_id")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # binding stratum (c, 300 rows) keeps everything; others land near 300
+    assert counts["c"] == 300
+    for l in ("a", "b"):
+        assert abs(counts[l] - 300) <= 60, counts
+    # deterministic under repartitioning
+    again = mixture_rebalance(df.repartition(13), "lang", "doc_id")
+    assert sorted(tuple(r) for r in again.collect()) == sorted(
+        tuple(r) for r in out.collect()
+    )
+    # explicit target shares: 75/25 between a and b only
+    t = mixture_rebalance(df.where(F.col("lang") != "c"), "lang", "doc_id",
+                          target_shares={"a": 0.75, "b": 0.25})
+    tc = {r["lang"]: r["n"] for r in t.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # a binds (1800/0.75 = 2400 < 900/0.25 = 3600): keeps all 1800;
+    # b thins to 25% of 2400 = ~600
+    assert tc["a"] == 1800
+    assert abs(tc["b"] - 600) <= 40
+
+
 def test_hash_split_stable_under_repartition_and_growth(spark):
     """The property seed-based sample() lacks: split membership is a pure
     function of the key — identical after repartitioning, and adding new
