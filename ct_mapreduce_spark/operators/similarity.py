@@ -755,6 +755,95 @@ def ivf_build_index(
     cents.write.mode("overwrite").parquet(path + "/_centroids")
 
 
+def label_outliers(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-class embedding outliers: vectors whose cosine similarity to
+    their own label's centroid sits more than `z_threshold` standard
+    deviations BELOW the label mean — the mislabeled/garbage candidates a
+    curation pipeline quarantines before training.
+
+    Determinism discipline (the thing that makes this a full-oracle
+    query): similarity is rounded to 6 dp, staged onto an integer 1e6
+    grid, and the per-label mean/variance are computed from DECIMAL sums
+    of those integers — associative, so partial-aggregation order cannot
+    move the z-scores; every double op downstream has a pinned operand
+    order the DuckDB oracle mirrors exactly.
+
+    Plan: the decimal-staged label_centroids pass (one shuffle), a
+    broadcast of the per-label centroid arrays + moment rows (both
+    model-parameter-sized: one row per label), and a scan-local filter.
+    The corpus shuffles once (the centroid aggregation), never for the
+    z-scoring."""
+    cents_long = label_centroids(emb, label_col, id_col, vec_col)
+    cent_arr = (
+        cents_long.groupBy(label_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "centroid_val"))
+            ).alias("_cl")
+        )
+        .select(
+            label_col,
+            F.transform("_cl", lambda s: s["centroid_val"]).alias("_centroid"),
+        )
+    )
+    sim = F.round(
+        cosine(F.col(vec_col).cast("array<double>"), F.col("_centroid")), 6
+    )
+    staged = emb.join(F.broadcast(cent_arr), label_col).select(
+        label_col,
+        id_col,
+        sim.alias("sim_r"),
+        F.round(sim * 1e6, 0).cast("long").alias("_q"),
+    )
+    stats = staged.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_q").cast("decimal(38,0)")).alias("_s"),
+        F.sum((F.col("_q") * F.col("_q")).cast("decimal(38,0)")).alias("_ss"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = F.col("_ss").cast("double") / F.col("_n") - mean * mean
+    z = (F.col("_q").cast("double") - mean) / F.sqrt(var)
+    return (
+        staged.join(F.broadcast(stats), label_col)
+        .withColumn("_z", z)
+        .where(F.col("_z") <= -float(z_threshold))
+        .select(label_col, id_col, "sim_r", F.round("_z", 4).alias("z_r"))
+    )
+
+
+def ivf_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold new vectors into an existing IVF index WITHOUT rebuilding:
+    assign each to its nearest cell under the index's OWN stored
+    centroids (they are the index's definition — reusing them keeps
+    every past and future probe consistent) and parquet-append into the
+    cell partitions. Cost is O(batch), independent of index size — the
+    ANN twin of dedup_fuzzy.minhash_index_append. Centroids drift as the
+    distribution shifts; when recall degrades, rebuild (ivf_build_index)
+    — the same rebuild-on-drift policy a 100 TB deployment runs."""
+    spark = new_vectors.sparkSession
+    cent_rows = spark.read.parquet(path + "/_centroids").collect()
+    assigned = _assign_nearest(new_vectors, cent_rows, id_col, vec_col, "neighbor")
+    (
+        assigned.withColumnRenamed("neighbor_id", id_col)
+        .withColumnRenamed("neighbor_vec", vec_col)
+        .withColumnRenamed("neighbor_norm", "vnorm")
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(path)
+    )
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

@@ -4211,6 +4211,57 @@ def emb_label_centroids(spark, sf_dir):
     return label_centroids(_t(spark, sf_dir, "embeddings"))
 
 
+@q(
+    "emb_label_outliers",
+    """
+    WITH ex AS (
+      SELECT label, i AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS HUGEINT) AS q
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ), cent AS (
+      SELECT label, pos,
+             round((CAST(sum(q) AS DOUBLE) / 1e9) / count(*), 6) AS cv
+      FROM ex GROUP BY 1, 2
+    ), carr AS (
+      SELECT label, list(cv ORDER BY pos) AS centroid FROM cent GROUP BY label
+    ), staged AS (
+      SELECT e.label, e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6)
+               AS sim_r,
+             CAST(round(round(list_cosine_similarity(
+               e.embedding::DOUBLE[], c.centroid), 6) * 1e6) AS BIGINT) AS q
+      FROM embeddings e JOIN carr c USING (label)
+    ), st AS (
+      SELECT label, count(*) AS n,
+             sum(CAST(q AS HUGEINT)) AS s,
+             sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS ss
+      FROM staged GROUP BY label
+    )
+    SELECT g.label, g.vec_id, g.sim_r,
+           round((CAST(g.q AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
+                 / sqrt(CAST(st.ss AS DOUBLE) / st.n
+                        - (CAST(st.s AS DOUBLE) / st.n)
+                          * (CAST(st.s AS DOUBLE) / st.n)), 4) AS z_r
+    FROM staged g JOIN st USING (label)
+    WHERE (CAST(g.q AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
+          / sqrt(CAST(st.ss AS DOUBLE) / st.n
+                 - (CAST(st.s AS DOUBLE) / st.n)
+                   * (CAST(st.s AS DOUBLE) / st.n)) <= -2.0
+    """,
+    "similarity",
+)
+def emb_label_outliers(spark, sf_dir):
+    """Per-class embedding outliers (operators/similarity.py:
+    label_outliers): cosine-to-own-centroid z-scored within label, flag
+    z <= -2 — the mislabeled/garbage quarantine step. Full oracle: sims
+    rounded to 6 dp and staged onto an integer grid, label moments from
+    DECIMAL/HUGEINT sums, every downstream double op in pinned operand
+    order — both engines compute bit-identical z."""
+    from ct_mapreduce_spark.operators.similarity import label_outliers
+
+    return label_outliers(_t(spark, sf_dir, "embeddings"))
+
+
 @q("emb_lsh_near_dup", _pin("emb_lsh_near_dup"), "dedup")
 def emb_lsh_near_dup(spark, sf_dir):
     """Embedding near-dup pairs at scale: hyperplane-LSH blocking over the

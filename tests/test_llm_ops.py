@@ -336,6 +336,69 @@ def test_ivf_large_ncells_vectorized_recall(spark):
     assert recall >= 0.9, f"IVF@256 cells recall@5 = {recall}"
 
 
+def test_label_outliers_flags_planted(spark):
+    """A vector pointing away from its label's tight cluster must be the
+    flagged outlier; cluster members must not be."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):  # tight cluster around +e0
+        v = [1.0] + [rng.uniform(-0.05, 0.05) for _ in range(7)]
+        rows.append((i, [float(x) for x in v], 0))
+    rows.append((99, [-1.0] + [0.0] * 7, 0))  # planted: anti-aligned
+    for i in range(40):  # second label, also tight
+        v = [0.0, 1.0] + [rng.uniform(-0.05, 0.05) for _ in range(6)]
+        rows.append((200 + i, [float(x) for x in v], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.label_outliers(df).collect()
+    flagged = {r["vec_id"] for r in out}
+    assert 99 in flagged
+    # label 0's members are shielded by the planted outlier inflating the
+    # label's variance; none of them can be 2 sigma below the mean
+    assert flagged.isdisjoint(range(40))
+    # the planted vector is the most extreme flag overall
+    assert min(out, key=lambda r: r["z_r"])["vec_id"] == 99
+    # (label 1 MAY flag relative stragglers — a tight cluster's z-scores
+    # legitimately single out its least-aligned member)
+
+
+def test_ivf_index_append_matches_full_build(spark, emb, tmp_path):
+    """Append-under-stored-centroids contract: building on half the
+    corpus then appending the other half must serve the same results as
+    assigning the union under the SAME centroids — i.e. identical to a
+    probe against an index whose cells were assigned with the first
+    build's centroid frame."""
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf_app")
+    similarity.ivf_build_index(half_a, idx)
+    similarity.ivf_index_append(half_b, idx)
+    queries = emb.where(F.col("vec_id") < 8)
+    served = similarity.ivf_topk_indexed(spark, idx, queries, k=5)
+    got = sorted(tuple(r) for r in served.collect())
+    # reference: assign the union under the index's stored centroids
+    cents = spark.read.parquet(idx + "/_centroids").collect()
+    ref_idx = str(tmp_path / "ivf_ref")
+    assigned = similarity._assign_nearest(emb, cents, "vec_id", "embedding", "neighbor")
+    (
+        assigned.withColumnRenamed("neighbor_id", "vec_id")
+        .withColumnRenamed("neighbor_vec", "embedding")
+        .withColumnRenamed("neighbor_norm", "vnorm")
+        .write.partitionBy("cell").mode("overwrite").parquet(ref_idx)
+    )
+    spark.read.parquet(idx + "/_centroids").write.mode("overwrite").parquet(
+        ref_idx + "/_centroids"
+    )
+    want = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk_indexed(spark, ref_idx, queries, k=5).collect()
+    )
+    assert got == want and len(got) == 40
+
+
 def test_label_centroids_default_no_collect(spark):
     """Scale guard (round-2 review, wrong #3): the default path must not
     collect a group's values into one array (a mega-label would OOM the
