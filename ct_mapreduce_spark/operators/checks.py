@@ -68,3 +68,61 @@ def check_range(
 def run_suite(checks: list[DataFrame]) -> DataFrame:
     """Union a list of single-row check frames into one report."""
     return reduce(lambda a, b: a.unionByName(b), checks)
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Long-format table profile — the first look a pipeline takes at an
+    unfamiliar corpus drop: per column (n_rows, n_nulls, null_frac,
+    n_distinct, min/max rendered as strings).
+
+    One aggregate job over the column set. exact_distinct=True uses
+    count_distinct (the oracle-comparable default; Spark plans the
+    multi-distinct agg via a single expand — one shuffle). At 100 TB flip
+    exact_distinct=False for approx_count_distinct(2% HLL) — profile
+    numbers are advisory there and the 1-pass-no-expand plan matters more
+    than exactness (this tier is rows-only, engines' HLLs differ).
+    """
+    cols = columns or df.columns
+    distinct = (
+        F.count_distinct if exact_distinct else F.approx_count_distinct
+    )
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_nn_{c}"),
+            distinct(F.col(c)).cast("long").alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_mn_{c}").alias("min_str"),
+                F.col(f"_mx_{c}").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(
+        F.col("_rows").alias("n_rows"), F.explode(per_col).alias("p")
+    ).select(
+        "p.col_name",
+        "n_rows",
+        "p.n_nulls",
+        F.round(F.col("p.n_nulls") / F.greatest("n_rows", F.lit(1)), 6).alias(
+            "null_frac"
+        ),
+        "p.n_distinct",
+        "p.min_str",
+        "p.max_str",
+    )

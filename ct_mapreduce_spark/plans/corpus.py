@@ -2663,6 +2663,68 @@ def dq_star_schema(spark, sf_dir):
     )
 
 
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _profile_sql() -> str:
+    blocks = []
+    for c in _PROFILE_COLS:
+        blocks.append(
+            f"""
+    SELECT '{c}' AS col_name,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                 / greatest(count(*), 1), 6) AS null_frac,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_str,
+           CAST(max({c}) AS VARCHAR) AS max_str
+    FROM t"""
+        )
+    return (
+        """
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+    )
+    """
+        + "\n    UNION ALL\n".join(blocks)
+    )
+
+
+@q("dq_profile", _profile_sql(), "quality")
+def dq_profile(spark, sf_dir):
+    """Table profiling (operators/checks.py:profile_table): per-column
+    null counts/fraction, exact distinct counts, min/max — the first
+    look a pipeline takes at an unfamiliar drop. One aggregate job (the
+    multi-distinct agg plans as a single expand + shuffle). o_totalprice
+    is pre-cast to DECIMAL(18,2) so min/max strings render identically
+    in both engines (raw DOUBLE->VARCHAR diverges at scientific-notation
+    thresholds). At 100 TB the exact_distinct=False tier (HLL, rows-only
+    by nature) replaces the expand."""
+    from ct_mapreduce_spark.operators.checks import profile_table
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    return profile_table(o, _PROFILE_COLS)
+
+
 @q(
     "ev_funnel",
     """
