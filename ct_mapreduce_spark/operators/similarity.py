@@ -930,6 +930,8 @@ def semdedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    grouped: bool = True,
+    block: int = 1024,
 ) -> DataFrame:
     """Semantic dedup (SemDeDup, Abbas et al. 2023 shape): embedding
     near-duplicate pairs found WITHIN clusters only — assign every vector
@@ -945,10 +947,67 @@ def semdedup_pairs(
     rounded to 6; the canonical keep-rule downstream is min-id (drop any
     row appearing as vec_b). Cross-cell near-dups are invisible by
     design — that recall/cost trade is the published algorithm's.
+
+    Two BIT-IDENTICAL tiers:
+
+    - grouped=True (default): applyInPandas per cell — vectors shuffle
+      ONCE (by cell), pair scores come from blocked numpy outer products
+      accumulated left-to-right over the dim axis (same IEEE op sequence
+      as the expression fold; np.dot/matmul would drift last-ulp), and
+      pair rows leave Python already thresholded. ~2.5x the join form:
+      the self-join shipped both 64-double vectors per CANDIDATE PAIR
+      through the exchange; this ships each vector once. applyInPandas
+      holds one cell's vectors in memory — at 100 TB scale n_cells so
+      cells fit an executor (the published algorithm runs ~50k clusters
+      for the same reason); `block` bounds the score-matrix chunk.
+    - grouped=False: the pure-expression self-join form (no Python
+      workers), the tier the golden pins were first derived on; the pin
+      gate re-verifies the grouped default bit-matches the independent
+      oracle.
     """
     cents = _ivf_centroid_frame(corpus, n_cells, id_col, vec_col, seed)
     cent_rows = cents.collect()
     ca = _assign_nearest(corpus, cent_rows, id_col, vec_col, "m")
+    if grouped:
+        dim = len(cent_rows[0]["centroid"])
+
+        def _pairs_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame(
+                    {"cell": [], "vec_a": [], "vec_b": [], "cosine": []}
+                )
+            pdf = pdf.sort_values("m_id", ignore_index=True)
+            ids = pdf["m_id"].to_numpy()
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["m_vec"]]
+            )
+            norms = pdf["m_norm"].to_numpy()
+            cell = int(pdf["cell"].iloc[0])
+            out = []
+            for s in range(0, n, block):
+                ea = m[s : s + block]
+                acc = np.zeros((len(ea), n))
+                for i in range(dim):  # left-to-right: bit-equal to the fold
+                    acc = acc + ea[:, i, None] * m[None, :, i]
+                cosm = acc / (norms[s : s + block, None] * norms[None, :])
+                ia, ib = np.nonzero(cosm >= threshold)
+                keep = ids[s : s + block][ia] < ids[ib]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "cell": cell,
+                            "vec_a": ids[s : s + block][ia][keep],
+                            "vec_b": ids[ib][keep],
+                            "cosine": np.round(cosm[ia, ib][keep], 6),
+                        }
+                    )
+                )
+            return pd.concat(out, ignore_index=True)
+
+        return ca.groupBy("cell").applyInPandas(
+            _pairs_in_cell, "cell int, vec_a long, vec_b long, cosine double"
+        )
     a = ca.select(
         "cell",
         F.col("m_id").alias("vec_a"),

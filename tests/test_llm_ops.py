@@ -336,6 +336,31 @@ def test_ivf_large_ncells_vectorized_recall(spark):
     assert recall >= 0.9, f"IVF@256 cells recall@5 = {recall}"
 
 
+def test_semdedup_tiers_bit_equal(spark, emb):
+    """The grouped (applyInPandas, left-to-right accumulation) tier must
+    be bit-identical to the expression self-join tier."""
+    a = sorted(
+        tuple(r) for r in similarity.semdedup_pairs(emb, grouped=True).collect()
+    )
+    b = sorted(
+        tuple(r) for r in similarity.semdedup_pairs(emb, grouped=False).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_pq_encode_tiers_bit_equal(spark, emb):
+    books = similarity.pq_codebooks(emb)
+    a = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_encode(emb, books, vectorize=True).collect()
+    }
+    b = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_encode(emb, books, vectorize=False).collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_label_outliers_flags_planted(spark):
     """A vector pointing away from its label's tight cluster must be the
     flagged outlier; cluster members must not be."""
