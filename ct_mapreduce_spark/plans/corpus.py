@@ -2559,6 +2559,37 @@ def t4d_stream_tumbling(spark, sf_dir):
     return _run_stream(spark, streaming_event_windows(stream), "t4d_tumbling")
 
 
+@q("s14_warc_scan", _pin("s14_warc_scan"), "scan")
+def s14_warc_scan(spark, sf_dir):
+    """WARC corpus ingestion (sources/text_source.py:read_warc): parse a
+    deterministic two-archive fixture (one plain, one gzipped) with the
+    dependency-free WARC/1.0 record walker and project the curation-side
+    columns. Pin is derived from the RECORDS THE GENERATOR EMITTED, not
+    from the parser — green means the encode->parse round trip is
+    faithful on both compression paths (the media-codec pattern). The
+    fixture is content-addressed per n, so it never goes stale; sf_dir
+    is unused (the source is its own data)."""
+    import os
+
+    from ct_mapreduce_spark.sources.text_source import (
+        read_warc,
+        synthetic_warc_fixture,
+    )
+
+    fixture = "/tmp/ctspark_warc_fixture_n64_v1"
+    if not os.path.exists(fixture + "/seg-001.warc.gz"):
+        synthetic_warc_fixture(fixture, n=64)
+    df = read_warc(spark, fixture)
+    return df.select(
+        "warc_type",
+        "url",
+        "record_id",
+        "content_type",
+        "length",
+        F.md5("body").alias("body_md5"),
+    )
+
+
 @q("s1_ctlog_scan", _pin("s1_ctlog_scan"), "scan")
 def s1_ctlog_scan(spark, sf_dir):
     """S1 (downloadCTRangeToChannel, ct-fetch.go:398-488): ranged scan

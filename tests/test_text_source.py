@@ -1,0 +1,134 @@
+"""Text-corpus sources (sources/text_source.py): JSONL/JSONL.gz/WARC
+round trips, corruption tolerance, and parity of all three paths."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from ct_mapreduce_spark.sources.text_source import (
+    encode_warc,
+    parse_warc_records,
+    read_jsonl,
+    read_jsonl_gz,
+    read_warc,
+)
+
+
+def _docs(n=50):
+    return [
+        {"doc_id": i, "text": f"document number {i} body " * 3, "lang": "en"}
+        for i in range(n)
+    ]
+
+
+def test_jsonl_roundtrip_and_corrupt_lines(spark, tmp_path):
+    p = tmp_path / "corpus.jsonl"
+    lines = [json.dumps(d) for d in _docs(50)]
+    lines.insert(10, "{this is not json")
+    p.write_text("\n".join(lines))
+    # (collect once: Spark refuses plans that reference ONLY the internal
+    # corrupt-record column of a raw file scan)
+    rows = read_jsonl(spark, str(p)).collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    assert len(good) == 50
+    assert sum(1 for r in rows if r["_corrupt_record"] is not None) == 1
+    assert {r["doc_id"] for r in good} == set(range(50))
+
+
+def test_jsonl_gz_matches_plain(spark, tmp_path):
+    docs = _docs(40)
+    plain = tmp_path / "a.jsonl"
+    plain.write_text("\n".join(json.dumps(d) for d in docs))
+    gz_dir = tmp_path / "gz"
+    os.makedirs(gz_dir)
+    half = len(docs) // 2
+    for name, chunk in (("p0", docs[:half]), ("p1", docs[half:])):
+        (gz_dir / f"{name}.jsonl.gz").write_bytes(
+            gzip.compress("\n".join(json.dumps(d) for d in chunk).encode())
+        )
+    # a corrupt member must drop only itself
+    (gz_dir / "bad.jsonl.gz").write_bytes(b"\x1f\x8bnot really gzip")
+    a = sorted(
+        (r["doc_id"], r["text"], r["lang"])
+        for r in read_jsonl(spark, str(plain))
+        .where(F.col("_corrupt_record").isNull())
+        .select("doc_id", "text", "lang")
+        .collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["text"], r["lang"])
+        for r in read_jsonl_gz(spark, str(gz_dir)).collect()
+    )
+    assert a == b
+
+
+def test_warc_roundtrip(spark, tmp_path):
+    recs = [
+        {
+            "warc_type": "response",
+            "url": f"https://example.test/page{i}",
+            "date": "2026-08-14T00:00:00Z",
+            "record_id": f"<urn:uuid:{i:08d}>",
+            "content_type": "text/plain",
+            "body": f"page body {i} with words " * 4,
+        }
+        for i in range(25)
+    ]
+    (tmp_path / "seg0.warc").write_bytes(encode_warc(recs[:12]))
+    (tmp_path / "seg1.warc.gz").write_bytes(gzip.compress(encode_warc(recs[12:])))
+    df = read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 25
+    by_url = {r["url"]: r for r in rows}
+    for rec in recs:
+        got = by_url[rec["url"]]
+        assert got["body"] == rec["body"]
+        assert got["warc_type"] == "response"
+        assert got["length"] == len(rec["body"].encode())
+
+
+def test_warc_parser_garbage_tolerant():
+    recs = [
+        {"warc_type": "response", "url": "u1", "body": b"hello"},
+        {"warc_type": "response", "url": "u2", "body": b"world"},
+    ]
+    raw = encode_warc(recs)
+    # truncated tail: first record parses, the cut one is dropped
+    cut = raw[: len(raw) - 6]
+    got = parse_warc_records(cut)
+    assert [r["url"] for r in got] == ["u1"]
+    # leading garbage: nothing parses, nothing raises
+    assert parse_warc_records(b"\x00\xff garbage" + raw) == []
+    # interleaved padding is fine
+    assert len(parse_warc_records(b"\r\n\r\n" + raw)) == 2
+
+
+def test_warc_to_curation_pipeline(spark, tmp_path):
+    """WARC -> documents frame -> an existing text operator end-to-end."""
+    from ct_mapreduce_spark.operators.text import text_stats
+
+    recs = [
+        {
+            "warc_type": "response",
+            "url": f"https://example.test/{i}",
+            "record_id": f"<urn:uuid:{i}>",
+            "body": ("common boilerplate words " if i % 2 else "unique text ")
+            * 10,
+        }
+        for i in range(10)
+    ]
+    (tmp_path / "c.warc").write_bytes(encode_warc(recs))
+    docs = (
+        read_warc(spark, str(tmp_path))
+        .where(F.col("warc_type") == "response")
+        .select(
+            F.xxhash64("record_id").alias("doc_id"), F.col("body").alias("text")
+        )
+    )
+    stats = text_stats(docs)
+    assert stats.count() == 10
+    assert stats.where(F.col("n_tokens") <= 0).count() == 0

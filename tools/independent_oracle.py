@@ -751,9 +751,31 @@ def docs_incremental_dedup(
     return sorted(rows)
 
 
+def s14_warc_scan(sf_dir: str, n: int = 64) -> list[tuple]:
+    """Expected rows of the WARC fixture scan, derived from the RECORD
+    DEFINITIONS (the same arithmetic synthetic_warc_fixture uses), never
+    from the engine's encoder or parser — a round-trip gate like the
+    media pins."""
+    rows = []
+    for i in range(n):
+        body = f"synthetic corpus sentence {i * 37 % 101}. " * ((i % 7) + 1)
+        rows.append(
+            (
+                "request" if i % 5 == 0 else "response",
+                f"https://corpus.example/doc/{i}",
+                f"<urn:uuid:{i:08d}>",
+                "text/plain",
+                len(body.encode()),
+                hashlib.md5(body.encode()).hexdigest(),
+            )
+        )
+    return sorted(rows)
+
+
 DERIVATIONS = {
     "emb_semdedup": emb_semdedup,
     "docs_incremental_dedup": docs_incremental_dedup,
+    "s14_warc_scan": s14_warc_scan,
     "emb_pq_topk": emb_pq_topk,
     "emb_pq_rerank_topk": emb_pq_rerank_topk,
     "docs_minhash_lsh_dedup": docs_minhash_lsh_dedup,

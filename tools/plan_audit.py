@@ -39,6 +39,14 @@ ALLOWED: dict[tuple[str, str], str] = {
     "operator — on a healthy corpus those exchanges carry ~zero rows "
     "(hot list empty), and removing the count() job measured ~0.5 s "
     "faster at sf0.1 (BASELINE.md round-5 notes)",
+    ("emb_label_outliers", "exchanges"): "every exchange past the "
+    "centroid aggregation moves a MODEL-sized frame (per-label moment "
+    "rows after map-side combine; the centroid-array build over "
+    "n_labels x dim rows); the corpus itself reaches its aggregations "
+    "through map-side partial combine and is z-scored via broadcast "
+    "joins — a window-over-label alternative would drop the static "
+    "exchange count to 3 but shuffle the FULL corpus by label, the "
+    "strictly worse plan at scale",
     ("emb_cosine_topk", "bnlj"): "query side is a broadcast of a bounded "
     "query set joined on a non-equi self-exclusion — by design; corpus "
     "side streams once",
