@@ -170,6 +170,50 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def strip_http_headers(body: Column | str) -> Column:
+    """Drop the HTTP response header block a raw WARC `response` body
+    carries (everything through the first blank CRLF line); bodies
+    without one pass through unchanged. Pure expression."""
+    b = F.col(body) if isinstance(body, str) else body
+    sep = F.instr(b, "\r\n\r\n")
+    return F.when(sep > 0, F.substring(b, sep + 4, 2147483647)).otherwise(b)
+
+
+# The HTML -> text rule battery, applied IN ORDER (order matters: script/
+# style bodies must go before generic tag stripping, entities after).
+# Patterns live in the Java-regex ∩ RE2 ∩ python-re subset and each
+# replacement is a plain regexp_replace, so the DuckDB oracle and the
+# pure-python pin re-derivations replay the identical sequence.
+HTML_STRIP_RULES: list[tuple[str, str]] = [
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?is)<!--.*?-->", " "),
+    (r"(?is)<[^>]+>", " "),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"\s+", " "),
+]
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Visible text of an HTML payload — the extraction step between a
+    WARC response and the documents table. Deliberately a RULE BATTERY,
+    not a DOM parser: at 100 TB the extractor must be codegen-side
+    (zero Python in the hot path), deterministic across engines, and
+    tolerant of the tag soup real crawls contain. Script/style/comment
+    bodies die first, remaining tags become spaces, the five entities
+    that matter decode, whitespace collapses. Trailing/leading space
+    trimmed."""
+    out = F.col(html) if isinstance(html, str) else html
+    for pat, rep in HTML_STRIP_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)
+
+
 def gram_stream(text_col: str = "text", k: int = 3) -> Column:
     """All word k-grams in document order (NON-distinct: one element per
     token position — duplicate-passage analysis needs every occurrence).

@@ -2590,6 +2590,40 @@ def s14_warc_scan(spark, sf_dir):
     )
 
 
+@q("s15_warc_html_pipeline", _pin("s15_warc_html_pipeline"), "scan")
+def s15_warc_html_pipeline(spark, sf_dir):
+    """The Common Crawl front half end-to-end: WARC responses -> HTTP
+    header strip -> HTML-to-text rule battery -> token count + text
+    fingerprint (operators/text.py:strip_http_headers / html_to_text).
+    All codegen expressions after the parse — zero Python in the
+    extraction. Pin re-derived by a pure-python replay of the SAME
+    template + rule sequence (tools/independent_oracle.py), proving the
+    extraction pipeline, not just the parser."""
+    import os
+
+    from ct_mapreduce_spark.operators.text import (
+        html_to_text,
+        strip_http_headers,
+        tokens,
+    )
+    from ct_mapreduce_spark.sources.text_source import (
+        read_warc,
+        synthetic_warc_html_fixture,
+    )
+
+    fixture = "/tmp/ctspark_warc_html_fixture_n32_v1"
+    if not os.path.exists(fixture + "/seg-001.warc.gz"):
+        synthetic_warc_html_fixture(fixture, n=32)
+    df = read_warc(spark, fixture).where(F.col("warc_type") == "response")
+    txt = html_to_text(strip_http_headers(F.col("body")))
+    return df.select(
+        "url",
+        F.md5(txt).alias("text_md5"),
+        F.size(tokens(txt)).alias("n_tokens"),
+        F.length(txt).alias("n_chars"),
+    )
+
+
 @q("s1_ctlog_scan", _pin("s1_ctlog_scan"), "scan")
 def s1_ctlog_scan(spark, sf_dir):
     """S1 (downloadCTRangeToChannel, ct-fetch.go:398-488): ranged scan

@@ -227,6 +227,51 @@ def synthetic_warc_fixture(path: str, n: int = 64) -> None:
         f.write(gzip.compress(encode_warc(recs[half:])))
 
 
+def synthetic_html_body(i: int) -> str:
+    """Record i's HTTP-response-plus-HTML payload (pure function of i;
+    the pin oracle replays the same template). Exercises script/style/
+    comment stripping, entity decoding, and tag soup."""
+    paras = "".join(
+        f"<p>paragraph {j} of doc {i} &amp; more</p>" for j in range((i % 5) + 1)
+    )
+    html = (
+        f"<html><head><title>Doc {i}</title>"
+        f"<style>p {{color: #{i:06d}}}</style>"
+        f"<script>var x = {i}; if (x < 99) {{ x += 1; }}</script>"
+        f"</head><body><h1>Title &lt;{i}&gt;</h1>{paras}"
+        f"<!-- hidden comment {i} -->&quot;quoted&quot;&#39;s</body></html>"
+    )
+    return (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        f"Content-Length: {len(html)}\r\n\r\n" + html
+    )
+
+
+def synthetic_warc_html_fixture(path: str, n: int = 32) -> None:
+    """HTML-crawl WARC fixture: response records whose bodies carry HTTP
+    headers + templated HTML (synthetic_html_body); one plain and one
+    gzipped archive, like synthetic_warc_fixture."""
+    import os
+
+    recs = [
+        {
+            "warc_type": "response",
+            "url": f"https://crawl.example/page/{i}",
+            "date": "2026-01-01T00:00:00Z",
+            "record_id": f"<urn:uuid:h{i:07d}>",
+            "content_type": "application/http; msgtype=response",
+            "body": synthetic_html_body(i),
+        }
+        for i in range(n)
+    ]
+    os.makedirs(path, exist_ok=True)
+    half = n // 2
+    with open(os.path.join(path, "seg-000.warc"), "wb") as f:
+        f.write(encode_warc(recs[:half]))
+    with open(os.path.join(path, "seg-001.warc.gz"), "wb") as f:
+        f.write(gzip.compress(encode_warc(recs[half:])))
+
+
 def encode_warc(records: list[dict]) -> bytes:
     """Minimal WARC/1.0 writer (the test/fixture half of the round trip):
     each record = version line, headers, Content-Length, CRLF CRLF, body,

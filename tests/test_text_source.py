@@ -107,6 +107,43 @@ def test_warc_parser_garbage_tolerant():
     assert len(parse_warc_records(b"\r\n\r\n" + raw)) == 2
 
 
+def test_html_to_text_rules(spark):
+    from ct_mapreduce_spark.operators.text import html_to_text, strip_http_headers
+
+    cases = [
+        (
+            "<html><script>bad()</script><p>keep &amp; this</p></html>",
+            "keep & this",
+        ),
+        ("<style>p{x}</style>plain", "plain"),
+        ("<!-- gone -->visible", "visible"),
+        ("a&lt;b&gt;c &quot;q&#39;s&nbsp;end", "a<b>c \"q's end"),
+        ("no markup at all", "no markup at all"),
+        ("<div><div><span>nested</span></div></div>", "nested"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, h string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text("h").alias("t")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i])
+    hdr = spark.createDataFrame(
+        [(0, "HTTP/1.1 200 OK\r\nX: y\r\n\r\n<p>body</p>"), (1, "<p>raw</p>")],
+        "i long, b string",
+    )
+    stripped = {
+        r["i"]: r["s"]
+        for r in hdr.select(
+            "i", strip_http_headers("b").alias("s")
+        ).collect()
+    }
+    assert stripped[0] == "<p>body</p>"
+    assert stripped[1] == "<p>raw</p>"
+
+
 def test_warc_to_curation_pipeline(spark, tmp_path):
     """WARC -> documents frame -> an existing text operator end-to-end."""
     from ct_mapreduce_spark.operators.text import text_stats

@@ -772,10 +772,64 @@ def s14_warc_scan(sf_dir: str, n: int = 64) -> list[tuple]:
     return sorted(rows)
 
 
+def s15_warc_html_pipeline(sf_dir: str, n: int = 32) -> list[tuple]:
+    """Replay the HTML-crawl pipeline in pure python: the SAME body
+    template arithmetic, the SAME header-strip rule (first CRLF CRLF),
+    and the SAME ordered regex battery — python `re` and Spark's Java
+    regex agree on this pattern subset by construction."""
+    import re
+
+    rules = [
+        (r"(?is)<script\b[^>]*>.*?</script>", " "),
+        (r"(?is)<style\b[^>]*>.*?</style>", " "),
+        (r"(?is)<!--.*?-->", " "),
+        (r"(?is)<[^>]+>", " "),
+        (r"&nbsp;", " "),
+        (r"&amp;", "&"),
+        (r"&lt;", "<"),
+        (r"&gt;", ">"),
+        (r"&quot;", "\""),
+        (r"&#39;", "'"),
+        (r"\s+", " "),
+    ]
+    rows = []
+    for i in range(n):
+        paras = "".join(
+            f"<p>paragraph {j} of doc {i} &amp; more</p>"
+            for j in range((i % 5) + 1)
+        )
+        html = (
+            f"<html><head><title>Doc {i}</title>"
+            f"<style>p {{color: #{i:06d}}}</style>"
+            f"<script>var x = {i}; if (x < 99) {{ x += 1; }}</script>"
+            f"</head><body><h1>Title &lt;{i}&gt;</h1>{paras}"
+            f"<!-- hidden comment {i} -->&quot;quoted&quot;&#39;s</body></html>"
+        )
+        body = (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n" + html
+        )
+        sep = body.find("\r\n\r\n")
+        txt = body[sep + 4 :] if sep >= 0 else body
+        for pat, rep in rules:
+            txt = re.sub(pat, rep, txt)
+        txt = txt.strip()
+        rows.append(
+            (
+                f"https://crawl.example/page/{i}",
+                hashlib.md5(txt.encode()).hexdigest(),
+                len(txt.split(" ")) if txt.strip() else 1,
+                len(txt),
+            )
+        )
+    return sorted(rows)
+
+
 DERIVATIONS = {
     "emb_semdedup": emb_semdedup,
     "docs_incremental_dedup": docs_incremental_dedup,
     "s14_warc_scan": s14_warc_scan,
+    "s15_warc_html_pipeline": s15_warc_html_pipeline,
     "emb_pq_topk": emb_pq_topk,
     "emb_pq_rerank_topk": emb_pq_rerank_topk,
     "docs_minhash_lsh_dedup": docs_minhash_lsh_dedup,
