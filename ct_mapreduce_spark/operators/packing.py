@@ -130,6 +130,35 @@ def pack_sequences(
     )
 
 
+def shard_manifest(
+    packed: DataFrame, seq_len: int = 512, seqs_per_shard: int = 8
+) -> DataFrame:
+    """Training-shard manifest over pack_sequences output: each document
+    belongs to the shard its FIRST token lands in (shard =
+    seq_first DIV seqs_per_shard); per shard report doc/token totals,
+    the doc_id range (what a resumable exporter needs to re-emit one
+    shard), and how many of its documents spill into the next shard
+    (the cross-shard read a trainer must stitch). One map-side-combined
+    aggregation over integer columns — the DuckDB oracle recomputes it
+    exactly."""
+    shard = F.expr(f"seq_first DIV {int(seqs_per_shard)}").cast("long")
+    spills = F.sum(
+        F.when(
+            F.expr(f"seq_last DIV {int(seqs_per_shard)}") > shard, 1
+        ).otherwise(0)
+    )
+    return (
+        packed.groupBy(shard.alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min(packed.columns[0]).alias("first_doc"),
+            F.max(packed.columns[0]).alias("last_doc"),
+            spills.cast("long").alias("n_spill_docs"),
+        )
+    )
+
+
 def packing_stats(packed: DataFrame, seq_len: int = 512) -> DataFrame:
     """Corpus-level packing audit over pack_sequences output: totals,
     boundary-crossing counts, and the tail-waste of the final partial

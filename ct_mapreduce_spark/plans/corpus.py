@@ -4062,6 +4062,55 @@ def docs_pack_sequences(spark, sf_dir):
 
 
 @q(
+    "docs_pack_shards",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_offset
+      FROM t
+    ), spans AS (
+      SELECT doc_id, n_tokens,
+             (start_offset // 512) // 8 AS shard,
+             ((start_offset + n_tokens - 1) // 512) // 8 AS shard_last
+      FROM c
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           CAST(SUM(CASE WHEN shard_last > shard THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_spill_docs
+    FROM spans GROUP BY shard
+    """,
+    "packing",
+)
+def docs_pack_shards(spark, sf_dir):
+    """Training-shard manifest (operators/packing.py:shard_manifest):
+    doc/token totals, doc_id ranges, and next-shard spill counts per
+    4096-token shard (8 x 512-token sequences) — what a resumable
+    exporter and a stitching trainer consume. Pure integer arithmetic
+    on top of the distributed prefix sum; full oracle."""
+    from ct_mapreduce_spark.operators.packing import (
+        pack_sequences,
+        shard_manifest,
+    )
+
+    packed = pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=512, n_buckets=16
+    )
+    return shard_manifest(packed, seq_len=512, seqs_per_shard=8)
+
+
+@q(
     "docs_packing_stats",
     r"""
     WITH t AS (

@@ -227,6 +227,21 @@ def synthetic_warc_fixture(path: str, n: int = 64) -> None:
         f.write(gzip.compress(encode_warc(recs[half:])))
 
 
+def write_jsonl_gz(
+    df: DataFrame, path: str, n_shards: int | None = None
+) -> None:
+    """Export a documents frame as gzipped JSONL — the format tokenizer
+    pipelines consume and the inverse of read_jsonl_gz (round trip
+    tested). Uses the native json writer with gzip codec (JVM-side
+    serialization, one file per partition); pass n_shards to repartition
+    first so shard count — and thus the DOWNSTREAM reader's parallelism,
+    since gzip is unsplittable — is chosen deliberately instead of
+    inherited from the upstream plan."""
+    if n_shards is not None:
+        df = df.repartition(n_shards)
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+
 def synthetic_html_body(i: int) -> str:
     """Record i's HTTP-response-plus-HTML payload (pure function of i;
     the pin oracle replays the same template). Exercises script/style/

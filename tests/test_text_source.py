@@ -107,6 +107,24 @@ def test_warc_parser_garbage_tolerant():
     assert len(parse_warc_records(b"\r\n\r\n" + raw)) == 2
 
 
+def test_write_jsonl_gz_roundtrip(spark, tmp_path):
+    from ct_mapreduce_spark.sources.text_source import write_jsonl_gz
+
+    docs = spark.createDataFrame(
+        [(d["doc_id"], d["text"], d["lang"]) for d in _docs(60)],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "export")
+    write_jsonl_gz(docs, out, n_shards=4)
+    import glob as g
+
+    assert len(g.glob(out + "/part-*.json.gz")) == 4
+    back = read_jsonl_gz(spark, out)
+    a = sorted(tuple(r) for r in docs.collect())
+    b = sorted(tuple(r) for r in back.select("doc_id", "text", "lang").collect())
+    assert a == b
+
+
 def test_html_to_text_rules(spark):
     from ct_mapreduce_spark.operators.text import html_to_text, strip_http_headers
 
