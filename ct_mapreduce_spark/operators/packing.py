@@ -59,9 +59,17 @@ def _bucket_offsets(
             [], "_bucket bigint, _bucket_off bigint"
         )
     width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
-    bucket = F.floor((F.col(order_col) - F.lit(int(lo))) / F.lit(width)).cast(
-        "long"
-    )
+    # Bucket assignment happens in DOUBLE space: order keys may span the
+    # full long range (e.g. xxhash64-derived ids), where (col - lo) in
+    # long arithmetic overflows under ANSI mode. The double conversion
+    # and division are monotonic, which is all bucketing needs — the
+    # offsets frame is built from the SAME expression's actual totals,
+    # so a boundary wobble of a few ulps moves a row between adjacent
+    # buckets consistently on both sides and the prefix sums stay exact
+    # (token counts never touch floating point).
+    bucket = F.floor(
+        (F.col(order_col).cast("double") - float(int(lo))) / float(width)
+    ).cast("long")
     totals = (
         base.groupBy(bucket.alias("_bucket"))
         .agg(F.sum(value_col).alias("_tot"))

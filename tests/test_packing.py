@@ -80,6 +80,21 @@ def test_pack_sparse_nonzero_ids(spark):
     assert [off for _, off in got] == [i * 3 for i in range(40)]
 
 
+def test_pack_full_range_hash_ids(spark):
+    """Order keys spanning the full long range (xxhash64-derived ids)
+    must not overflow the bucket arithmetic under ANSI mode, and offsets
+    must still follow ascending-id order exactly."""
+    ids = [-(2**63) + 5, -(2**40), -17, 0, 3, 2**40, 2**62, 2**63 - 11]
+    rows = [(i, "w " * ((k % 5) + 1)) for k, i in enumerate(sorted(ids))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["start_offset"] for r in pack_sequences(df, seq_len=4, n_buckets=4).collect()}
+    expect_tok = {i: len(t.split()) for i, t in rows}
+    off = 0
+    for i in sorted(ids):
+        assert got[i] == off, (i, got[i], off)
+        off += expect_tok[i]
+
+
 def test_packing_stats(spark):
     docs = _docs(spark, 100)
     packed = pack_sequences(docs, seq_len=64, n_buckets=8)

@@ -6,6 +6,7 @@ from __future__ import annotations
 import gzip
 import json
 import os
+from pathlib import Path
 
 from pyspark.sql import functions as F
 
@@ -160,6 +161,25 @@ def test_html_to_text_rules(spark):
     }
     assert stripped[0] == "<p>body</p>"
     assert stripped[1] == "<p>raw</p>"
+
+
+def test_crawl_pipeline_end_to_end(spark, tmp_path):
+    """examples/crawl_pipeline.py: WARC -> extract -> quality -> dedup
+    -> mixture -> pack -> export runs and conserves documents."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "crawl_pipeline",
+        str(Path(__file__).resolve().parent.parent / "examples" / "crawl_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    stats = mod.run(spark, str(tmp_path / "wd"))
+    assert stats["extracted"] == 48
+    assert 0 < stats["after_dedup"] <= stats["quality_survivors"]
+    assert 0 < stats["after_mixture"] <= stats["after_dedup"]
+    assert stats["exported"] == stats["after_mixture"]
+    assert stats["shards"] >= 1
 
 
 def test_warc_to_curation_pipeline(spark, tmp_path):
