@@ -372,6 +372,21 @@ def build_parser() -> argparse.ArgumentParser:
     common(g)
     g.add_argument("--log-url", required=True)
     g.add_argument("--entry-id", type=int, required=True)
+
+    c = sub.add_parser(
+        "curate",
+        help="crawl curation: WARC dir -> deduped/balanced/packed "
+        "JSONL.gz corpus (engine extension; plans/curate.py)",
+    )
+    c.add_argument("--warc", required=True, help="directory of WARC archives")
+    c.add_argument(
+        "--workdir",
+        required=True,
+        help="state root: mh_index/ (persists across drops), export/, manifest/",
+    )
+    c.add_argument("--quality-min", type=float, default=0.2)
+    c.add_argument("--est-threshold", type=float, default=0.9)
+    c.add_argument("--export-shards", type=int, default=2)
     return p
 
 
@@ -381,6 +396,21 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
     parser = build_parser()
     args = parser.parse_args(argv)
+    if args.cmd == "curate":  # no cert-source config; dispatch immediately
+        from ct_mapreduce_spark.plans.curate import curate_crawl
+
+        spark = spark or get_spark("ct_mapreduce_spark-cli")
+        stats = curate_crawl(
+            spark,
+            args.warc,
+            args.workdir,
+            quality_min=args.quality_min,
+            est_threshold=args.est_threshold,
+            n_export_shards=args.export_shards,
+        )
+        for k, v in stats.items():
+            print(f"{k:18s} {v}")
+        return 0
     if args.cmd == "statistics" and not (args.source or args.store):
         parser.error("statistics requires --source or --store")
     flags = {

@@ -112,6 +112,13 @@ def test_minhash_index_probe_prunes_partitions(spark, docs, tmp_path):
         "PartitionFilters: [pfx" in l and "INSET" in l
         for l in plan.splitlines()
     ), "probe scan lost the pfx partition filter:\n" + plan[:2000]
+    # the serve contract's other half: the batch side broadcasts (the
+    # index never shuffles) — the whole probe plan carries at most the
+    # candidate-aggregation exchanges, keyed on the SPARSE candidate
+    # pairs, never a corpus-sized repartition (audit shape: 1 exchange,
+    # 3 broadcast joins)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
 
 
 def test_minhash_estimate_tracks_exact(spark, docs):

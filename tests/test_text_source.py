@@ -163,23 +163,52 @@ def test_html_to_text_rules(spark):
     assert stripped[1] == "<p>raw</p>"
 
 
-def test_crawl_pipeline_end_to_end(spark, tmp_path):
-    """examples/crawl_pipeline.py: WARC -> extract -> quality -> dedup
-    -> mixture -> pack -> export runs and conserves documents."""
-    import importlib.util
+def test_crawl_pipeline_two_drops(spark, tmp_path):
+    """plans/curate.py across two crawl drops sharing a workdir: drop 1
+    populates the index; drop 2 (a re-crawl of the same pages) is fully
+    deduped away by the persistent index."""
+    from ct_mapreduce_spark.plans.curate import curate_crawl
+    from ct_mapreduce_spark.sources import text_source
 
-    spec = importlib.util.spec_from_file_location(
-        "crawl_pipeline",
-        str(Path(__file__).resolve().parent.parent / "examples" / "crawl_pipeline.py"),
+    wd = str(tmp_path / "wd")
+    crawl1 = str(tmp_path / "c1")
+    text_source.synthetic_warc_html_fixture(crawl1, n=48)
+    s1 = curate_crawl(spark, crawl1, wd)
+    assert s1["extracted"] == 48
+    assert 0 < s1["after_dedup"] <= s1["quality_survivors"]
+    assert 0 < s1["after_mixture"] <= s1["after_dedup"]
+    assert s1["shards"] >= 1
+    exported = spark.read.option("compression", "gzip").json(wd + "/export")
+    assert exported.count() == s1["after_mixture"]
+
+    crawl2 = str(tmp_path / "c2")
+    text_source.synthetic_warc_html_fixture(crawl2, n=48)
+    s2 = curate_crawl(spark, crawl2, wd)
+    assert s2["extracted"] == 48
+    assert s2["after_dedup"] == 0  # every re-crawled page is a known dup
+
+
+def test_cli_curate_subcommand(spark, tmp_path):
+    from ct_mapreduce_spark.cli import main as cli_main
+    from ct_mapreduce_spark.sources import text_source
+
+    crawl = str(tmp_path / "crawl")
+    text_source.synthetic_warc_html_fixture(crawl, n=32)
+    rc = cli_main(
+        [
+            "curate",
+            "--warc",
+            crawl,
+            "--workdir",
+            str(tmp_path / "wd"),
+            "--export-shards",
+            "1",
+        ],
+        spark=spark,
     )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    stats = mod.run(spark, str(tmp_path / "wd"))
-    assert stats["extracted"] == 48
-    assert 0 < stats["after_dedup"] <= stats["quality_survivors"]
-    assert 0 < stats["after_mixture"] <= stats["after_dedup"]
-    assert stats["exported"] == stats["after_mixture"]
-    assert stats["shards"] >= 1
+    assert rc == 0
+    assert (tmp_path / "wd" / "mh_index" / "sigs").exists()
+    assert len(list((tmp_path / "wd" / "export").glob("part-*.json.gz"))) == 1
 
 
 def test_warc_to_curation_pipeline(spark, tmp_path):
