@@ -103,6 +103,19 @@ def main() -> None:
         }
         print(f"minhash x{mult}: {times} pairs={n_pairs}", file=sys.stderr)
 
+    # --- single-pass dup-span stats at 1x/10x docs (r6 reformulation) ---
+    from ct_mapreduce_spark.operators.dedup_fuzzy import dup_span_stats
+
+    for mult in DOC_MULTS:
+        docs = _docs_at(mult)
+        times = []
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            dup_span_stats(docs).write.format("noop").mode("overwrite").save()
+            times.append(round(time.perf_counter() - t0, 2))
+        results[f"dupspans_x{mult}"] = {"iterations": times, "min": min(times)}
+        print(f"dupspans x{mult}: {times}", file=sys.stderr)
+
     # --- incremental dedup serve path: index build 1x/10x, probes with a
     # FIXED batch — probe wall must track the touched-partition bytes (the
     # bounded pfx IN-list), never the full index ---
@@ -210,6 +223,26 @@ def main() -> None:
             file=sys.stderr,
         )
         shutil.rmtree(idx, ignore_errors=True)
+
+    # --- SemDeDup at 10x embeddings: fixed n_cells (cells grow 10x ->
+    # in-cell pair work grows ~100x) vs n_cells scaled with the corpus
+    # (the published posture: hold CELL SIZE constant, not cell count) ---
+    from ct_mapreduce_spark.operators.similarity import semdedup_pairs
+
+    emb10 = spark.read.parquet(_emb_path(10))
+    for label, n_cells in (("cells16", 16), ("cells160", 160)):
+        times = []
+        n_pairs = None
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            n_pairs = semdedup_pairs(emb10, n_cells=n_cells).count()
+            times.append(round(time.perf_counter() - t0, 2))
+        results[f"semdedup_x10_{label}"] = {
+            "iterations": times,
+            "min": min(times),
+            "n_pairs": n_pairs,
+        }
+        print(f"semdedup x10 {label}: {times} pairs={n_pairs}", file=sys.stderr)
 
     # 100x build with n_cells=128 (> interpreted budget / dim): the
     # vectorized Arrow-matmul assignment tier under corpus-scale load
