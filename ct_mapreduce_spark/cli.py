@@ -387,6 +387,13 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--quality-min", type=float, default=0.2)
     c.add_argument("--est-threshold", type=float, default=0.9)
     c.add_argument("--export-shards", type=int, default=2)
+    c.add_argument(
+        "--drop-tag",
+        default=None,
+        help="namespace for this drop's export/manifest (default: "
+        "auto-increment drop-NNNN; pass explicitly to make a re-run "
+        "of the same drop overwrite itself)",
+    )
     return p
 
 
@@ -407,6 +414,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             quality_min=args.quality_min,
             est_threshold=args.est_threshold,
             n_export_shards=args.export_shards,
+            drop_tag=args.drop_tag,
         )
         for k, v in stats.items():
             print(f"{k:18s} {v}")

@@ -98,19 +98,11 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Composite document-quality score in [0, 1] — the heuristic-filter
-    stage of a training-data pipeline (length, stopword density,
-    repetition, punctuation noise), all codegen, no Python.
-
-    Fixed formula (every term double, fixed op order, so the score is
-    bit-identical across engines):
-      s_len   = min(1, n_tokens / 50)            -- too-short penalty
-      s_stop  = min(1, stopword_ratio * 4)       -- natural-language signal
-      s_rep   = distinct_tokens / n_tokens       -- repetition penalty
-      s_punct = 1 - min(1, punct_ratio * 10)     -- symbol-noise penalty
-      score   = round((s_len + s_stop + s_rep + s_punct) / 4, 6)
-    """
+def _quality_parts(text_col: str = "text") -> tuple[Column, Column]:
+    """(stopword_ratio, quality) as plain expressions over `text_col` —
+    the formula quality_score documents, reusable as an inline column so
+    pipeline callers (plans/curate.py) can gate on quality WITHOUT a
+    self-join back to the scored frame."""
     t = F.col(text_col)
     toks = tokens(text_col)
     n_tok = F.greatest(F.size(toks), F.lit(1))
@@ -126,12 +118,34 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     s_stop = F.least(F.lit(1.0), stop_ratio * F.lit(4.0))
     s_rep = F.size(F.array_distinct(toks)).cast("double") / n_tok
     s_punct = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * F.lit(10.0))
+    quality = F.round((s_len + s_stop + s_rep + s_punct) / F.lit(4.0), 6)
+    return F.round(stop_ratio, 6), quality
+
+
+def quality_expr(text_col: str = "text") -> Column:
+    """The composite quality score as a single Column (see quality_score
+    for the formula)."""
+    return _quality_parts(text_col)[1]
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite document-quality score in [0, 1] — the heuristic-filter
+    stage of a training-data pipeline (length, stopword density,
+    repetition, punctuation noise), all codegen, no Python.
+
+    Fixed formula (every term double, fixed op order, so the score is
+    bit-identical across engines):
+      s_len   = min(1, n_tokens / 50)            -- too-short penalty
+      s_stop  = min(1, stopword_ratio * 4)       -- natural-language signal
+      s_rep   = distinct_tokens / n_tokens       -- repetition penalty
+      s_punct = 1 - min(1, punct_ratio * 10)     -- symbol-noise penalty
+      score   = round((s_len + s_stop + s_rep + s_punct) / 4, 6)
+    """
+    stop_ratio, quality = _quality_parts(text_col)
     return fan_out(docs).select(
         "doc_id",
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round((s_len + s_stop + s_rep + s_punct) / F.lit(4.0), 6).alias(
-            "quality"
-        ),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
     )
 
 

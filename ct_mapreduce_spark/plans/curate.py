@@ -12,14 +12,51 @@ examples/crawl_pipeline.py:
 The dedup index persists under {workdir}/mh_index across invocations —
 run the command per crawl drop and each batch dedups against everything
 previously accepted (the O(batch) incremental architecture, never a
-corpus re-pair)."""
+corpus re-pair).
+
+Cost model (the r7 rework): every stage boundary is localCheckpoint'ed
+once, so the expensive upstream work — the WARC parse + HTML extraction,
+the quality expression, lang-id + rebalance — executes exactly ONCE per
+run no matter how many downstream consumers (stage counts, the index
+append, the manifest and export writes) read it. Before this, the plan
+took four driver actions over un-materialized lineage and paid the WARC
+parse ~4x (the flagship pipeline's most expensive stage) — the
+scanned-once property is now pytest-asserted via a record accumulator
+(tests/test_text_source.py). localCheckpoint rather than persist() so
+blocks are freed by the ContextCleaner, and rather than observe() so the
+materialized frame ALSO serves the reuse (observe would fix the counts
+but leave the recomputation).
+
+Each drop writes into its own namespace — {workdir}/export/drop=<tag>/
+and {workdir}/manifest/drop=<tag>/ (tag auto-increments from the dirs
+already present, or pass drop_tag explicitly to make a re-run of the
+same drop overwrite itself) — so running the documented per-drop
+workflow accumulates corpora instead of silently overwriting the
+previous drop's shards, mirroring streaming/dedup_stream.py's
+ingest_batch partitioning.
+"""
 
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+
+def _next_drop_tag(export_root: str) -> str:
+    """Smallest drop-NNNN not already present under {workdir}/export."""
+    taken = set()
+    if os.path.isdir(export_root):
+        for name in os.listdir(export_root):
+            m = re.fullmatch(r"drop=drop-(\d{4})", name)
+            if m:
+                taken.add(int(m.group(1)))
+    n = 0
+    while n in taken:
+        n += 1
+    return f"drop-{n:04d}"
 
 
 def curate_crawl(
@@ -31,11 +68,12 @@ def curate_crawl(
     seq_len: int = 512,
     seqs_per_shard: int = 8,
     n_export_shards: int = 2,
+    drop_tag: str | None = None,
 ) -> dict:
-    """Run the full curation pass; returns stage-count stats. Writes
-    {workdir}/mh_index (created on first run, probed+grown after),
-    {workdir}/export (gzipped JSONL shards), {workdir}/manifest
-    (parquet shard manifest)."""
+    """Run the full curation pass; returns stage-count stats (including
+    the resolved drop tag). Writes {workdir}/mh_index (created on first
+    run, probed+grown after), {workdir}/export/drop=<tag> (gzipped JSONL
+    shards), {workdir}/manifest/drop=<tag> (parquet shard manifest)."""
     from ct_mapreduce_spark.operators import dedup_fuzzy, sampling, text
     from ct_mapreduce_spark.operators.packing import (
         pack_sequences,
@@ -43,21 +81,34 @@ def curate_crawl(
     )
     from ct_mapreduce_spark.sources import text_source
 
+    if drop_tag is None:
+        drop_tag = _next_drop_tag(os.path.join(workdir, "export"))
+
     raw = text_source.read_warc(spark, warc_dir).where(
         F.col("warc_type") == "response"
     )
     txt = text.html_to_text(text.strip_http_headers(F.col("body")))
-    docs = raw.select(
-        F.xxhash64("record_id").alias("doc_id"),
-        "url",
-        txt.alias("text"),
-    ).where(F.length("text") > 0)
-    n_extracted = docs.count()
+    # Stage boundary 1: extraction. The checkpoint is the ONLY execution
+    # of the WARC parse + HTML battery; everything below reads blocks.
+    docs = (
+        raw.select(
+            F.xxhash64("record_id").alias("doc_id"),
+            "url",
+            txt.alias("text"),
+        )
+        .where(F.length("text") > 0)
+        .localCheckpoint(eager=True)
+    )
+    n_extracted = docs.count()  # block scan, no recomputation
 
-    qual = text.quality_score(docs).select("doc_id", "quality")
-    good = docs.join(
-        qual.where(F.col("quality") >= quality_min), "doc_id"
-    ).select("doc_id", "text")
+    # Stage boundary 2: quality gate — inline expression (no self-join
+    # back to a scored frame), checkpointed because four consumers read
+    # it (the probe's signature pass, the anti-joins, the index fold).
+    good = (
+        docs.where(text.quality_expr("text") >= quality_min)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
     n_good = good.count()
 
     idx = os.path.join(workdir, "mh_index")
@@ -86,6 +137,7 @@ def curate_crawl(
         .select(F.greatest("doc_a", "doc_b").alias("doc_id"))
         .distinct()
     )
+    # Stage boundary 3: the accepted set (index fold + lang-id + count).
     kept = novel.join(F.broadcast(within), "doc_id", "left_anti")
     kept = kept.localCheckpoint(eager=True)
     if idx_exists:
@@ -97,21 +149,27 @@ def curate_crawl(
     langs = text.lang_id(kept).select(
         "doc_id", F.col("pred_lang").alias("lang")
     )
-    balanced = sampling.mixture_rebalance(
-        kept.join(langs, "doc_id"), "lang", "doc_id"
-    ).select("doc_id", "text", "lang")
+    # Stage boundary 4: the balanced corpus — three consumers (count,
+    # manifest write, export write) would otherwise re-run lang-id and
+    # the rebalance count pass each.
+    balanced = (
+        sampling.mixture_rebalance(kept.join(langs, "doc_id"), "lang", "doc_id")
+        .select("doc_id", "text", "lang")
+        .localCheckpoint(eager=True)
+    )
     n_balanced = balanced.count()
 
     packed = pack_sequences(balanced, seq_len=seq_len, n_buckets=64)
     manifest = shard_manifest(
         packed, seq_len=seq_len, seqs_per_shard=seqs_per_shard
     )
-    manifest.write.mode("overwrite").parquet(os.path.join(workdir, "manifest"))
-    text_source.write_jsonl_gz(
-        balanced, os.path.join(workdir, "export"), n_shards=n_export_shards
-    )
-    n_shards = spark.read.parquet(os.path.join(workdir, "manifest")).count()
+    manifest_path = os.path.join(workdir, "manifest", f"drop={drop_tag}")
+    export_path = os.path.join(workdir, "export", f"drop={drop_tag}")
+    manifest.write.mode("overwrite").parquet(manifest_path)
+    text_source.write_jsonl_gz(balanced, export_path, n_shards=n_export_shards)
+    n_shards = spark.read.parquet(manifest_path).count()
     return {
+        "drop_tag": drop_tag,
         "extracted": n_extracted,
         "quality_survivors": n_good,
         "after_dedup": n_kept,

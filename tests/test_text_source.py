@@ -174,18 +174,62 @@ def test_crawl_pipeline_two_drops(spark, tmp_path):
     crawl1 = str(tmp_path / "c1")
     text_source.synthetic_warc_html_fixture(crawl1, n=48)
     s1 = curate_crawl(spark, crawl1, wd)
+    assert s1["drop_tag"] == "drop-0000"
     assert s1["extracted"] == 48
     assert 0 < s1["after_dedup"] <= s1["quality_survivors"]
     assert 0 < s1["after_mixture"] <= s1["after_dedup"]
     assert s1["shards"] >= 1
-    exported = spark.read.option("compression", "gzip").json(wd + "/export")
+    exported = spark.read.option("compression", "gzip").json(
+        wd + "/export/drop=drop-0000"
+    )
     assert exported.count() == s1["after_mixture"]
 
     crawl2 = str(tmp_path / "c2")
     text_source.synthetic_warc_html_fixture(crawl2, n=48)
     s2 = curate_crawl(spark, crawl2, wd)
+    assert s2["drop_tag"] == "drop-0001"
     assert s2["extracted"] == 48
     assert s2["after_dedup"] == 0  # every re-crawled page is a known dup
+    # drop 2 wrote its OWN namespace; drop 1's export is untouched (the
+    # r6 overwrite bug: a second drop used to delete the first's shards)
+    assert (
+        spark.read.option("compression", "gzip")
+        .json(wd + "/export/drop=drop-0000")
+        .count()
+        == s1["after_mixture"]
+    )
+    assert (tmp_path / "wd" / "manifest" / "drop=drop-0000").exists()
+    assert (tmp_path / "wd" / "manifest" / "drop=drop-0001").exists()
+
+
+def test_curate_scans_warc_once(spark, tmp_path, monkeypatch):
+    """The flagship pipeline's cost model: the WARC parse (its most
+    expensive stage) executes exactly once per run. A record-counting
+    accumulator is spliced after read_warc; if any downstream consumer
+    re-derived the source (the pre-r7 plan ran it ~4x for stage counts),
+    the accumulator would count every record multiple times."""
+    from ct_mapreduce_spark.plans.curate import curate_crawl
+    from ct_mapreduce_spark.sources import text_source
+
+    crawl = str(tmp_path / "c")
+    text_source.synthetic_warc_html_fixture(crawl, n=32)
+    acc = spark.sparkContext.accumulator(0)
+    real = text_source.read_warc
+
+    def counted(spark_, path):
+        df = real(spark_, path)
+
+        def _count(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        return df.mapInPandas(_count, df.schema)
+
+    monkeypatch.setattr(text_source, "read_warc", counted)
+    stats = curate_crawl(spark, crawl, str(tmp_path / "wd"))
+    assert stats["extracted"] == 32
+    assert acc.value == 32  # every fixture record seen exactly once
 
 
 def test_cli_curate_subcommand(spark, tmp_path):
@@ -208,7 +252,8 @@ def test_cli_curate_subcommand(spark, tmp_path):
     )
     assert rc == 0
     assert (tmp_path / "wd" / "mh_index" / "sigs").exists()
-    assert len(list((tmp_path / "wd" / "export").glob("part-*.json.gz"))) == 1
+    export = tmp_path / "wd" / "export" / "drop=drop-0000"
+    assert len(list(export.glob("part-*.json.gz"))) == 1
 
 
 def test_warc_to_curation_pipeline(spark, tmp_path):
