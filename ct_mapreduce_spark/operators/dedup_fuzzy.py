@@ -133,24 +133,36 @@ def dup_span_stats(
     duplicated fraction — the signal used to strip boilerplate/templated
     passages that document-level dedup can't see.
 
-    Plan (single pass — the r6 reformulation, ~2x the join form): the
-    positional gram stream is aggregated ONCE to compact (gram, doc_id,
-    occ) rows (map-side combine bounds the shuffle at one row per
-    (gram, doc, task)); nd = distinct docs per gram is then a plain
-    count-over-window on that compact frame (no collect_set — per-gram
-    state is a counter, so a boilerplate gram in millions of docs costs
-    O(1) memory); the per-doc rollup folds occ and the nd>=2 flag in one
-    aggregation. Three thin keyed exchanges, zero joins, and the explode
-    runs once instead of feeding three plan branches. Work scales with
-    corpus token count, not corpus^2.
+    Plan (the r7 skew-safe form): the positional gram stream is
+    aggregated ONCE to compact (gram, doc_id, occ) rows (map-side
+    combine bounds the shuffle at one row per (gram, doc, task)) and
+    localCheckpoint'ed — the explode/tokenize pass executes exactly
+    once; nd = distinct docs per gram is then a map-side-combined
+    `groupBy("gram")` count over the checkpointed frame, JOINED back
+    rather than computed with count().over(Window.partitionBy("gram")).
+    Gram frequency is the most heavy-tailed distribution in this domain:
+    a boilerplate 8-gram present in half a 100 TB corpus would land
+    every (gram, doc) row of that gram in ONE window partition on one
+    task with no AQE rescue (AQE does not split window partitions) —
+    whereas the aggregate's per-task state is one counter per gram and
+    the join-back is AQE-skew-join eligible, so per-task memory stays
+    flat in the hottest gram's frequency (boilerplate soak rung in
+    tools/scale_soak.py). The checkpoint replaces exchange-reuse, which
+    Catalyst's aggregate-collapse defeats here (the nd side's sub-plan
+    gets rewritten to a distinct-keys aggregate, breaking sub-tree
+    equality); its bytes are the same compact rows the old window
+    exchange materialized once anyway. Work scales with corpus token
+    count, not corpus^2.
     """
     g = docs.select(
         "doc_id", F.explode(gram_stream(text_col, k)).alias("gram")
     )
-    pairs = g.groupBy("gram", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
-    nd = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    pairs = g.groupBy("gram", "doc_id").agg(
+        F.count(F.lit(1)).alias("occ")
+    ).localCheckpoint(eager=True)
+    nd = pairs.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
     return (
-        pairs.withColumn("nd", nd)
+        pairs.join(nd, "gram")
         .groupBy("doc_id")
         .agg(
             F.sum("occ").alias("n_spans"),

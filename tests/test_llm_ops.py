@@ -1079,6 +1079,61 @@ def test_dup_span_stats_fractions(spark):
     assert out[3].dup_frac == 0.0
 
 
+def test_dup_span_stats_agg_join_matches_window_form(spark):
+    """Tier equality for the r7 de-skew: the groupBy("gram")-joined-back
+    nd computation is bit-identical to the window form it replaced, on a
+    boilerplate-heavy corpus (one 4-gram in >50% of docs — the skewed-key
+    case the rework exists for); and the executed plan carries no window
+    over the gram key but does reuse the (gram, doc_id) exchange for
+    both join inputs."""
+    from pyspark.sql import Window
+
+    boiler = "all rights reserved copyright notice "
+    rows = [
+        Row(
+            doc_id=i,
+            text=(boiler if i % 3 != 0 else "")
+            + f"unique body {i} alpha beta gamma delta {i} epsilon",
+        )
+        for i in range(60)
+    ]
+    d = spark.createDataFrame(rows)
+    got = dedup_fuzzy.dup_span_stats(d, k=4)
+
+    # window-form replay (the pre-r7 implementation, verbatim semantics)
+    from ct_mapreduce_spark.operators.text import gram_stream
+
+    g = d.select("doc_id", F.explode(gram_stream("text", 4)).alias("gram"))
+    pairs = g.groupBy("gram", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    want = (
+        pairs.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").alias("n_spans"),
+            F.sum(
+                F.when(F.col("nd") >= 2, F.col("occ")).otherwise(0)
+            ).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans") / F.col("n_spans").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in want.collect())
+    assert a == b
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "no window partition on the skewed gram key"
+    # the explode ran once, inside the checkpointed pairs job — the
+    # result plan only reads the materialized compact frame
+    assert "Generate explode" not in plan, "gram explode must run once"
+
+
 def test_fan_out_uses_scan_estimate_without_rdd(spark):
     """load_table annotates a filesystem-derived scan-partition estimate;
     fan_out must use it (no df.rdd probe) and still spread a small scan
