@@ -52,42 +52,60 @@ def read_jsonl(spark: SparkSession, path: str, schema: str = DOC_SCHEMA) -> Data
     )
 
 
+# Bounded-memory decode: emit an Arrow batch whenever this many records
+# (or this many accumulated payload bytes) are pending — per-task memory
+# is O(chunk + one record), never O(inflated archive). A ~1 GB Common
+# Crawl gzip segment inflates to ~4-5 GB; before r7 both .gz decoders
+# materialized that in one shot on one executor core.
+_DECODE_CHUNK_ROWS = 4096
+_DECODE_CHUNK_BYTES = 32 << 20
+
+
 def read_jsonl_gz(
     spark: SparkSession, path: str, schema: str = DOC_SCHEMA
 ) -> DataFrame:
     """Gzipped JSONL via binaryFile + stdlib gzip. One file = one task
     (gzip is not splittable); parallelism = file count, which is how
-    web-scale corpora are already laid out. Bad JSON lines are skipped
-    per line; a corrupt gzip stream drops that file's rows only."""
+    web-scale corpora are already laid out. Decompression is STREAMED
+    (gzip.GzipFile over the compressed bytes, line at a time) and rows
+    are yielded in bounded chunks — per-task memory is O(chunk), not
+    O(inflated file). Bad JSON lines are skipped per line; a corrupt
+    gzip stream drops that file's remaining rows only (lines decoded
+    before the corruption point are kept)."""
     files = spark.read.format("binaryFile").load(path)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np  # noqa: F401  (keeps Arrow worker warm-path uniform)
-
+        cols = ["doc_id", "text", "lang"]
+        rows: list[tuple] = []
+        pending = 0
         for pdf in batches:
-            rows = []
             for content in pdf["content"]:
+                stream = io.TextIOWrapper(
+                    gzip.GzipFile(fileobj=io.BytesIO(bytes(content))),
+                    encoding="utf-8",
+                    errors="replace",
+                )
                 try:
-                    text = gzip.decompress(bytes(content)).decode(
-                        "utf-8", errors="replace"
-                    )
-                except Exception:
-                    continue
-                for line in text.splitlines():
-                    if not line.strip():
-                        continue
-                    try:
-                        obj = json.loads(line)
-                    except Exception:
-                        continue
-                    rows.append(
-                        (
-                            obj.get("doc_id"),
-                            obj.get("text"),
-                            obj.get("lang"),
+                    for line in stream:
+                        if not line.strip():
+                            continue
+                        try:
+                            obj = json.loads(line)
+                        except Exception:
+                            continue
+                        rows.append(
+                            (obj.get("doc_id"), obj.get("text"), obj.get("lang"))
                         )
-                    )
-            yield pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+                        pending += len(line)
+                        if (
+                            len(rows) >= _DECODE_CHUNK_ROWS
+                            or pending >= _DECODE_CHUNK_BYTES
+                        ):
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows, pending = [], 0
+                except Exception:  # corrupt gzip member: drop its remainder
+                    pass
+        yield pd.DataFrame(rows, columns=cols)
 
     return files.select("content").mapInPandas(_decode, schema)
 
@@ -95,13 +113,16 @@ def read_jsonl_gz(
 # --- WARC ---------------------------------------------------------------
 
 
-def parse_warc_records(payload: bytes) -> list[dict]:
-    """Iterative WARC/1.0 record walk (no recursion; garbage-tolerant —
-    a malformed record ends parsing of that FILE's remainder but keeps
-    records already parsed). Returns dicts with the headers the curation
-    pipeline keys on plus the raw payload bytes."""
-    out: list[dict] = []
-    buf = io.BytesIO(payload)
+def iter_warc_records(buf) -> Iterator[dict]:
+    """Iterative WARC/1.0 record walk over any binary file-like object
+    (BytesIO for plain archives, gzip.GzipFile for streamed .gz
+    decompression — the reader never materializes the inflated archive;
+    memory is O(one record), asserted under tracemalloc in
+    tests/test_text_source.py). No recursion; garbage-tolerant — a
+    malformed record (or a mid-stream decompression error, surfaced by
+    readline) ends that FILE's remainder but keeps records already
+    yielded. Yields dicts with the headers the curation pipeline keys on
+    plus the raw payload bytes."""
     while True:
         version = buf.readline()
         if not version:
@@ -127,17 +148,25 @@ def parse_warc_records(payload: bytes) -> list[dict]:
         body = buf.read(length)
         if len(body) != length:
             break
-        out.append(
-            {
-                "warc_type": headers.get("warc-type", ""),
-                "url": headers.get("warc-target-uri", ""),
-                "date": headers.get("warc-date", ""),
-                "record_id": headers.get("warc-record-id", ""),
-                "content_type": headers.get("content-type", ""),
-                "length": length,
-                "body": body,
-            }
-        )
+        yield {
+            "warc_type": headers.get("warc-type", ""),
+            "url": headers.get("warc-target-uri", ""),
+            "date": headers.get("warc-date", ""),
+            "record_id": headers.get("warc-record-id", ""),
+            "content_type": headers.get("content-type", ""),
+            "length": length,
+            "body": body,
+        }
+
+
+def parse_warc_records(payload: bytes) -> list[dict]:
+    """Eager list form of iter_warc_records over in-memory bytes (kept
+    for tests/small payloads; the Spark read path streams instead)."""
+    out: list[dict] = []
+    try:
+        out.extend(iter_warc_records(io.BytesIO(payload)))
+    except Exception:
+        pass
     return out
 
 
@@ -146,44 +175,60 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     parser in mapInPandas; `response` records carry page payloads, the
     text tier downstream strips HTTP headers/HTML as needed. Parallelism
     = archive count (Common Crawl: ~1 GB each, tens of thousands per
-    crawl — exactly the sizing a 1000-executor cluster wants)."""
+    crawl — exactly the sizing a 1000-executor cluster wants).
+
+    Memory posture (r7): .gz archives are decompressed as a STREAM
+    (gzip.GzipFile record iteration, never gzip.decompress of the whole
+    archive) and parsed rows leave in bounded chunks — per-task memory
+    is O(compressed bytes held by binaryFile + one decode chunk), not
+    O(inflated archive); a ~1 GB crawl segment no longer spikes ~4-5 GB
+    per core. A mid-archive gzip corruption keeps the records already
+    emitted and drops that archive's remainder."""
+
+    cols = [
+        "archive",
+        "warc_type",
+        "url",
+        "date",
+        "record_id",
+        "content_type",
+        "length",
+        "body",
+    ]
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[tuple] = []
+        pending = 0
         for pdf in batches:
-            rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                raw = bytes(content)
-                if fpath.endswith(".gz"):
-                    try:
-                        raw = gzip.decompress(raw)
-                    except Exception:
-                        continue
-                for rec in parse_warc_records(raw):
-                    rows.append(
-                        (
-                            fpath,
-                            rec["warc_type"],
-                            rec["url"],
-                            rec["date"],
-                            rec["record_id"],
-                            rec["content_type"],
-                            rec["length"],
-                            rec["body"].decode("utf-8", errors="replace"),
+                raw = io.BytesIO(bytes(content))
+                stream = (
+                    gzip.GzipFile(fileobj=raw) if fpath.endswith(".gz") else raw
+                )
+                try:
+                    for rec in iter_warc_records(stream):
+                        rows.append(
+                            (
+                                fpath,
+                                rec["warc_type"],
+                                rec["url"],
+                                rec["date"],
+                                rec["record_id"],
+                                rec["content_type"],
+                                rec["length"],
+                                rec["body"].decode("utf-8", errors="replace"),
+                            )
                         )
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "archive",
-                    "warc_type",
-                    "url",
-                    "date",
-                    "record_id",
-                    "content_type",
-                    "length",
-                    "body",
-                ],
-            )
+                        pending += rec["length"]
+                        if (
+                            len(rows) >= _DECODE_CHUNK_ROWS
+                            or pending >= _DECODE_CHUNK_BYTES
+                        ):
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows, pending = [], 0
+                except Exception:  # corrupt member: drop its remainder
+                    pass
+        yield pd.DataFrame(rows, columns=cols)
 
     return (
         spark.read.format("binaryFile")

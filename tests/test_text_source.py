@@ -92,6 +92,49 @@ def test_warc_roundtrip(spark, tmp_path):
         assert got["length"] == len(rec["body"].encode())
 
 
+def test_warc_streaming_decode_bounded_memory(tmp_path):
+    """A >=256 MB-inflated gzip archive is parsed record-by-record with
+    O(record) memory: the streamed reader (gzip.GzipFile +
+    iter_warc_records) must never materialize the inflated archive. The
+    archive is written incrementally (so the TEST is also bounded), then
+    iterated under tracemalloc — peak traced allocation must stay ~two
+    orders of magnitude below the inflated size."""
+    import tracemalloc
+
+    from ct_mapreduce_spark.sources.text_source import iter_warc_records
+
+    body = ("common crawl filler sentence for compression. " * 5600)[:262144]
+    n = 1100  # 1100 * 256 KiB ≈ 275 MB inflated
+    gz = tmp_path / "big.warc.gz"
+    with gzip.open(gz, "wb", compresslevel=1) as f:
+        for i in range(n):
+            f.write(
+                encode_warc(
+                    [
+                        {
+                            "warc_type": "response",
+                            "url": f"https://big.example/{i}",
+                            "record_id": f"<urn:uuid:big{i:07d}>",
+                            "body": body,
+                        }
+                    ]
+                )
+            )
+    inflated = n * len(body)
+    assert inflated >= 256 << 20
+
+    tracemalloc.start()
+    seen = 0
+    with gzip.open(gz, "rb") as f:
+        for rec in iter_warc_records(f):
+            assert rec["length"] == len(body)
+            seen += 1
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert seen == n
+    assert peak < 32 << 20, f"peak {peak} bytes — decode is not streamed"
+
+
 def test_warc_parser_garbage_tolerant():
     recs = [
         {"warc_type": "response", "url": "u1", "body": b"hello"},
