@@ -926,12 +926,13 @@ def dequantize_embeddings(
 def semdedup_pairs(
     corpus: DataFrame,
     threshold: float = 0.25,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
     grouped: bool = True,
     block: int = 1024,
+    target_cell_size: int = 128,
 ) -> DataFrame:
     """Semantic dedup (SemDeDup, Abbas et al. 2023 shape): embedding
     near-duplicate pairs found WITHIN clusters only — assign every vector
@@ -948,7 +949,12 @@ def semdedup_pairs(
     row appearing as vec_b). Cross-cell near-dups are invisible by
     design — that recall/cost trade is the published algorithm's.
 
-    Two BIT-IDENTICAL tiers:
+    Two equivalent tiers (same pair set by construction — thresholding
+    happens on the un-rounded cosine in both; values agree because the
+    dot/norm op sequence is identical and both round HALF_UP, the
+    grouped tier via an explicit sign-aware floor(|x|*1e6+0.5) — np.round
+    would be half-to-even; the pin gate re-verifies value equality on
+    real data):
 
     - grouped=True (default): applyInPandas per cell — vectors shuffle
       ONCE (by cell), pair scores come from blocked numpy outer products
@@ -964,7 +970,18 @@ def semdedup_pairs(
       workers), the tier the golden pins were first derived on; the pin
       gate re-verifies the grouped default bit-matches the independent
       oracle.
+
+    n_cells defaults to AUTO (None): max(16, rows // target_cell_size),
+    one bounded count job. The r6 soak proved the algorithm's contract
+    is constant CELL SIZE, not constant cell count — a fixed n_cells
+    silently degrades toward quadratic in-cell pair work as the corpus
+    grows (10x corpus at fixed 16 cells = ~100x in-cell pairs; scaling
+    to 160 cells was 4x faster at equal semantics). Pins and
+    tier-equality tests pass n_cells explicitly, so the auto default
+    never moves them.
     """
+    if n_cells is None:
+        n_cells = max(16, corpus.count() // target_cell_size)
     cents = _ivf_centroid_frame(corpus, n_cells, id_col, vec_col, seed)
     cent_rows = cents.collect()
     ca = _assign_nearest(corpus, cent_rows, id_col, vec_col, "m")
@@ -993,13 +1010,19 @@ def semdedup_pairs(
                 cosm = acc / (norms[s : s + block, None] * norms[None, :])
                 ia, ib = np.nonzero(cosm >= threshold)
                 keep = ids[s : s + block][ia] < ids[ib]
+                # HALF_UP rounding (sign-aware), matching Spark F.round /
+                # the expression tier exactly: np.round is half-to-even
+                # and can differ in the last digit on exact midpoints.
+                cv = cosm[ia, ib][keep]
                 out.append(
                     pd.DataFrame(
                         {
                             "cell": cell,
                             "vec_a": ids[s : s + block][ia][keep],
                             "vec_b": ids[ib][keep],
-                            "cosine": np.round(cosm[ia, ib][keep], 6),
+                            "cosine": np.sign(cv)
+                            * np.floor(np.abs(cv) * 1e6 + 0.5)
+                            / 1e6,
                         }
                     )
                 )
@@ -1033,14 +1056,15 @@ def semdedup_pairs(
 def semdedup_keep(
     corpus: DataFrame,
     threshold: float = 0.25,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
     """Keep-list after semantic dedup: drop every vector that appears as
     the HIGHER id of some within-cell near-dup pair (greedy min-id-wins —
-    deterministic, one anti-join)."""
+    deterministic, one anti-join). n_cells=None auto-scales with corpus
+    size (see semdedup_pairs)."""
     drops = semdedup_pairs(
         corpus, threshold, n_cells, id_col, vec_col, seed
     ).select(F.col("vec_b").alias(id_col))

@@ -4460,10 +4460,12 @@ def emb_semdedup(spark, sf_dir):
     (tools/pin_golden.py, independently re-derived by
     tools/independent_oracle.py); in-cell cosine exactness is witnessed
     by emb_cosine_near_dup's full oracle, the keep-rule unit-tested in
-    tests/test_llm_ops.py."""
+    tests/test_llm_ops.py. n_cells pinned at 16 (the independent
+    re-derivation's value) — production callers use the auto default,
+    which scales cell count with corpus size."""
     from ct_mapreduce_spark.operators.similarity import semdedup_pairs
 
-    return semdedup_pairs(_t(spark, sf_dir, "embeddings"))
+    return semdedup_pairs(_t(spark, sf_dir, "embeddings"), n_cells=16)
 
 
 @q("emb_pq_topk", _pin("emb_pq_topk"), "similarity")

@@ -355,6 +355,34 @@ def test_semdedup_tiers_bit_equal(spark, emb):
     assert a == b and len(a) > 0
 
 
+def test_semdedup_auto_cells_scale_with_corpus(spark):
+    """n_cells=None derives max(16, rows // target_cell_size): a corpus
+    past 16*target_cell_size rows must spread into MORE than 16 cells
+    (the r6 soak's constant-cell-size contract), while explicit n_cells
+    stays pinned for oracle stability."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(1500, 8))
+    rows = []
+    for i, v in enumerate(base):
+        vec = [float(x) for x in v]
+        rows.append((i, vec))
+        rows.append((i + 1500, vec))  # identical twin -> in-cell pair
+    emb3k = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    pairs = similarity.semdedup_pairs(emb3k, threshold=0.999)
+    cells = {r.cell for r in pairs.select("cell").distinct().collect()}
+    # 3000 rows // 128 = 23 auto cells; twins guarantee pairs in many
+    assert max(cells) > 15, f"auto n_cells did not scale: {sorted(cells)}"
+    assert max(cells) <= 22 and min(cells) >= 0
+    # explicit n_cells still caps the cell space (pin stability)
+    pinned = similarity.semdedup_pairs(emb3k, threshold=0.999, n_cells=16)
+    pcells = {r.cell for r in pinned.select("cell").distinct().collect()}
+    assert max(pcells) <= 15
+
+
 def test_pq_encode_tiers_bit_equal(spark, emb):
     books = similarity.pq_codebooks(emb)
     a = {
