@@ -487,7 +487,16 @@ def minhash_index_build(
     banded = _banded_frame(sigs, num_hashes, bands).withColumn(
         "pfx", F.substring("bucket", 1, 2)
     )
-    banded.write.mode("overwrite").partitionBy("pfx").parquet(path + "/banded")
+    # Cluster by pfx before the partitioned write: without it every
+    # writer task emits a sliver into every pfx directory (tasks x 256
+    # files — measured 8192 files for a 68 MB index, and the probe's
+    # "fixed overhead" was mostly opening them). Clustered, each pfx
+    # directory gets one file per owning task (~256 total); at larger
+    # corpora the same shuffle spreads a pfx across more tasks and file
+    # count stays proportional to data, not tasks x partitions.
+    banded.repartition(F.col("pfx")).write.mode("overwrite").partitionBy(
+        "pfx"
+    ).parquet(path + "/banded")
     sigs.write.mode("overwrite").parquet(path + "/sigs")
 
 
@@ -512,7 +521,11 @@ def minhash_index_append(
     banded = _banded_frame(sigs, num_hashes, bands).withColumn(
         "pfx", F.substring("bucket", 1, 2)
     )
-    banded.write.mode("append").partitionBy("pfx").parquet(path + "/banded")
+    # pfx-clustered like the build: each append adds O(pfx values) files,
+    # not tasks x 256 slivers.
+    banded.repartition(F.col("pfx")).write.mode("append").partitionBy(
+        "pfx"
+    ).parquet(path + "/banded")
     sigs.write.mode("append").parquet(path + "/sigs")
 
 
@@ -542,12 +555,19 @@ def minhash_probe_index(
     small fraction of the index files. Corpus work per probe is
     O(index partitions touched), not O(corpus).
     """
+    # ONE eager materialization: the compact signature frame (the only
+    # Python stage). The banded expansion below is cheap codegen'd array
+    # work both consumers (the pfx IN-list collect, the broadcast join
+    # side) re-derive from the checkpointed blocks — a second eager
+    # checkpoint of the 16x-exploded band frame bought nothing but a
+    # fixed extra job per probe, which the streaming daemon pays per
+    # micro-batch (r6 bench: probe wall ~all fixed job setup).
     bsigs = minhash_signatures(
         fan_out(new_docs), text_col, k, num_hashes, seed
     ).localCheckpoint(eager=True)
     bband = _banded_frame(bsigs, num_hashes, bands).withColumn(
         "pfx", F.substring("bucket", 1, 2)
-    ).localCheckpoint(eager=True)
+    )
     # Bounded driver action: the distinct prefix IN-list (<= 256 strings).
     pfxs = [r["pfx"] for r in bband.select("pfx").distinct().collect()]
     idx = spark.read.parquet(path + "/banded").where(F.col("pfx").isin(pfxs))

@@ -103,6 +103,11 @@ def mixture_rebalance(
     Plan: one map-side-combined count per stratum (model-parameter-sized
     frame), broadcast join of the per-stratum keep-prob, scan-local
     filter. The corpus never shuffles.
+
+    Contract for explicit target_shares: observed strata absent from the
+    map get share 0.0 and are DROPPED (keep_p = 0) — list a stratum with
+    share 0.0 and omitting it are equivalent. Shares only set relative
+    proportions (they need not sum to 1).
     """
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
     # Windows over the counts frame are windows over a model-parameter-
@@ -118,12 +123,31 @@ def mixture_rebalance(
         mapping = F.create_map(
             *[F.lit(x) for kv in target_shares.items() for x in kv]
         )
+        # Contract: a stratum observed in the data but ABSENT from
+        # target_shares gets share 0.0 — its rows are dropped (keep_p =
+        # 0), explicitly rather than via a null keep_p silently failing
+        # the filter. The N' min below guards the 0 divisor so covered
+        # strata are unaffected.
         shared = counts.withColumn(
-            "_t", F.element_at(mapping, F.col(stratum_col))
+            "_t",
+            F.coalesce(
+                F.element_at(mapping, F.col(stratum_col)), F.lit(0.0)
+            ),
         )
-    n_prime = F.min(F.col("_n") / F.col("_t")).over(whole)
+    # when() guard: _t = 0.0 (uncovered stratum) must not divide — ANSI
+    # mode makes a zero divisor a hard error, not Infinity; min() skips
+    # the null, so uncovered strata never bind N'.
+    n_prime = F.min(
+        F.when(F.col("_t") > 0.0, F.col("_n") / F.col("_t"))
+    ).over(whole)
+    # _t == 0 short-circuits to keep_p = 0: 0 * n_prime can be 0 * Inf =
+    # NaN when no observed stratum is covered, and NaN compares greater
+    # than everything in least().
     probs = shared.withColumn(
-        "_keep_p", F.least(F.lit(1.0), F.col("_t") * n_prime / F.col("_n"))
+        "_keep_p",
+        F.when(F.col("_t") == 0.0, F.lit(0.0)).otherwise(
+            F.least(F.lit(1.0), F.col("_t") * n_prime / F.col("_n"))
+        ),
     ).select(stratum_col, "_keep_p")
     return (
         df.join(F.broadcast(probs), stratum_col)

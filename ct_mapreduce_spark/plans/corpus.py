@@ -1480,7 +1480,8 @@ def docs_incremental_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     batch = docs.where(F.col("doc_id") % 10 == 0)
-    idx = f"/tmp/ctspark_mh_idx_{_cache_tag(sf_dir, 'documents', 'v1')}"
+    # v2: pfx-clustered index layout (256 files, not tasks x 256)
+    idx = f"/tmp/ctspark_mh_idx_{_cache_tag(sf_dir, 'documents', 'v2')}"
     if not os.path.exists(idx + "/sigs/_SUCCESS"):
         dedup_fuzzy.minhash_index_build(corpus, idx)
     return dedup_fuzzy.minhash_probe_index(spark, idx, batch)

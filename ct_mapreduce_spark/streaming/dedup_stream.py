@@ -73,9 +73,11 @@ def write_postings(
             F.lit(batch_tag).alias("ingest_batch"),
             F.substring("bucket", 1, 2).alias("pfx"),
         )
-        banded.write.mode("overwrite").partitionBy("ingest_batch", "pfx").parquet(
-            path + "/banded"
-        )
+        # pfx-clustered like minhash_index_build: one file per owning
+        # task per pfx directory, not tasks x 256 slivers per batch.
+        banded.repartition(F.col("pfx")).write.mode("overwrite").partitionBy(
+            "ingest_batch", "pfx"
+        ).parquet(path + "/banded")
         sigs.withColumn("ingest_batch", F.lit(batch_tag)).write.mode(
             "overwrite"
         ).partitionBy("ingest_batch").parquet(path + "/sigs")
@@ -93,15 +95,25 @@ def dedup_batch(
     index finds a candidate with est_jaccard >= threshold (cross-batch
     tier), then drop within-batch near-dups keeping the min doc_id (the
     engine-wide first-seen-wins rule). Returns the surviving rows of
-    `batch` unchanged."""
+    `batch` unchanged.
+
+    An index that does not exist yet (first-ever batch, nothing seeded)
+    means zero cross-batch candidates — the probe tier is skipped,
+    mirroring plans/curate.py's idx_exists branch, instead of failing on
+    a parquet read of a missing path in the first micro-batch."""
+    import os
+
     batch = batch.localCheckpoint(eager=True)  # one signature pass, 3 uses
-    cross_dups = (
-        minhash_probe_index(spark, index_path, batch)
-        .where(F.col("est_jaccard") >= est_threshold)
-        .select(F.col("new_doc_id").alias("doc_id"))
-        .distinct()
-    )
-    survivors = batch.join(F.broadcast(cross_dups), "doc_id", "left_anti")
+    if os.path.exists(os.path.join(index_path, "banded")):
+        cross_dups = (
+            minhash_probe_index(spark, index_path, batch)
+            .where(F.col("est_jaccard") >= est_threshold)
+            .select(F.col("new_doc_id").alias("doc_id"))
+            .distinct()
+        )
+        survivors = batch.join(F.broadcast(cross_dups), "doc_id", "left_anti")
+    else:
+        survivors = batch
     within = (
         minhash_lsh_pairs(survivors)
         .where(F.col("est_jaccard") >= est_threshold)
@@ -128,6 +140,11 @@ def start_dedup_stream(
     into the index so the NEXT batch dedups against them too. All three
     writes are batch-id-keyed dynamic overwrites => replay-idempotent;
     combined with checkpointLocation this is effectively-once.
+
+    Cold start is supported: with no index at index_path the first
+    micro-batch runs within-batch dedup only and its survivors seed the
+    index. Seeding a historical corpus first (write_postings under a
+    'base' tag) remains the way to dedup against pre-stream history.
     """
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

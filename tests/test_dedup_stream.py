@@ -114,6 +114,36 @@ def test_stream_dedup_replay_idempotent(spark, corpus_and_batches):
     assert sigs_files_second == sigs_files_first
 
 
+def test_stream_cold_start_without_seeded_index(spark, tmp_path):
+    """Starting the stream against a nonexistent index_path must not
+    fail the first micro-batch: within-batch dedup still runs, survivors
+    seed the index, and batch 2 dedups against them."""
+    rows = [(i, f"cold start doc {i} with body words " * 4) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # batch 0 contains one within-batch duplicate pair (ids 20/21)
+    batch_a = docs.union(
+        spark.createDataFrame(
+            [(20, rows[1][1]), (21, rows[1][1])], "doc_id long, text string"
+        )
+    )
+    batch_b = batch_a.select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+    src = str(tmp_path / "src")
+    _one_file(batch_a, src, "b0", 1_000_000.0)
+    _one_file(batch_b, src, "b1", 1_000_100.0)
+    idx = str(tmp_path / "never_seeded_idx")
+    keep = _run(spark, idx, src, str(tmp_path), "cold")
+    kept = spark.read.parquet(keep)
+    by_batch = {
+        str(r["ingest_batch"]): r["n"]
+        for r in kept.groupBy("ingest_batch").agg(F.count("*").alias("n")).collect()
+    }
+    # batch 0: 14 rows minus within-batch dups; batch 1: all copies gone
+    assert 0 < by_batch.get("0", 0) < 14
+    assert by_batch.get("1", 0) == 0
+    texts = [r["text"] for r in kept.collect()]
+    assert len(texts) == len(set(texts))
+
+
 def test_dedup_batch_exact_copy_dropped(spark, tmp_path):
     rows = [(i, f"unique text number {i} " * 5) for i in range(20)]
     corpus = spark.createDataFrame(rows, "doc_id long, text string")

@@ -584,6 +584,18 @@ def test_mixture_rebalance_uniform_and_stable(spark):
     # b thins to 25% of 2400 = ~600
     assert tc["a"] == 1800
     assert abs(tc["b"] - 600) <= 40
+    # strata absent from an explicit map are DROPPED (share 0.0), and
+    # covered strata behave exactly as if the stranger were pre-filtered
+    u = mixture_rebalance(
+        df, "lang", "doc_id", target_shares={"a": 0.75, "b": 0.25}
+    )
+    uc = {r["lang"]: r["n"] for r in u.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "c" not in uc
+    assert uc == tc, (uc, tc)
+    # degenerate: no observed stratum covered -> empty result, not
+    # keep-everything via a 0*Inf=NaN keep-prob
+    z = mixture_rebalance(df, "lang", "doc_id", target_shares={"zz": 1.0})
+    assert z.count() == 0
 
 
 def test_hash_split_stable_under_repartition_and_growth(spark):
