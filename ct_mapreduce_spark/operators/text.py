@@ -194,7 +194,10 @@ def strip_http_headers(body: Column | str) -> Column:
 
 
 # The HTML -> text rule battery, applied IN ORDER (order matters: script/
-# style bodies must go before generic tag stripping, entities after).
+# style bodies must go before generic tag stripping, entities after —
+# and &amp; decodes LAST among entities, the standard entity-decoding
+# order: decoding it earlier double-decodes escaped references, turning
+# source '&amp;lt;' (which renders as the literal text '&lt;') into '<').
 # Patterns live in the Java-regex ∩ RE2 ∩ python-re subset and each
 # replacement is a plain regexp_replace, so the DuckDB oracle and the
 # pure-python pin re-derivations replay the identical sequence.
@@ -204,11 +207,11 @@ HTML_STRIP_RULES: list[tuple[str, str]] = [
     (r"(?is)<!--.*?-->", " "),
     (r"(?is)<[^>]+>", " "),
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", "\""),
     (r"&#39;", "'"),
+    (r"&amp;", "&"),
     (r"\s+", " "),
 ]
 

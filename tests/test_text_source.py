@@ -180,6 +180,9 @@ def test_html_to_text_rules(spark):
         ("<style>p{x}</style>plain", "plain"),
         ("<!-- gone -->visible", "visible"),
         ("a&lt;b&gt;c &quot;q&#39;s&nbsp;end", "a<b>c \"q's end"),
+        # escaped entity references must NOT double-decode: source
+        # '&amp;lt;' renders as the literal text '&lt;', not '<'
+        ("&amp;lt;escaped&amp;gt; and &amp;amp; stay", "&lt;escaped&gt; and &amp; stay"),
         ("no markup at all", "no markup at all"),
         ("<div><div><span>nested</span></div></div>", "nested"),
     ]

@@ -779,17 +779,19 @@ def s15_warc_html_pipeline(sf_dir: str, n: int = 32) -> list[tuple]:
     regex agree on this pattern subset by construction."""
     import re
 
+    # &amp; decodes LAST among entities (standard order — earlier
+    # decoding double-decodes escaped references like '&amp;lt;').
     rules = [
         (r"(?is)<script\b[^>]*>.*?</script>", " "),
         (r"(?is)<style\b[^>]*>.*?</style>", " "),
         (r"(?is)<!--.*?-->", " "),
         (r"(?is)<[^>]+>", " "),
         (r"&nbsp;", " "),
-        (r"&amp;", "&"),
         (r"&lt;", "<"),
         (r"&gt;", ">"),
         (r"&quot;", "\""),
         (r"&#39;", "'"),
+        (r"&amp;", "&"),
         (r"\s+", " "),
     ]
     rows = []
