@@ -95,6 +95,58 @@ def _bench_ingest(spark, hot_issuer_weight: float = 0.55) -> list[float]:
     return times
 
 
+def _bench_curate(spark) -> list[float]:
+    """The flagship e2e curation pipeline (plans/curate.py): WARC ->
+    extract -> quality -> incremental dedup -> mixture -> pack ->
+    manifest + JSONL.gz export, on a cached synthetic crawl (8 archives
+    x 250 HTML response records, both compression paths). Each iteration
+    runs in a FRESH workdir — the pipeline is stateful (the dedup index
+    persists across drops), so reusing a workdir would measure an
+    all-dup second drop instead of the first-drop cost model."""
+    import shutil
+    import tempfile
+
+    from ct_mapreduce_spark.plans.curate import curate_crawl
+    from ct_mapreduce_spark.sources.text_source import (
+        encode_warc,
+        synthetic_html_body,
+    )
+
+    crawl = "/tmp/ctspark_bench_crawl_8x250_v1"
+    if not os.path.exists(os.path.join(crawl, "seg-007.warc.gz")):
+        import gzip
+
+        os.makedirs(crawl, exist_ok=True)
+        per = 250
+        for seg in range(8):
+            recs = [
+                {
+                    "warc_type": "response",
+                    "url": f"https://crawl.example/page/{seg * per + i}",
+                    "date": "2026-01-01T00:00:00Z",
+                    "record_id": f"<urn:uuid:b{seg * per + i:07d}>",
+                    "content_type": "application/http; msgtype=response",
+                    "body": synthetic_html_body(seg * per + i),
+                }
+                for i in range(per)
+            ]
+            payload = encode_warc(recs)
+            if seg % 2:
+                with open(f"{crawl}/seg-{seg:03d}.warc.gz", "wb") as f:
+                    f.write(gzip.compress(payload))
+            else:
+                with open(f"{crawl}/seg-{seg:03d}.warc", "wb") as f:
+                    f.write(payload)
+    times = []
+    for _ in range(ITERATIONS):
+        wd = tempfile.mkdtemp(prefix="ctspark_bench_curate_")
+        t0 = time.perf_counter()
+        curate_crawl(spark, crawl, wd)
+        times.append(round(time.perf_counter() - t0, 3))
+        shutil.rmtree(wd, ignore_errors=True)
+    return times
+
+
 def main() -> None:
     from ct_mapreduce_spark.plans.corpus import REGISTRY
     from ct_mapreduce_spark.session import get_spark
@@ -122,6 +174,14 @@ def main() -> None:
         )
     except Exception as e:  # noqa: BLE001
         errors["ingest_batch_20k_skewed"] = f"{type(e).__name__}: {e}"[:300]
+    # round-7 addition (first recorded run = its baseline): the e2e
+    # curation pipeline — the composition users actually run via
+    # `cli curate`, whose cost model (single-scan stage boundaries) only
+    # an end-to-end measurement protects.
+    try:
+        iterations["curate_crawl_e2e"] = _bench_curate(spark)
+    except Exception as e:  # noqa: BLE001
+        errors["curate_crawl_e2e"] = f"{type(e).__name__}: {e}"[:300]
     for name in names:
         fn = REGISTRY[name].fn
         times = []

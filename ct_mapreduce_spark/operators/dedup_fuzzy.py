@@ -317,8 +317,15 @@ def minhash_lsh_pairs(
     bands: int = 16,
     seed: int = 42,
     max_bucket_width: int | None = 4096,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
+
+    `sigs`: optionally pass a precomputed, MATERIALIZED (doc_id, minhash)
+    frame covering exactly `docs` rows (same k/num_hashes/seed) to skip
+    the Python signature pass — the serve paths (streaming dedup_batch,
+    plans/curate.py) sign each batch once and share the frame between
+    the index probe and the within-batch tier.
 
     r = num_hashes/bands rows per band; a pair collides if any band's
     sub-signature matches exactly. Scale shape: explode -> groupBy band
@@ -349,8 +356,9 @@ def minhash_lsh_pairs(
     # persist(): blocks are owned by the RDD and freed by the
     # ContextCleaner when the result is garbage collected, instead of
     # leaking a CacheManager entry per invocation in a long-lived session.
-    sigs = minhash_signatures(fan_out(docs), text_col, k, num_hashes, seed)
-    sigs = sigs.localCheckpoint(eager=True)
+    if sigs is None:
+        sigs = minhash_signatures(fan_out(docs), text_col, k, num_hashes, seed)
+        sigs = sigs.localCheckpoint(eager=True)
     # Thin banded frame: (doc_id, band, bucket) only. Carrying the 64-slot
     # signature array through the explode/self-join would multiply shuffle
     # bytes by ~10x; est_jaccard is attached at the end by joining the few
@@ -460,8 +468,11 @@ def minhash_index_build(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    sigs: DataFrame | None = None,
 ) -> None:
     """Materialize a MinHash/LSH dedup index for the historical corpus.
+    `sigs`: optional precomputed materialized signatures for `docs`
+    (see minhash_lsh_pairs).
 
     This is the INCREMENTAL dedup architecture: at 100 TB you do not
     re-pair the whole corpus for every incoming batch — you pay the
@@ -482,8 +493,9 @@ def minhash_index_build(
     agree bit-for-bit with the batch-vs-corpus slice of the one-shot
     operator (asserted in tests/test_llm_ops.py).
     """
-    sigs = minhash_signatures(fan_out(docs), text_col, k, num_hashes, seed)
-    sigs = sigs.localCheckpoint(eager=True)  # one Python-stage pass, two sinks
+    if sigs is None:
+        sigs = minhash_signatures(fan_out(docs), text_col, k, num_hashes, seed)
+        sigs = sigs.localCheckpoint(eager=True)  # one Python pass, two sinks
     banded = _banded_frame(sigs, num_hashes, bands).withColumn(
         "pfx", F.substring("bucket", 1, 2)
     )
@@ -508,6 +520,7 @@ def minhash_index_append(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    sigs: DataFrame | None = None,
 ) -> None:
     """Fold an accepted batch into an existing index (the second half of
     the incremental lifecycle: probe, drop near-dups, APPEND survivors so
@@ -516,8 +529,9 @@ def minhash_index_append(
     cost is O(batch) regardless of index size. Run compact_store on
     {path}/banded periodically if many small batches accumulate small
     files."""
-    sigs = minhash_signatures(fan_out(docs), text_col, k, num_hashes, seed)
-    sigs = sigs.localCheckpoint(eager=True)
+    if sigs is None:
+        sigs = minhash_signatures(fan_out(docs), text_col, k, num_hashes, seed)
+        sigs = sigs.localCheckpoint(eager=True)
     banded = _banded_frame(sigs, num_hashes, bands).withColumn(
         "pfx", F.substring("bucket", 1, 2)
     )
@@ -538,9 +552,12 @@ def minhash_probe_index(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a minhash_index_build index with an incoming batch: which
     corpus documents is each new document a near-duplicate candidate of?
+    `sigs`: optional precomputed materialized batch signatures (see
+    minhash_lsh_pairs).
 
     Output: (new_doc_id, corpus_doc_id, n_bands_matched, est_jaccard) —
     est_jaccard is the signature-agreement fraction, same contract as
@@ -562,9 +579,12 @@ def minhash_probe_index(
     # checkpoint of the 16x-exploded band frame bought nothing but a
     # fixed extra job per probe, which the streaming daemon pays per
     # micro-batch (r6 bench: probe wall ~all fixed job setup).
-    bsigs = minhash_signatures(
-        fan_out(new_docs), text_col, k, num_hashes, seed
-    ).localCheckpoint(eager=True)
+    if sigs is not None:
+        bsigs = sigs
+    else:
+        bsigs = minhash_signatures(
+            fan_out(new_docs), text_col, k, num_hashes, seed
+        ).localCheckpoint(eager=True)
     bband = _banded_frame(bsigs, num_hashes, bands).withColumn(
         "pfx", F.substring("bucket", 1, 2)
     )

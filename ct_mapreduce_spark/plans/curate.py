@@ -79,6 +79,7 @@ def curate_crawl(
         pack_sequences,
         shard_manifest,
     )
+    from ct_mapreduce_spark.operators.util import fan_out
     from ct_mapreduce_spark.sources import text_source
 
     if drop_tag is None:
@@ -111,6 +112,14 @@ def curate_crawl(
     )
     n_good = good.count()
 
+    # The quality survivors are SIGNED ONCE; the probe tier, the
+    # within-batch tier, and the index fold all take subset views of
+    # this one materialized frame (semi-joins on checkpointed inputs)
+    # instead of re-running the Python signature pass per tier.
+    sigs = dedup_fuzzy.minhash_signatures(fan_out(good)).localCheckpoint(
+        eager=True
+    )
+
     idx = os.path.join(workdir, "mh_index")
     idx_exists = os.path.exists(os.path.join(idx, "sigs"))
     if idx_exists:  # later drops dedup against everything accepted before
@@ -122,17 +131,22 @@ def curate_crawl(
             "doc_id"
         )
         fresh = good.join(existing, "doc_id", "left_anti")
+        fresh_sigs = sigs.join(fresh.select("doc_id"), "doc_id", "left_semi")
         dups = (
-            dedup_fuzzy.minhash_probe_index(spark, idx, fresh)
+            dedup_fuzzy.minhash_probe_index(spark, idx, fresh, sigs=fresh_sigs)
             .where(F.col("est_jaccard") >= est_threshold)
             .select(F.col("new_doc_id").alias("doc_id"))
             .distinct()
         )
+        # materialized so the within tier's consumers don't re-run the
+        # probe's index scan per consumer
         novel = fresh.join(F.broadcast(dups), "doc_id", "left_anti")
+        novel = novel.localCheckpoint(eager=True)
     else:  # first drop: within-batch dedup only
         novel = good
+    novel_sigs = sigs.join(novel.select("doc_id"), "doc_id", "left_semi")
     within = (
-        dedup_fuzzy.minhash_lsh_pairs(novel)
+        dedup_fuzzy.minhash_lsh_pairs(novel, sigs=novel_sigs)
         .where(F.col("est_jaccard") >= est_threshold)
         .select(F.greatest("doc_a", "doc_b").alias("doc_id"))
         .distinct()
@@ -140,10 +154,11 @@ def curate_crawl(
     # Stage boundary 3: the accepted set (index fold + lang-id + count).
     kept = novel.join(F.broadcast(within), "doc_id", "left_anti")
     kept = kept.localCheckpoint(eager=True)
+    kept_sigs = sigs.join(kept.select("doc_id"), "doc_id", "left_semi")
     if idx_exists:
-        dedup_fuzzy.minhash_index_append(kept, idx)
+        dedup_fuzzy.minhash_index_append(kept, idx, sigs=kept_sigs)
     else:
-        dedup_fuzzy.minhash_index_build(kept, idx)
+        dedup_fuzzy.minhash_index_build(kept, idx, sigs=kept_sigs)
     n_kept = kept.count()
 
     langs = text.lang_id(kept).select(

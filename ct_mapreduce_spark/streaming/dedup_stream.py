@@ -50,6 +50,7 @@ def write_postings(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    sigs: DataFrame | None = None,
 ) -> None:
     """Write one batch's posting lists + signatures under
     ingest_batch=<batch_tag>, idempotently (dynamic partition overwrite:
@@ -58,14 +59,17 @@ def write_postings(
     {path}/sigs/ingest_batch=T/ — probes prune on pfx exactly as with
     the batch-built index; the extra partition level is invisible to
     them. Initialize an index by writing the historical corpus under a
-    'base' tag."""
+    'base' tag. `sigs`: optional precomputed materialized signatures
+    covering exactly `docs` (the stream processor signs each micro-batch
+    once and shares the frame across probe/within/fold)."""
     spark = docs.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        sigs = minhash_signatures(
-            fan_out(docs), text_col, k, num_hashes, seed
-        ).localCheckpoint(eager=True)
+        if sigs is None:
+            sigs = minhash_signatures(
+                fan_out(docs), text_col, k, num_hashes, seed
+            ).localCheckpoint(eager=True)
         banded = _banded_frame(sigs, num_hashes, bands).select(
             "doc_id",
             "band",
@@ -90,6 +94,7 @@ def dedup_batch(
     index_path: str,
     batch: DataFrame,
     est_threshold: float = 0.9,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """One batch's keep-list: drop documents whose probe against the
     index finds a candidate with est_jaccard >= threshold (cross-batch
@@ -100,22 +105,40 @@ def dedup_batch(
     An index that does not exist yet (first-ever batch, nothing seeded)
     means zero cross-batch candidates — the probe tier is skipped,
     mirroring plans/curate.py's idx_exists branch, instead of failing on
-    a parquet read of a missing path in the first micro-batch."""
+    a parquet read of a missing path in the first micro-batch.
+
+    The batch is SIGNED ONCE: pass `sigs` (materialized, covering
+    exactly `batch`, which must itself be materialized) to share one
+    signature frame across the probe tier, the within-batch tier, and
+    the caller's index fold — one Python signature pass per micro-batch
+    instead of three. Without `sigs`, the batch is checkpointed and
+    signed here."""
     import os
 
-    batch = batch.localCheckpoint(eager=True)  # one signature pass, 3 uses
+    if sigs is None:
+        batch = batch.localCheckpoint(eager=True)
+        sigs = minhash_signatures(fan_out(batch)).localCheckpoint(eager=True)
     if os.path.exists(os.path.join(index_path, "banded")):
         cross_dups = (
-            minhash_probe_index(spark, index_path, batch)
+            minhash_probe_index(spark, index_path, batch, sigs=sigs)
             .where(F.col("est_jaccard") >= est_threshold)
             .select(F.col("new_doc_id").alias("doc_id"))
             .distinct()
         )
-        survivors = batch.join(F.broadcast(cross_dups), "doc_id", "left_anti")
+        # materialized: three consumers below (the within-tier banded
+        # frame, its est_jaccard joins, the returned keep-list) must not
+        # re-run the probe's index scan per consumer
+        survivors = batch.join(
+            F.broadcast(cross_dups), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        surv_sigs = sigs.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        )
     else:
         survivors = batch
+        surv_sigs = sigs
     within = (
-        minhash_lsh_pairs(survivors)
+        minhash_lsh_pairs(survivors, sigs=surv_sigs)
         .where(F.col("est_jaccard") >= est_threshold)
         .select(F.greatest("doc_a", "doc_b").alias("doc_id"))
         .distinct()
@@ -154,9 +177,16 @@ def start_dedup_stream(
         # batch's partition. (write_postings already keys off its input's
         # session for the same reason.)
         session = batch_df.sparkSession
+        # sign the micro-batch ONCE; probe, within-batch tier, and the
+        # postings fold all share this frame
+        batch_c = batch_df.localCheckpoint(eager=True)
+        sigs = minhash_signatures(fan_out(batch_c)).localCheckpoint(
+            eager=True
+        )
         kept = dedup_batch(
-            session, index_path, batch_df, est_threshold
+            session, index_path, batch_c, est_threshold, sigs=sigs
         ).localCheckpoint(eager=True)
+        kept_sigs = sigs.join(kept.select("doc_id"), "doc_id", "left_semi")
         prev = session.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
         )
@@ -167,7 +197,7 @@ def start_dedup_stream(
             ).partitionBy("ingest_batch").parquet(keep_path)
         finally:
             session.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        write_postings(kept, index_path, batch_tag=str(batch_id))
+        write_postings(kept, index_path, batch_tag=str(batch_id), sigs=kept_sigs)
 
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)

@@ -116,6 +116,31 @@ def main() -> None:
         results[f"dupspans_x{mult}"] = {"iterations": times, "min": min(times)}
         print(f"dupspans x{mult}: {times}", file=sys.stderr)
 
+    # --- boilerplate-heavy dup spans (r7 de-skew rung): one shared
+    # 8-gram injected into 60% of docs — the hottest-gram case that
+    # funneled into a single window partition before the groupBy+join
+    # form; wall must track corpus size, not the hot gram's frequency ---
+    boiler = "all rights reserved worldwide by the example corporation "
+    for mult in DOC_MULTS:
+        docs = _docs_at(mult).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 < 3, F.concat(F.lit(boiler), F.col("text"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        times = []
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            dup_span_stats(docs).write.format("noop").mode("overwrite").save()
+            times.append(round(time.perf_counter() - t0, 2))
+        results[f"dupspans_boiler_x{mult}"] = {
+            "iterations": times,
+            "min": min(times),
+        }
+        print(f"dupspans boiler x{mult}: {times}", file=sys.stderr)
+
     # --- incremental dedup serve path: index build 1x/10x, probes with a
     # FIXED batch — probe wall must track the touched-partition bytes (the
     # bounded pfx IN-list), never the full index ---
@@ -230,7 +255,9 @@ def main() -> None:
     from ct_mapreduce_spark.operators.similarity import semdedup_pairs
 
     emb10 = spark.read.parquet(_emb_path(10))
-    for label, n_cells in (("cells16", 16), ("cells160", 160)):
+    # "auto" = n_cells=None (the r7 default): must track the scaled
+    # posture (cells160), not the fixed-16 degradation
+    for label, n_cells in (("cells16", 16), ("cells160", 160), ("auto", None)):
         times = []
         n_pairs = None
         for _ in range(ITERATIONS):
@@ -256,6 +283,65 @@ def main() -> None:
         file=sys.stderr,
     )
     shutil.rmtree(idx, ignore_errors=True)
+
+    # --- e2e curation pipeline, two drops, 1x/10x crawl (r7): drop 1
+    # builds the index from a fresh crawl; drop 2 re-crawls the same
+    # pages (new record ids => new doc_ids, same content) and must dedup
+    # to zero through the persistent index. Wall per drop must track
+    # crawl size; the 10x/1x exponent is the pipeline's honest scaling
+    # number (fixed job setup dominates at 1x). ---
+    import gzip as _gzip
+    import os as _os
+
+    from ct_mapreduce_spark.plans.curate import curate_crawl
+    from ct_mapreduce_spark.sources.text_source import (
+        encode_warc,
+        synthetic_html_body,
+    )
+
+    def _crawl_path(mult: int, tag: str) -> str:
+        path = f"/tmp/ctspark_soak_crawl_x{mult}_{tag}"
+        n_seg, per = 8 * mult, 250
+        if not _os.path.exists(f"{path}/seg-{n_seg - 1:03d}.warc.gz"):
+            _os.makedirs(path, exist_ok=True)
+            for seg in range(n_seg):
+                recs = [
+                    {
+                        "warc_type": "response",
+                        "url": f"https://crawl.example/page/{seg * per + i}",
+                        "date": "2026-01-01T00:00:00Z",
+                        "record_id": f"<urn:uuid:{tag}{seg * per + i:07d}>",
+                        "content_type": "application/http; msgtype=response",
+                        "body": synthetic_html_body(seg * per + i),
+                    }
+                    for i in range(per)
+                ]
+                payload = encode_warc(recs)
+                with open(f"{path}/seg-{seg:03d}.warc.gz", "wb") as f:
+                    f.write(_gzip.compress(payload))
+        return path
+
+    for mult in DOC_MULTS:
+        wd = tempfile.mkdtemp(prefix=f"ctspark_soak_curate_x{mult}_")
+        t0 = time.perf_counter()
+        s1 = curate_crawl(spark, _crawl_path(mult, "a"), wd)
+        drop1_s = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        s2 = curate_crawl(spark, _crawl_path(mult, "b"), wd)
+        drop2_s = round(time.perf_counter() - t0, 2)
+        assert s2["after_dedup"] == 0, f"re-crawl not fully deduped: {s2}"
+        results[f"curate_x{mult}"] = {
+            "drop1_s": drop1_s,
+            "drop2_s": drop2_s,
+            "extracted": s1["extracted"],
+            "drop1_kept": s1["after_dedup"],
+        }
+        print(
+            f"curate x{mult}: drop1={drop1_s}s drop2={drop2_s}s "
+            f"kept={s1['after_dedup']}/{s1['extracted']}",
+            file=sys.stderr,
+        )
+        shutil.rmtree(wd, ignore_errors=True)
 
     import math
 
@@ -285,6 +371,11 @@ def main() -> None:
         ),
         "ann_build_1x_to_100x": expo("ann_x1", "ann_x100", 100, "build_s"),
         "ann_probe_1x_to_100x": expo("ann_x1", "ann_x100", 100, "probe_min"),
+        "dupspans_boiler_1x_to_10x": expo(
+            "dupspans_boiler_x1", "dupspans_boiler_x10", 10
+        ),
+        "curate_drop1_1x_to_10x": expo("curate_x1", "curate_x10", 10, "drop1_s"),
+        "curate_drop2_1x_to_10x": expo("curate_x1", "curate_x10", 10, "drop2_s"),
     }
     print(json.dumps(results))
 
