@@ -306,7 +306,18 @@ def minhash_signatures(
         return pd.Series(list(out))
 
     base = F.transform(shingles(text_col, k), lambda s: F.xxhash64(s, F.lit(seed)))
-    return docs.select("doc_id", _mh(base).alias("minhash"))
+    # content_hash rides along (one codegen md5, negligible next to the
+    # signature pass): the EXACT-duplicate tier of the incremental index
+    # — a re-crawl's verbatim copies are dropped by hash equality in
+    # O(batch) before the banded probe ever generates candidates (a
+    # template-heavy 10x re-crawl measured 113 s of candidate scoring
+    # that the exact tier removes outright; near-miss docs still take
+    # the minhash path).
+    return docs.select(
+        "doc_id",
+        _mh(base).alias("minhash"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -485,8 +496,19 @@ def minhash_index_build(
                       scan to the partitions its buckets can live in —
                       the same serve shape as the materialized IVF index
                       (operators/similarity.py:ivf_build_index).
-      {path}/sigs/    (doc_id, minhash) for signature-agreement scoring
-                      of surviving candidates.
+      {path}/sigs/    (doc_id, minhash, content_hash) for
+                      signature-agreement scoring of surviving
+                      candidates.
+      {path}/hashes/  distinct content_hash partitioned by hpfx (first
+                      2 hex chars) — the EXACT-duplicate serve tier:
+                      content_hash_probe drops a batch's verbatim copies
+                      by hash equality (same broadcast-batch +
+                      partition-filter shape as the banded probe) before
+                      the banded tier generates candidates. A
+                      template-heavy re-crawl is exactly-equal content:
+                      without this tier a 10x re-crawl soak measured
+                      113 s of LSH candidate scoring whose every answer
+                      was already decided by hash equality.
 
     Parameters must match between build and probe (they define the hash
     family); both default to minhash_lsh_pairs' values, so probe results
@@ -510,6 +532,7 @@ def minhash_index_build(
         "pfx"
     ).parquet(path + "/banded")
     sigs.write.mode("overwrite").parquet(path + "/sigs")
+    _write_hash_store(sigs, path, mode="overwrite")
 
 
 def minhash_index_append(
@@ -541,6 +564,63 @@ def minhash_index_append(
         "pfx"
     ).parquet(path + "/banded")
     sigs.write.mode("append").parquet(path + "/sigs")
+    _write_hash_store(sigs, path, mode="append")
+
+
+def _write_hash_store(
+    sigs: DataFrame,
+    path: str,
+    mode: str,
+    batch_tag: str | None = None,
+) -> None:
+    """The exact-tier hash store: distinct content_hash, partitioned by
+    hpfx (hash prefix) and clustered like the posting lists; streaming
+    callers add an ingest_batch level for replay idempotence."""
+    hashes = (
+        sigs.select("content_hash")
+        .where(F.col("content_hash").isNotNull())
+        .distinct()
+        .withColumn("hpfx", F.substring("content_hash", 1, 2))
+    )
+    part_cols = ["hpfx"]
+    if batch_tag is not None:
+        hashes = hashes.withColumn("ingest_batch", F.lit(batch_tag))
+        part_cols = ["ingest_batch", "hpfx"]
+    hashes.repartition(F.col("hpfx")).write.mode(mode).partitionBy(
+        *part_cols
+    ).parquet(path + "/hashes")
+
+
+def content_hash_probe(spark, path: str, batch_sigs: DataFrame) -> DataFrame:
+    """EXACT-duplicate tier of the incremental index: batch doc_ids whose
+    content_hash already exists in {path}/hashes. Same serve shape as the
+    banded probe — the bounded distinct hash-prefix IN-list prunes the
+    store scan to the partitions the batch's hashes can live in, and the
+    batch side is BROADCAST so the store never shuffles. Returns a
+    one-column (doc_id) frame; an empty frame when the index predates
+    the hash store (schema v2 and earlier). Callers anti-join it away
+    BEFORE minhash_probe_index so verbatim re-crawls — equal content,
+    est_jaccard 1.0 by definition — never feed the banded candidate
+    generator (quadratic on template-heavy buckets)."""
+    import os
+
+    bh = (
+        batch_sigs.select("doc_id", "content_hash")
+        .where(F.col("content_hash").isNotNull())
+        .withColumn("hpfx", F.substring("content_hash", 1, 2))
+    )
+    if not os.path.exists(path + "/hashes"):
+        return bh.select("doc_id").limit(0)
+    pfxs = [r["hpfx"] for r in bh.select("hpfx").distinct().collect()]
+    idx = spark.read.parquet(path + "/hashes").where(F.col("hpfx").isin(pfxs))
+    return (
+        idx.join(
+            F.broadcast(bh),
+            idx["content_hash"] == bh["content_hash"],
+        )
+        .select("doc_id")
+        .distinct()
+    )
 
 
 def minhash_probe_index(
@@ -633,6 +713,85 @@ def minhash_probe_index(
     return pairs.select(
         "new_doc_id", "corpus_doc_id", "n_bands_matched", "est_jaccard"
     )
+
+
+def minhash_index_compact(
+    spark, path: str, tag: str = "base"
+) -> dict[str, tuple[int, int]]:
+    """Index maintenance: rewrite the posting-list store's accumulated
+    small files into pfx-clustered right-sized ones — the lifecycle task
+    behind a long-lived incremental dedup index (every
+    minhash_index_append / streaming write_postings adds O(pfx) files;
+    after thousands of batches the probe's scan cost is file opens, not
+    bytes). Same crash-safe temp-write + rename-aside swap as the cert
+    store's compact_store (sources/sinks.py / fsutil.py).
+
+    Handles both layouts: the batch index ({path}/banded/pfx=XX) is
+    rewritten in place; the STREAMING layout (ingest_batch=T/pfx=XX)
+    is consolidated under ingest_batch=<tag> — run it only while the
+    stream is stopped with its checkpoint intact (a replay of a
+    compacted-away batch id would re-insert its postings beside the
+    consolidated copy). Probe results are unchanged either way
+    (pytest-asserted); returns {store: (files_before, files_after)}.
+    """
+    from ct_mapreduce_spark.fsutil import (
+        TMP_SUFFIX,
+        recover_swap,
+        swap_into_place,
+    )
+
+    def _count_files(p: str) -> int:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jp.getFileSystem(hconf)
+        n = 0
+        it = fs.listFiles(jp, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    import os
+
+    out: dict[str, tuple[int, int]] = {}
+    stores = ["banded", "sigs"] + (
+        ["hashes"] if os.path.exists(f"{path}/hashes") else []
+    )
+    for store in stores:
+        p = f"{path}/{store}"
+        recover_swap(spark, p)
+        df = spark.read.parquet(p)
+        streaming = "ingest_batch" in df.columns
+        if streaming:
+            df = df.withColumn("ingest_batch", F.lit(tag))
+        # re-derive prefix columns from their source rather than trusting
+        # the partition column read-back (partition values are
+        # type-inferred; an all-numeric prefix set would come back int
+        # and drop its zero-padding)
+        if store == "banded":
+            df = df.withColumn("pfx", F.substring("bucket", 1, 2))
+        elif store == "hashes":
+            df = df.withColumn("hpfx", F.substring("content_hash", 1, 2))
+            if streaming:  # tags collapsed -> dedup hashes across them
+                df = df.distinct()
+        before = _count_files(p)
+        if store == "sigs":
+            writer = df.coalesce(max(1, before // 8))
+            part_cols: list[str] = []
+        else:
+            pfx_col = "pfx" if store == "banded" else "hpfx"
+            writer = df.repartition(F.col(pfx_col))
+            part_cols = [pfx_col]
+        if streaming:
+            part_cols = ["ingest_batch"] + part_cols
+        w = writer.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(p + TMP_SUFFIX)
+        swap_into_place(spark, p + TMP_SUFFIX, p)
+        out[store] = (before, _count_files(p))
+    return out
 
 
 def dedup_clusters(

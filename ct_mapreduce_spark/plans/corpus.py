@@ -1480,8 +1480,8 @@ def docs_incremental_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     batch = docs.where(F.col("doc_id") % 10 == 0)
-    # v2: pfx-clustered index layout (256 files, not tasks x 256)
-    idx = f"/tmp/ctspark_mh_idx_{_cache_tag(sf_dir, 'documents', 'v2')}"
+    # v3: pfx-clustered layout + exact-tier hash store + content_hash col
+    idx = f"/tmp/ctspark_mh_idx_{_cache_tag(sf_dir, 'documents', 'v3')}"
     if not os.path.exists(idx + "/sigs/_SUCCESS"):
         dedup_fuzzy.minhash_index_build(corpus, idx)
     return dedup_fuzzy.minhash_probe_index(spark, idx, batch)

@@ -131,6 +131,15 @@ def curate_crawl(
             "doc_id"
         )
         fresh = good.join(existing, "doc_id", "left_anti")
+        # exact tier (hash store): verbatim re-crawled content drops by
+        # hash equality in O(batch) — equal content has est_jaccard 1.0,
+        # so the keep-set is unchanged while the banded tier's quadratic
+        # template-bucket candidate work disappears (10x re-crawl soak:
+        # 113 s -> the banded probe sees ~zero docs)
+        fresh_sigs = sigs.join(fresh.select("doc_id"), "doc_id", "left_semi")
+        exact = dedup_fuzzy.content_hash_probe(spark, idx, fresh_sigs)
+        fresh = fresh.join(F.broadcast(exact), "doc_id", "left_anti")
+        fresh = fresh.localCheckpoint(eager=True)
         fresh_sigs = sigs.join(fresh.select("doc_id"), "doc_id", "left_semi")
         dups = (
             dedup_fuzzy.minhash_probe_index(spark, idx, fresh, sigs=fresh_sigs)

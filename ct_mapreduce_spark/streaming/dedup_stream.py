@@ -32,6 +32,8 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ct_mapreduce_spark.operators.dedup_fuzzy import (
     _banded_frame,
+    _write_hash_store,
+    content_hash_probe,
     minhash_lsh_pairs,
     minhash_probe_index,
     minhash_signatures,
@@ -85,6 +87,7 @@ def write_postings(
         sigs.withColumn("ingest_batch", F.lit(batch_tag)).write.mode(
             "overwrite"
         ).partitionBy("ingest_batch").parquet(path + "/sigs")
+        _write_hash_store(sigs, path, mode="overwrite", batch_tag=batch_tag)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -96,11 +99,15 @@ def dedup_batch(
     est_threshold: float = 0.9,
     sigs: DataFrame | None = None,
 ) -> DataFrame:
-    """One batch's keep-list: drop documents whose probe against the
-    index finds a candidate with est_jaccard >= threshold (cross-batch
-    tier), then drop within-batch near-dups keeping the min doc_id (the
-    engine-wide first-seen-wins rule). Returns the surviving rows of
-    `batch` unchanged.
+    """One batch's keep-list: drop exact content copies by hash equality
+    against the index's hash store (exact tier, O(batch)), then drop
+    documents whose banded probe finds a candidate with est_jaccard >=
+    threshold (cross-batch fuzzy tier), then drop within-batch near-dups
+    keeping the min doc_id (the engine-wide first-seen-wins rule).
+    Returns the surviving rows of `batch` unchanged. The exact tier is a
+    strict subset of the fuzzy tier's matches for any threshold <= 1
+    (equal content has est_jaccard 1.0), so the keep-list is unchanged —
+    only the candidate work moves off the quadratic path.
 
     An index that does not exist yet (first-ever batch, nothing seeded)
     means zero cross-batch candidates — the probe tier is skipped,
@@ -119,8 +126,20 @@ def dedup_batch(
         batch = batch.localCheckpoint(eager=True)
         sigs = minhash_signatures(fan_out(batch)).localCheckpoint(eager=True)
     if os.path.exists(os.path.join(index_path, "banded")):
+        # exact tier first: verbatim copies (re-crawls are mostly these)
+        # drop by hash equality in O(batch) and never reach the banded
+        # candidate generator — which is quadratic on template-heavy
+        # buckets (10x re-crawl soak: 113 s of candidate scoring whose
+        # answers were all decided by hash equality)
+        exact = content_hash_probe(spark, index_path, sigs)
+        fuzzy_in = batch.join(
+            F.broadcast(exact), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        fuzzy_sigs = sigs.join(
+            fuzzy_in.select("doc_id"), "doc_id", "left_semi"
+        )
         cross_dups = (
-            minhash_probe_index(spark, index_path, batch, sigs=sigs)
+            minhash_probe_index(spark, index_path, fuzzy_in, sigs=fuzzy_sigs)
             .where(F.col("est_jaccard") >= est_threshold)
             .select(F.col("new_doc_id").alias("doc_id"))
             .distinct()
@@ -128,7 +147,7 @@ def dedup_batch(
         # materialized: three consumers below (the within-tier banded
         # frame, its est_jaccard joins, the returned keep-list) must not
         # re-run the probe's index scan per consumer
-        survivors = batch.join(
+        survivors = fuzzy_in.join(
             F.broadcast(cross_dups), "doc_id", "left_anti"
         ).localCheckpoint(eager=True)
         surv_sigs = sigs.join(

@@ -96,6 +96,97 @@ def test_minhash_index_append_lifecycle(spark, docs, tmp_path):
     assert after == want
 
 
+def test_content_hash_probe_exact_tier(spark, docs, tmp_path):
+    """The exact tier: verbatim copies of indexed content are identified
+    by hash equality (under NEW doc_ids — the id-containment tier can't
+    see them), near-miss content is NOT (it stays the fuzzy tier's job),
+    and an index predating the hash store yields an empty frame."""
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    idx = str(tmp_path / "mh_idx_exact")
+    dedup_fuzzy.minhash_index_build(corpus, idx)
+    some = corpus.limit(5).collect()
+    batch = spark.createDataFrame(
+        [(900001 + i, r["text"]) for i, r in enumerate(some)]  # verbatim
+        + [(900100, some[0]["text"] + " tail perturbation")]   # near-miss
+        + [(900101, "entirely novel content never indexed before")],
+        "doc_id long, text string",
+    )
+    bsigs = dedup_fuzzy.minhash_signatures(batch)
+    hit = {r["doc_id"] for r in dedup_fuzzy.content_hash_probe(spark, idx, bsigs).collect()}
+    assert hit == {900001 + i for i in range(5)}, hit
+    # pruned scan: the hash-store read carries an hpfx partition filter
+    out = dedup_fuzzy.content_hash_probe(spark, idx, bsigs)
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PartitionFilters: [hpfx" in l for l in plan.splitlines()
+    ), "hash-store scan not hpfx-pruned:\n" + plan[:1500]
+    # legacy index without a hash store -> empty, not an error
+    import shutil as sh
+
+    sh.rmtree(idx + "/hashes")
+    assert dedup_fuzzy.content_hash_probe(spark, idx, bsigs).count() == 0
+
+
+def test_minhash_index_compact_preserves_probe(spark, docs, tmp_path):
+    """Compaction lifecycle: after several appends the store carries many
+    small files; minhash_index_compact rewrites them pfx-clustered with
+    probe results bit-identical, for BOTH layouts (batch index and the
+    streaming ingest_batch=T layout consolidated under one tag)."""
+    import glob as g
+
+    from ct_mapreduce_spark.streaming.dedup_stream import write_postings
+
+    corpus = docs.where((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 5))
+    b1 = docs.where(F.col("doc_id") % 10 == 0)
+    probe_batch = docs.where(F.col("doc_id") % 10 == 5)
+
+    # batch layout: build + 3 appends (slices of b1)
+    idx = str(tmp_path / "mh_idx_cpt")
+    dedup_fuzzy.minhash_index_build(corpus, idx)
+    for m in range(3):
+        dedup_fuzzy.minhash_index_append(b1.where(F.col("doc_id") % 3 == m), idx)
+    before_files = len(g.glob(idx + "/banded/*/*.parquet"))
+    want = sorted(
+        tuple(r)
+        for r in dedup_fuzzy.minhash_probe_index(spark, idx, probe_batch).collect()
+    )
+    stats = dedup_fuzzy.minhash_index_compact(spark, idx)
+    after_files = len(g.glob(idx + "/banded/*/*.parquet"))
+    assert after_files < before_files
+    assert stats["banded"][1] < stats["banded"][0]
+    got = sorted(
+        tuple(r)
+        for r in dedup_fuzzy.minhash_probe_index(spark, idx, probe_batch).collect()
+    )
+    assert got == want and len(got) > 0
+    # pruning still applies post-compaction
+    out = dedup_fuzzy.minhash_probe_index(spark, idx, docs.where(F.col("doc_id") < 3))
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PartitionFilters: [pfx" in l for l in plan.splitlines()
+    ), "compacted index lost pfx pruning"
+
+    # streaming layout: three tags consolidate under one, probe unchanged
+    sidx = str(tmp_path / "mh_sidx_cpt")
+    write_postings(corpus, sidx, batch_tag="base")
+    for m in range(2):
+        write_postings(b1.where(F.col("doc_id") % 2 == m), sidx, batch_tag=str(m))
+    swant = sorted(
+        tuple(r)
+        for r in dedup_fuzzy.minhash_probe_index(spark, sidx, probe_batch).collect()
+    )
+    dedup_fuzzy.minhash_index_compact(spark, sidx)
+    tags = {p.split("=")[-1] for p in g.glob(sidx + "/banded/ingest_batch=*")}
+    assert tags == {"base"}
+    sgot = sorted(
+        tuple(r)
+        for r in dedup_fuzzy.minhash_probe_index(spark, sidx, probe_batch).collect()
+    )
+    assert sgot == swant and len(sgot) > 0
+
+
 def test_minhash_index_probe_prunes_partitions(spark, docs, tmp_path):
     """The probe's index scan must carry a pfx partition filter (the
     bounded bucket-prefix IN-list) — the 100 TB serve contract: a small
