@@ -623,6 +623,25 @@ def content_hash_probe(spark, path: str, batch_sigs: DataFrame) -> DataFrame:
     )
 
 
+def exact_within_drops(sigs: DataFrame) -> DataFrame:
+    """Within-batch exact tier: doc_ids that are verbatim copies of a
+    lower-id document in the SAME batch (one representative — the min
+    doc_id — survives per content_hash; null hashes pass through
+    untouched, null text is not equal to null text). Map-side-combined
+    min per hash, then an anti-join; O(batch). Serve compositions run
+    this before the banded within-batch tier for the same reason as the
+    cross-batch hash store: a copy-heavy batch otherwise pairs its
+    copies quadratically inside identical LSH buckets, and the keep-set
+    is provably unchanged (an exact pair is est_jaccard 1.0, and the
+    min-id-wins rule drops exactly the non-representatives either way).
+    Returns a one-column (doc_id) drop frame."""
+    hashed = sigs.where(F.col("content_hash").isNotNull())
+    reps = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    return hashed.select("doc_id", "content_hash").join(
+        reps, ["content_hash", "doc_id"], "left_anti"
+    ).select("doc_id")
+
+
 def minhash_probe_index(
     spark,
     path: str,

@@ -154,6 +154,12 @@ def curate_crawl(
     else:  # first drop: within-batch dedup only
         novel = good
     novel_sigs = sigs.join(novel.select("doc_id"), "doc_id", "left_semi")
+    # within-batch exact tier: one representative per content before the
+    # banded tier pairs anything (copy-heavy crawls would otherwise pair
+    # their copies quadratically inside identical LSH buckets)
+    wexact = dedup_fuzzy.exact_within_drops(novel_sigs)
+    novel = novel.join(F.broadcast(wexact), "doc_id", "left_anti")
+    novel_sigs = novel_sigs.join(F.broadcast(wexact), "doc_id", "left_anti")
     within = (
         dedup_fuzzy.minhash_lsh_pairs(novel, sigs=novel_sigs)
         .where(F.col("est_jaccard") >= est_threshold)

@@ -34,6 +34,7 @@ from ct_mapreduce_spark.operators.dedup_fuzzy import (
     _banded_frame,
     _write_hash_store,
     content_hash_probe,
+    exact_within_drops,
     minhash_lsh_pairs,
     minhash_probe_index,
     minhash_signatures,
@@ -156,6 +157,13 @@ def dedup_batch(
     else:
         survivors = batch
         surv_sigs = sigs
+    # within-batch exact tier: copy-heavy batches drop to one
+    # representative per content before the banded tier pairs anything
+    wexact = exact_within_drops(surv_sigs)
+    survivors = survivors.join(F.broadcast(wexact), "doc_id", "left_anti")
+    surv_sigs = surv_sigs.join(
+        F.broadcast(wexact), "doc_id", "left_anti"
+    )
     within = (
         minhash_lsh_pairs(survivors, sigs=surv_sigs)
         .where(F.col("est_jaccard") >= est_threshold)

@@ -144,6 +144,25 @@ def test_stream_cold_start_without_seeded_index(spark, tmp_path):
     assert len(texts) == len(set(texts))
 
 
+def test_dedup_batch_copy_heavy_within_batch(spark, tmp_path):
+    """Within-batch exact tier: a batch carrying many verbatim copies of
+    one document keeps exactly the min-id representative (plus genuinely
+    distinct docs) — same keep-set the banded tier would compute, minus
+    its quadratic in-bucket pairing."""
+    rows = [(i, f"baseline corpus doc {i} with filler words " * 4) for i in range(10)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "idx3")
+    write_postings(corpus, idx, batch_tag="base")
+    copy_text = "hot copied page body repeated across mirrors " * 5
+    batch = spark.createDataFrame(
+        [(200 + i, copy_text) for i in range(50)]
+        + [(500, "a genuinely unique incoming document body " * 4)],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in dedup_batch(spark, idx, batch).collect()}
+    assert kept == {200, 500}, kept
+
+
 def test_dedup_batch_exact_copy_dropped(spark, tmp_path):
     rows = [(i, f"unique text number {i} " * 5) for i in range(20)]
     corpus = spark.createDataFrame(rows, "doc_id long, text string")
