@@ -40,6 +40,13 @@ def run(spark, workdir: str):
     text_source.synthetic_warc_html_fixture(crawl2, n=48)
     stats2 = curate_crawl(spark, crawl2, workdir)
     print("drop 2:", stats2)
+
+    # lifecycle: after many drops the index accumulates small posting
+    # files; compaction rewrites them pfx-clustered (crash-safe swap)
+    from ct_mapreduce_spark.operators.dedup_fuzzy import minhash_index_compact
+
+    files = minhash_index_compact(spark, f"{workdir}/mh_index")
+    print("index compaction (files before -> after):", files)
     return stats1, stats2
 
 
