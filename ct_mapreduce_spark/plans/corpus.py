@@ -1987,6 +1987,40 @@ def d4_distinct_idempotent(spark, sf_dir):
 
 
 @q(
+    "docs_exact_within_reps",
+    """
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+    )
+    SELECT a.doc_id AS doc_id
+    FROM u a
+    WHERE EXISTS (
+      SELECT 1 FROM u b
+      WHERE md5(b.text) = md5(a.text) AND b.doc_id < a.doc_id
+    )
+    """,
+    "dedup",
+)
+def docs_exact_within_reps(spark, sf_dir):
+    """Within-batch exact tier (operators/dedup_fuzzy.py:
+    exact_within_drops — r7): the doc_ids a copy-heavy batch DROPS,
+    keeping one min-id representative per content_hash. Input doubles
+    the documents table under shifted ids so every text has at least
+    one verbatim copy; md5 is identical in Spark and DuckDB, so the
+    full oracle hash-compares the exact drop list the serve
+    compositions (plans/curate.py, streaming/dedup_stream.py) rely on
+    to keep copy-heavy batches off the quadratic banded path."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    sigs = dedup_fuzzy.minhash_signatures(u)
+    return dedup_fuzzy.exact_within_drops(sigs)
+
+
+@q(
     "d6_bloom_prefilter_join",
     """
     SELECT l_returnflag,
