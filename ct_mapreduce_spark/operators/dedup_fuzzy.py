@@ -598,7 +598,11 @@ def content_hash_probe(spark, path: str, batch_sigs: DataFrame) -> DataFrame:
     store scan to the partitions the batch's hashes can live in, and the
     batch side is BROADCAST so the store never shuffles. Returns a
     one-column (doc_id) frame; an empty frame when the index predates
-    the hash store (schema v2 and earlier). Callers anti-join it away
+    the hash store (schema v2 and earlier). Worst case mirrors the
+    banded probe's: a large batch covers all 256 prefixes and the tier
+    costs one scan-local pass over the hash store — the SMALLEST store
+    (one 16-byte hash per corpus doc vs 16 posting rows), so the exact
+    tier is never the probe's dominant term. Callers anti-join it away
     BEFORE minhash_probe_index so verbatim re-crawls — equal content,
     est_jaccard 1.0 by definition — never feed the banded candidate
     generator (quadratic on template-heavy buckets)."""
@@ -670,6 +674,15 @@ def minhash_probe_index(
     sized) and pushes it as a partition filter, so a small batch reads a
     small fraction of the index files. Corpus work per probe is
     O(index partitions touched), not O(corpus).
+
+    Honest worst case: a batch with >= ~500 distinct buckets covers all
+    256 prefixes and the filter prunes nothing — the probe then costs
+    one full scan-local pass over the posting store (columnar, no
+    shuffle, no pairing beyond bucket hits). That is the intended trade:
+    probe cost is bounded by index BYTES once per batch, never by
+    corpus^2 pairing, and batching more docs per probe amortizes it.
+    Verbatim-copy traffic should be removed first via content_hash_probe
+    (exact tier) so it never inflates bucket hit counts.
     """
     # ONE eager materialization: the compact signature frame (the only
     # Python stage). The banded expansion below is cheap codegen'd array
