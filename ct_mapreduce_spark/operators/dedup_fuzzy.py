@@ -306,17 +306,26 @@ def minhash_signatures(
         return pd.Series(list(out))
 
     base = F.transform(shingles(text_col, k), lambda s: F.xxhash64(s, F.lit(seed)))
-    # content_hash rides along (one codegen md5, negligible next to the
-    # signature pass): the EXACT-duplicate tier of the incremental index
-    # — a re-crawl's verbatim copies are dropped by hash equality in
-    # O(batch) before the banded probe ever generates candidates (a
-    # template-heavy 10x re-crawl measured 113 s of candidate scoring
-    # that the exact tier removes outright; near-miss docs still take
-    # the minhash path).
-    return docs.select(
+    # Two hashes ride along (codegen md5s, negligible next to the
+    # signature pass) — the EXACT-duplicate tiers of the incremental
+    # index: content_hash catches verbatim copies; sig_hash (md5 of the
+    # signature vector) catches signature-identical variants (same page
+    # with whitespace/timestamp noise — same shingle set, different
+    # bytes), which the banded tier would score at est_jaccard exactly
+    # 1.0 while paying quadratic candidate generation for. Both are
+    # dropped by hash equality in O(batch) before the banded probe runs
+    # (a template-heavy 10x re-crawl measured 113 s of candidate scoring
+    # the exact tiers remove outright); genuinely-near docs still take
+    # the minhash path. sig_hash derives from the materialized minhash
+    # column (second select) so the Arrow UDF evaluates exactly once.
+    out = docs.select(
         "doc_id",
         _mh(base).alias("minhash"),
         F.md5(F.col(text_col)).alias("content_hash"),
+    )
+    return out.withColumn(
+        "sig_hash",
+        F.md5(F.concat_ws(",", F.transform("minhash", lambda x: x.cast("string")))),
     )
 
 
@@ -499,16 +508,19 @@ def minhash_index_build(
       {path}/sigs/    (doc_id, minhash, content_hash) for
                       signature-agreement scoring of surviving
                       candidates.
-      {path}/hashes/  distinct content_hash partitioned by hpfx (first
-                      2 hex chars) — the EXACT-duplicate serve tier:
-                      content_hash_probe drops a batch's verbatim copies
-                      by hash equality (same broadcast-batch +
-                      partition-filter shape as the banded probe) before
-                      the banded tier generates candidates. A
-                      template-heavy re-crawl is exactly-equal content:
-                      without this tier a 10x re-crawl soak measured
-                      113 s of LSH candidate scoring whose every answer
-                      was already decided by hash equality.
+      {path}/hashes/  distinct (kind, hash) rows — kind 'content'
+                      (md5 of text) and 'sig' (md5 of the signature
+                      vector) — partitioned by hpfx (first 2 hex
+                      chars). The EXACT-duplicate serve tier:
+                      exact_hash_probe drops a batch's verbatim copies
+                      AND signature-identical variants by hash equality
+                      (same broadcast-batch + partition-filter shape as
+                      the banded probe) before the banded tier generates
+                      candidates. A template-heavy re-crawl is
+                      exactly-equal content: without this tier a 10x
+                      re-crawl soak measured 113 s of LSH candidate
+                      scoring whose every answer was already decided by
+                      hash equality.
 
     Parameters must match between build and probe (they define the hash
     family); both default to minhash_lsh_pairs' values, so probe results
@@ -567,21 +579,31 @@ def minhash_index_append(
     _write_hash_store(sigs, path, mode="append")
 
 
+def _batch_hash_frame(batch_sigs: DataFrame) -> DataFrame:
+    """(doc_id, kind, hash, hpfx) for both exact tiers of a batch."""
+    rows = None
+    for kind, col in (("content", "content_hash"), ("sig", "sig_hash")):
+        part = (
+            batch_sigs.select("doc_id", F.col(col).alias("hash"))
+            .where(F.col(col).isNotNull())
+            .withColumn("kind", F.lit(kind))
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    return rows.withColumn("hpfx", F.substring("hash", 1, 2))
+
+
 def _write_hash_store(
     sigs: DataFrame,
     path: str,
     mode: str,
     batch_tag: str | None = None,
 ) -> None:
-    """The exact-tier hash store: distinct content_hash, partitioned by
+    """The exact-tier hash store: distinct (kind, hash) rows — kind
+    'content' (md5 of text: verbatim copies) and 'sig' (md5 of the
+    signature vector: signature-identical variants) — partitioned by
     hpfx (hash prefix) and clustered like the posting lists; streaming
     callers add an ingest_batch level for replay idempotence."""
-    hashes = (
-        sigs.select("content_hash")
-        .where(F.col("content_hash").isNotNull())
-        .distinct()
-        .withColumn("hpfx", F.substring("content_hash", 1, 2))
-    )
+    hashes = _batch_hash_frame(sigs).select("kind", "hash", "hpfx").distinct()
     part_cols = ["hpfx"]
     if batch_tag is not None:
         hashes = hashes.withColumn("ingest_batch", F.lit(batch_tag))
@@ -591,58 +613,76 @@ def _write_hash_store(
     ).parquet(path + "/hashes")
 
 
-def content_hash_probe(spark, path: str, batch_sigs: DataFrame) -> DataFrame:
+def exact_hash_probe(spark, path: str, batch_sigs: DataFrame) -> DataFrame:
     """EXACT-duplicate tier of the incremental index: batch doc_ids whose
-    content_hash already exists in {path}/hashes. Same serve shape as the
-    banded probe — the bounded distinct hash-prefix IN-list prunes the
-    store scan to the partitions the batch's hashes can live in, and the
-    batch side is BROADCAST so the store never shuffles. Returns a
-    one-column (doc_id) frame; an empty frame when the index predates
-    the hash store (schema v2 and earlier). Worst case mirrors the
-    banded probe's: a large batch covers all 256 prefixes and the tier
-    costs one scan-local pass over the hash store — the SMALLEST store
-    (one 16-byte hash per corpus doc vs 16 posting rows), so the exact
-    tier is never the probe's dominant term. Callers anti-join it away
-    BEFORE minhash_probe_index so verbatim re-crawls — equal content,
-    est_jaccard 1.0 by definition — never feed the banded candidate
-    generator (quadratic on template-heavy buckets)."""
+    content_hash OR sig_hash already exists in {path}/hashes (verbatim
+    copies and signature-identical variants respectively — both score
+    est_jaccard exactly 1.0 in the banded tier, so anti-joining them away
+    first leaves the keep-set unchanged for any threshold <= 1 while the
+    quadratic template-bucket candidate work disappears). Same serve
+    shape as the banded probe — the bounded distinct hash-prefix IN-list
+    prunes the store scan to the partitions the batch's hashes can live
+    in, and the batch side is BROADCAST so the store never shuffles.
+    Returns a one-column (doc_id) frame; an empty frame when the index
+    predates the hash store (schema v2 and earlier); an r7-interim v3
+    store (content_hash column, no kind) degrades to content-only
+    matching. Worst case mirrors the banded probe's: a large batch
+    covers all 256 prefixes and the tier costs one scan-local pass over
+    the hash store — the SMALLEST store (two 16-byte hashes per corpus
+    doc vs 16 posting rows), so the exact tier is never the probe's
+    dominant term."""
     import os
 
-    bh = (
-        batch_sigs.select("doc_id", "content_hash")
-        .where(F.col("content_hash").isNotNull())
-        .withColumn("hpfx", F.substring("content_hash", 1, 2))
-    )
+    bh = _batch_hash_frame(batch_sigs)
     if not os.path.exists(path + "/hashes"):
         return bh.select("doc_id").limit(0)
+    idx = spark.read.parquet(path + "/hashes")
+    if "content_hash" in idx.columns:  # v3 interim layout: content only
+        idx = idx.select(
+            F.col("content_hash").alias("hash"),
+            F.lit("content").alias("kind"),
+            "hpfx",
+        )
     pfxs = [r["hpfx"] for r in bh.select("hpfx").distinct().collect()]
-    idx = spark.read.parquet(path + "/hashes").where(F.col("hpfx").isin(pfxs))
+    idx = idx.where(F.col("hpfx").isin(pfxs))
     return (
         idx.join(
             F.broadcast(bh),
-            idx["content_hash"] == bh["content_hash"],
+            (idx["kind"] == bh["kind"]) & (idx["hash"] == bh["hash"]),
         )
         .select("doc_id")
         .distinct()
     )
 
 
-def exact_within_drops(sigs: DataFrame) -> DataFrame:
-    """Within-batch exact tier: doc_ids that are verbatim copies of a
-    lower-id document in the SAME batch (one representative — the min
-    doc_id — survives per content_hash; null hashes pass through
-    untouched, null text is not equal to null text). Map-side-combined
-    min per hash, then an anti-join; O(batch). Serve compositions run
-    this before the banded within-batch tier for the same reason as the
-    cross-batch hash store: a copy-heavy batch otherwise pairs its
-    copies quadratically inside identical LSH buckets, and the keep-set
-    is provably unchanged (an exact pair is est_jaccard 1.0, and the
-    min-id-wins rule drops exactly the non-representatives either way).
-    Returns a one-column (doc_id) drop frame."""
-    hashed = sigs.where(F.col("content_hash").isNotNull())
-    reps = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
-    return hashed.select("doc_id", "content_hash").join(
-        reps, ["content_hash", "doc_id"], "left_anti"
+
+
+def exact_within_drops(
+    sigs: DataFrame, hash_col: str = "content_hash"
+) -> DataFrame:
+    """Within-batch exact tier: doc_ids that duplicate a lower-id
+    document in the SAME batch under `hash_col` equality (one
+    representative — the min doc_id — survives per hash value; null
+    hashes pass through untouched). Map-side-combined min per hash, then
+    an anti-join; O(batch). Serve compositions run this before the
+    banded within-batch tier for the same reason as the cross-batch hash
+    store: a copy-heavy batch otherwise pairs its copies quadratically
+    inside identical LSH buckets, and the keep-set is provably unchanged
+    (hash_col="content_hash": verbatim copies; "sig_hash":
+    signature-identical variants — either way the pair scores
+    est_jaccard exactly 1.0 in the banded tier, whose min-id-wins rule
+    drops exactly the non-representatives. The sig tier inherits the
+    banded tier's documented zero-signature family: sub-k/null docs
+    collapse to one representative there too, the same verdict the
+    banded tier would give them — callers filter sub-k docs). The
+    default stays "content_hash" — the DuckDB-oracle-checkable contract
+    (docs_exact_within_reps); serve paths pass "sig_hash", a superset
+    (equal text implies equal signature). Returns a one-column (doc_id)
+    drop frame."""
+    hashed = sigs.where(F.col(hash_col).isNotNull())
+    reps = hashed.groupBy(hash_col).agg(F.min("doc_id").alias("doc_id"))
+    return hashed.select("doc_id", hash_col).join(
+        reps, [hash_col, "doc_id"], "left_anti"
     ).select("doc_id")
 
 
@@ -681,7 +721,7 @@ def minhash_probe_index(
     shuffle, no pairing beyond bucket hits). That is the intended trade:
     probe cost is bounded by index BYTES once per batch, never by
     corpus^2 pairing, and batching more docs per probe amortizes it.
-    Verbatim-copy traffic should be removed first via content_hash_probe
+    Verbatim-copy traffic should be removed first via exact_hash_probe
     (exact tier) so it never inflates bucket hit counts.
     """
     # ONE eager materialization: the compact signature frame (the only
@@ -804,7 +844,7 @@ def minhash_index_compact(
         if store == "banded":
             df = df.withColumn("pfx", F.substring("bucket", 1, 2))
         elif store == "hashes":
-            df = df.withColumn("hpfx", F.substring("content_hash", 1, 2))
+            df = df.withColumn("hpfx", F.substring("hash", 1, 2))
             if streaming:  # tags collapsed -> dedup hashes across them
                 df = df.distinct()
         before = _count_files(p)

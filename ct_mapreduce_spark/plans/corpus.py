@@ -1480,8 +1480,8 @@ def docs_incremental_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     batch = docs.where(F.col("doc_id") % 10 == 0)
-    # v3: pfx-clustered layout + exact-tier hash store + content_hash col
-    idx = f"/tmp/ctspark_mh_idx_{_cache_tag(sf_dir, 'documents', 'v3')}"
+    # v4: hash store generalized to (kind, hash) — content + sig tiers
+    idx = f"/tmp/ctspark_mh_idx_{_cache_tag(sf_dir, 'documents', 'v4')}"
     if not os.path.exists(idx + "/sigs/_SUCCESS"):
         dedup_fuzzy.minhash_index_build(corpus, idx)
     return dedup_fuzzy.minhash_probe_index(spark, idx, batch)

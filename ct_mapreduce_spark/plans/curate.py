@@ -137,7 +137,7 @@ def curate_crawl(
         # template-bucket candidate work disappears (10x re-crawl soak:
         # 113 s -> the banded probe sees ~zero docs)
         fresh_sigs = sigs.join(fresh.select("doc_id"), "doc_id", "left_semi")
-        exact = dedup_fuzzy.content_hash_probe(spark, idx, fresh_sigs)
+        exact = dedup_fuzzy.exact_hash_probe(spark, idx, fresh_sigs)
         fresh = fresh.join(F.broadcast(exact), "doc_id", "left_anti")
         fresh = fresh.localCheckpoint(eager=True)
         fresh_sigs = sigs.join(fresh.select("doc_id"), "doc_id", "left_semi")
@@ -157,7 +157,7 @@ def curate_crawl(
     # within-batch exact tier: one representative per content before the
     # banded tier pairs anything (copy-heavy crawls would otherwise pair
     # their copies quadratically inside identical LSH buckets)
-    wexact = dedup_fuzzy.exact_within_drops(novel_sigs)
+    wexact = dedup_fuzzy.exact_within_drops(novel_sigs, hash_col="sig_hash")
     novel = novel.join(F.broadcast(wexact), "doc_id", "left_anti")
     novel_sigs = novel_sigs.join(F.broadcast(wexact), "doc_id", "left_anti")
     within = (

@@ -33,7 +33,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ct_mapreduce_spark.operators.dedup_fuzzy import (
     _banded_frame,
     _write_hash_store,
-    content_hash_probe,
+    exact_hash_probe,
     exact_within_drops,
     minhash_lsh_pairs,
     minhash_probe_index,
@@ -132,7 +132,7 @@ def dedup_batch(
         # candidate generator — which is quadratic on template-heavy
         # buckets (10x re-crawl soak: 113 s of candidate scoring whose
         # answers were all decided by hash equality)
-        exact = content_hash_probe(spark, index_path, sigs)
+        exact = exact_hash_probe(spark, index_path, sigs)
         fuzzy_in = batch.join(
             F.broadcast(exact), "doc_id", "left_anti"
         ).localCheckpoint(eager=True)
@@ -158,8 +158,10 @@ def dedup_batch(
         survivors = batch
         surv_sigs = sigs
     # within-batch exact tier: copy-heavy batches drop to one
-    # representative per content before the banded tier pairs anything
-    wexact = exact_within_drops(surv_sigs)
+    # representative per SIGNATURE before the banded tier pairs anything
+    # (sig_hash ⊇ content equality: verbatim copies and
+    # signature-identical variants both collapse here)
+    wexact = exact_within_drops(surv_sigs, hash_col="sig_hash")
     survivors = survivors.join(F.broadcast(wexact), "doc_id", "left_anti")
     surv_sigs = surv_sigs.join(
         F.broadcast(wexact), "doc_id", "left_anti"

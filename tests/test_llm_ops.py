@@ -97,25 +97,49 @@ def test_minhash_index_append_lifecycle(spark, docs, tmp_path):
 
 
 def test_content_hash_probe_exact_tier(spark, docs, tmp_path):
-    """The exact tier: verbatim copies of indexed content are identified
-    by hash equality (under NEW doc_ids — the id-containment tier can't
-    see them), near-miss content is NOT (it stays the fuzzy tier's job),
-    and an index predating the hash store yields an empty frame."""
+    """The exact tiers: verbatim copies AND signature-identical variants
+    (same tokens, different bytes — whitespace noise) of indexed content
+    are identified by hash equality (under NEW doc_ids — the
+    id-containment tier can't see them), near-miss content is NOT (it
+    stays the fuzzy tier's job), and an index predating the hash store
+    yields an empty frame."""
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     idx = str(tmp_path / "mh_idx_exact")
     dedup_fuzzy.minhash_index_build(corpus, idx)
     some = corpus.limit(5).collect()
     batch = spark.createDataFrame(
         [(900001 + i, r["text"]) for i, r in enumerate(some)]  # verbatim
-        + [(900100, some[0]["text"] + " tail perturbation")]   # near-miss
+        # same token stream, different bytes: identical shingle set =>
+        # identical signature => sig tier, NOT the content tier
+        + [(900050, "  " + some[1]["text"].replace(" ", "   ") + "  ")]
+        # near-miss with HALF the shingles replaced — signature differs
+        # (an append-only perturbation can keep all 64 minima: min over
+        # a superset never rises — that case correctly lands in the sig
+        # tier since the banded tier would score it est_jaccard 1.0)
+        + [(
+            900100,
+            some[0]["text"][: len(some[0]["text"]) // 2]
+            + " an entirely rewritten second half of this page body with"
+            " none of the original trailing words present anymore",
+        )]
         + [(900101, "entirely novel content never indexed before")],
         "doc_id long, text string",
     )
     bsigs = dedup_fuzzy.minhash_signatures(batch)
-    hit = {r["doc_id"] for r in dedup_fuzzy.content_hash_probe(spark, idx, bsigs).collect()}
-    assert hit == {900001 + i for i in range(5)}, hit
+    # sanity: the whitespace variant really is content-different but
+    # signature-identical to its source doc
+    src = dedup_fuzzy.minhash_signatures(
+        spark.createDataFrame(
+            [(1, some[1]["text"])], "doc_id long, text string"
+        )
+    ).collect()[0]
+    var = {r["doc_id"]: r for r in bsigs.collect()}[900050]
+    assert var["content_hash"] != src["content_hash"]
+    assert var["sig_hash"] == src["sig_hash"]
+    hit = {r["doc_id"] for r in dedup_fuzzy.exact_hash_probe(spark, idx, bsigs).collect()}
+    assert hit == {900001 + i for i in range(5)} | {900050}, hit
     # pruned scan: the hash-store read carries an hpfx partition filter
-    out = dedup_fuzzy.content_hash_probe(spark, idx, bsigs)
+    out = dedup_fuzzy.exact_hash_probe(spark, idx, bsigs)
     out.write.format("noop").mode("overwrite").save()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert any(
@@ -125,7 +149,7 @@ def test_content_hash_probe_exact_tier(spark, docs, tmp_path):
     import shutil as sh
 
     sh.rmtree(idx + "/hashes")
-    assert dedup_fuzzy.content_hash_probe(spark, idx, bsigs).count() == 0
+    assert dedup_fuzzy.exact_hash_probe(spark, idx, bsigs).count() == 0
 
 
 def test_minhash_index_compact_preserves_probe(spark, docs, tmp_path):
