@@ -377,7 +377,13 @@ def minhash_lsh_pairs(
     # ContextCleaner when the result is garbage collected, instead of
     # leaking a CacheManager entry per invocation in a long-lived session.
     if sigs is None:
-        sigs = minhash_signatures(fan_out(docs), text_col, k, num_hashes, seed)
+        # exact-tier hash columns pruned BEFORE the checkpoint: this
+        # operator never reads them, and the select lets Catalyst elide
+        # their md5/concat expressions entirely (serve paths that do
+        # need them pass a full `sigs` frame in)
+        sigs = minhash_signatures(
+            fan_out(docs), text_col, k, num_hashes, seed
+        ).select("doc_id", "minhash")
         sigs = sigs.localCheckpoint(eager=True)
     # Thin banded frame: (doc_id, band, bucket) only. Carrying the 64-slot
     # signature array through the explode/self-join would multiply shuffle
@@ -734,9 +740,11 @@ def minhash_probe_index(
     if sigs is not None:
         bsigs = sigs
     else:
+        # hash columns pruned pre-checkpoint (see minhash_lsh_pairs) —
+        # the standalone probe's exact tier is the CALLER's composition
         bsigs = minhash_signatures(
             fan_out(new_docs), text_col, k, num_hashes, seed
-        ).localCheckpoint(eager=True)
+        ).select("doc_id", "minhash").localCheckpoint(eager=True)
     bband = _banded_frame(bsigs, num_hashes, bands).withColumn(
         "pfx", F.substring("bucket", 1, 2)
     )
