@@ -343,6 +343,87 @@ def main() -> None:
         )
         shutil.rmtree(wd, ignore_errors=True)
 
+    # --- streaming daemon posture (r7): 20 sequential micro-batches
+    # through the daemon body (dedup_batch + keep + write_postings)
+    # against a GROWING index. Per-batch wall must stay flat — each
+    # trigger pays O(batch) signature work plus bounded store reads, and
+    # the index growing 20x must not show up in the wall. 10% of each
+    # batch re-sends batch 0's content (exact tier exercised every
+    # trigger); kept counts verify the dedup kept working. ---
+    from ct_mapreduce_spark.operators.dedup_fuzzy import minhash_signatures
+    from ct_mapreduce_spark.operators.util import fan_out
+    from ct_mapreduce_spark.streaming.dedup_stream import (
+        dedup_batch,
+        write_postings,
+    )
+
+    idxd = tempfile.mkdtemp(prefix="ctspark_soak_daemon_")
+    batch_walls = []
+    kept_counts = []
+    for b in range(20):
+        # batch b = its own disjoint slice of the corpus (genuinely new
+        # text), plus re-sends of a fixed slice-0 subset under fresh ids
+        fresh = base_docs.where(F.col("doc_id") % 20 == b).select(
+            (F.col("doc_id") * 100 + b).alias("doc_id"), "text"
+        )
+        if b > 0:
+            resend = base_docs.where(
+                (F.col("doc_id") % 20 == 0) & (F.col("doc_id") % 100 == 0)
+            ).select((F.col("doc_id") * 100 + 50 + b).alias("doc_id"), "text")
+            fresh = fresh.unionByName(resend)
+        t0 = time.perf_counter()
+        batch = fresh.localCheckpoint(eager=True)
+        bsigs = minhash_signatures(fan_out(batch)).localCheckpoint(eager=True)
+        kept = dedup_batch(spark, idxd, batch, sigs=bsigs).localCheckpoint(
+            eager=True
+        )
+        ksigs = bsigs.join(kept.select("doc_id"), "doc_id", "left_semi")
+        write_postings(kept, idxd, batch_tag=str(b), sigs=ksigs)
+        batch_walls.append(round(time.perf_counter() - t0, 2))
+        kept_counts.append(kept.count())
+        if b > 0:  # every re-send must be deduped away (resend-id residue)
+            n_resent_kept = kept.where(
+                F.col("doc_id") % 100 == 50 + b
+            ).count()
+            assert n_resent_kept == 0, (b, n_resent_kept)
+    # the wall GROWS with batch count (each trigger adds ~one file per
+    # pfx per store, and partition discovery + file opens are per-probe
+    # costs) — compaction is the lifecycle answer; measure it restoring
+    # the wall, then two more batches at the restored level
+    from ct_mapreduce_spark.operators.dedup_fuzzy import minhash_index_compact
+
+    t0 = time.perf_counter()
+    minhash_index_compact(spark, idxd)
+    compact_s = round(time.perf_counter() - t0, 2)
+    post_walls = []
+    for b in (20, 21):
+        fresh = base_docs.where(F.col("doc_id") % 20 == b % 20).select(
+            (F.col("doc_id") * 10000 + b).alias("doc_id"), "text"
+        )
+        t0 = time.perf_counter()
+        batch = fresh.localCheckpoint(eager=True)
+        bsigs = minhash_signatures(fan_out(batch)).localCheckpoint(eager=True)
+        kept = dedup_batch(spark, idxd, batch, sigs=bsigs).localCheckpoint(
+            eager=True
+        )
+        ksigs = bsigs.join(kept.select("doc_id"), "doc_id", "left_semi")
+        write_postings(kept, idxd, batch_tag=str(b), sigs=ksigs)
+        post_walls.append(round(time.perf_counter() - t0, 2))
+    results["daemon_20_batches"] = {
+        "walls": batch_walls,
+        "kept_counts": kept_counts,
+        "wall_first3_avg": round(sum(batch_walls[1:4]) / 3, 2),
+        "wall_last3_avg": round(sum(batch_walls[-3:]) / 3, 2),
+        "compact_s": compact_s,
+        "post_compact_walls": post_walls,
+    }
+    print(
+        f"daemon 20 batches: walls={batch_walls} kept={kept_counts} "
+        f"compact={compact_s}s post={post_walls}",
+        file=sys.stderr,
+    )
+    shutil.rmtree(idxd, ignore_errors=True)
+
     import math
 
     def expo(a: str, b: str, factor: float, key: str = "min") -> float:
