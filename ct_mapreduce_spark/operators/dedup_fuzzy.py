@@ -619,6 +619,57 @@ def _write_hash_store(
     ).parquet(path + "/hashes")
 
 
+def _try_read_parquet(spark, p: str):
+    """Read a parquet tree, treating a schema-less one as absent: a
+    legitimately EMPTY batch (e.g. an all-duplicate micro-batch whose
+    keep-list is zero rows) leaves a _SUCCESS-only directory behind,
+    and reading it raises UNABLE_TO_INFER_SCHEMA — which must mean
+    'no rows', never a failed trigger."""
+    import os
+
+    if not os.path.exists(p):
+        return None
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(p)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return None
+        raise
+
+
+def _read_store(spark, path: str, store: str, columns: list[str]):
+    """Union view of an index store's BASE tree ({path}/{store},
+    pfx-partitioned, probe-prunable) and its INCREMENT tree
+    ({path}/{store}_inc, written by the streaming daemon: one small
+    unclustered file set per micro-batch, prefix kept as a DATA column).
+    Increments exist so a trigger writes O(1) files instead of one file
+    per non-empty prefix (~500 for a toy batch — the r7 daemon soak
+    measured per-batch walls growing 12 -> 26 s from exactly this);
+    minhash_index_compact folds them into the base. Returns None when
+    neither tree exists. Prefix predicates pushed on the returned frame
+    partition-prune the base and row-filter the (small) increments."""
+    parts = []
+    for suffix in ("", "_inc"):
+        df = _try_read_parquet(spark, f"{path}/{store}{suffix}")
+        if df is not None:
+            if store == "hashes" and "content_hash" in df.columns:
+                # r7-interim v3 layout: content-only, no kind column
+                df = df.select(
+                    F.col("content_hash").alias("hash"),
+                    F.lit("content").alias("kind"),
+                    "hpfx",
+                )
+            parts.append(df.select(*columns))
+    if not parts:
+        return None
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def exact_hash_probe(spark, path: str, batch_sigs: DataFrame) -> DataFrame:
     """EXACT-duplicate tier of the incremental index: batch doc_ids whose
     content_hash OR sig_hash already exists in {path}/hashes (verbatim
@@ -637,18 +688,10 @@ def exact_hash_probe(spark, path: str, batch_sigs: DataFrame) -> DataFrame:
     the hash store — the SMALLEST store (two 16-byte hashes per corpus
     doc vs 16 posting rows), so the exact tier is never the probe's
     dominant term."""
-    import os
-
     bh = _batch_hash_frame(batch_sigs)
-    if not os.path.exists(path + "/hashes"):
+    idx = _read_store(spark, path, "hashes", ["kind", "hash", "hpfx"])
+    if idx is None:
         return bh.select("doc_id").limit(0)
-    idx = spark.read.parquet(path + "/hashes")
-    if "content_hash" in idx.columns:  # v3 interim layout: content only
-        idx = idx.select(
-            F.col("content_hash").alias("hash"),
-            F.lit("content").alias("kind"),
-            "hpfx",
-        )
     pfxs = [r["hpfx"] for r in bh.select("hpfx").distinct().collect()]
     idx = idx.where(F.col("hpfx").isin(pfxs))
     return (
@@ -750,7 +793,17 @@ def minhash_probe_index(
     )
     # Bounded driver action: the distinct prefix IN-list (<= 256 strings).
     pfxs = [r["pfx"] for r in bband.select("pfx").distinct().collect()]
-    idx = spark.read.parquet(path + "/banded").where(F.col("pfx").isin(pfxs))
+    store = _read_store(spark, path, "banded", ["doc_id", "band", "bucket", "pfx"])
+    csigs_store = _read_store(spark, path, "sigs", ["doc_id", "minhash"])
+    if store is None or csigs_store is None:
+        # index holds no rows yet (e.g. every batch so far was all-dup):
+        # zero candidates, not an error
+        return spark.createDataFrame(
+            [],
+            "new_doc_id long, corpus_doc_id long, n_bands_matched long, "
+            "est_jaccard double",
+        )
+    idx = store.where(F.col("pfx").isin(pfxs))
     cand = (
         idx.alias("c")
         .join(
@@ -765,7 +818,7 @@ def minhash_probe_index(
         )
         .agg(F.count(F.lit(1)).alias("n_bands_matched"))
     )
-    csigs = spark.read.parquet(path + "/sigs").select(
+    csigs = csigs_store.select(
         F.col("doc_id").alias("corpus_doc_id"), F.col("minhash").alias("_mh_c")
     )
     nsigs = bsigs.select(
@@ -807,20 +860,27 @@ def minhash_index_compact(
     store's compact_store (sources/sinks.py / fsutil.py).
 
     Handles both layouts: the batch index ({path}/banded/pfx=XX) is
-    rewritten in place; the STREAMING layout (ingest_batch=T/pfx=XX)
-    is consolidated under ingest_batch=<tag> — run it only while the
-    stream is stopped with its checkpoint intact (a replay of a
-    compacted-away batch id would re-insert its postings beside the
-    consolidated copy). Probe results are unchanged either way
-    (pytest-asserted); returns {store: (files_before, files_after)}.
+    rewritten in place; the STREAMING layout — per-batch INCREMENT trees
+    ({store}_inc/ingest_batch=T, unclustered; see _read_store) plus an
+    optionally pre-existing base — is folded into one pfx-clustered base
+    under ingest_batch=<tag> and the increment trees are deleted. Run it
+    only while the stream is stopped with its checkpoint intact (a
+    replay of a compacted-away batch id would re-insert its postings
+    beside the consolidated copy). Probe results are unchanged either
+    way (pytest-asserted); returns {store: (files_before, files_after)}.
     """
+    import os
+
     from ct_mapreduce_spark.fsutil import (
         TMP_SUFFIX,
+        delete_path,
         recover_swap,
         swap_into_place,
     )
 
     def _count_files(p: str) -> int:
+        if not os.path.exists(p):
+            return 0
         jvm = spark.sparkContext._jvm
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         jp = jvm.org.apache.hadoop.fs.Path(p)
@@ -832,17 +892,38 @@ def minhash_index_compact(
                 n += 1
         return n
 
-    import os
-
+    DATA_COLS = {
+        "banded": ["doc_id", "band", "bucket"],
+        "sigs": None,  # keep whatever signature columns the store carries
+        "hashes": ["kind", "hash"],
+    }
     out: dict[str, tuple[int, int]] = {}
-    stores = ["banded", "sigs"] + (
-        ["hashes"] if os.path.exists(f"{path}/hashes") else []
-    )
-    for store in stores:
-        p = f"{path}/{store}"
-        recover_swap(spark, p)
-        df = spark.read.parquet(p)
-        streaming = "ingest_batch" in df.columns
+    for store in ("banded", "sigs", "hashes"):
+        base_p, inc_p = f"{path}/{store}", f"{path}/{store}_inc"
+        if not (os.path.exists(base_p) or os.path.exists(inc_p)):
+            continue
+        recover_swap(spark, base_p)
+        parts = []
+        streaming = False
+        for p in (base_p, inc_p):
+            t = _try_read_parquet(spark, p)
+            if t is None:
+                continue
+            if store == "hashes" and "content_hash" in t.columns:
+                t = t.select(
+                    F.col("content_hash").alias("hash"),
+                    F.lit("content").alias("kind"),
+                )
+            streaming = streaming or "ingest_batch" in t.columns
+            cols = DATA_COLS[store] or [
+                c for c in t.columns if c != "ingest_batch"
+            ]
+            parts.append(t.select(*cols))
+        if not parts:  # only empty (_SUCCESS-only) trees: nothing to fold
+            continue
+        df = parts[0]
+        for t in parts[1:]:
+            df = df.unionByName(t)
         if streaming:
             df = df.withColumn("ingest_batch", F.lit(tag))
         # re-derive prefix columns from their source rather than trusting
@@ -852,10 +933,10 @@ def minhash_index_compact(
         if store == "banded":
             df = df.withColumn("pfx", F.substring("bucket", 1, 2))
         elif store == "hashes":
-            df = df.withColumn("hpfx", F.substring("hash", 1, 2))
             if streaming:  # tags collapsed -> dedup hashes across them
                 df = df.distinct()
-        before = _count_files(p)
+            df = df.withColumn("hpfx", F.substring("hash", 1, 2))
+        before = _count_files(base_p) + _count_files(inc_p)
         if store == "sigs":
             writer = df.coalesce(max(1, before // 8))
             part_cols: list[str] = []
@@ -868,9 +949,10 @@ def minhash_index_compact(
         w = writer.write.mode("overwrite")
         if part_cols:
             w = w.partitionBy(*part_cols)
-        w.parquet(p + TMP_SUFFIX)
-        swap_into_place(spark, p + TMP_SUFFIX, p)
-        out[store] = (before, _count_files(p))
+        w.parquet(base_p + TMP_SUFFIX)
+        swap_into_place(spark, base_p + TMP_SUFFIX, base_p)
+        delete_path(spark, inc_p)
+        out[store] = (before, _count_files(base_p))
     return out
 
 

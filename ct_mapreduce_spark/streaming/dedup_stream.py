@@ -32,7 +32,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ct_mapreduce_spark.operators.dedup_fuzzy import (
     _banded_frame,
-    _write_hash_store,
+    _batch_hash_frame,
     exact_hash_probe,
     exact_within_drops,
     minhash_lsh_pairs,
@@ -58,13 +58,24 @@ def write_postings(
     """Write one batch's posting lists + signatures under
     ingest_batch=<batch_tag>, idempotently (dynamic partition overwrite:
     a replay of the same tag replaces its own partitions and no others).
-    Layout: {path}/banded/ingest_batch=T/pfx=XX/ and
-    {path}/sigs/ingest_batch=T/ — probes prune on pfx exactly as with
-    the batch-built index; the extra partition level is invisible to
-    them. Initialize an index by writing the historical corpus under a
-    'base' tag. `sigs`: optional precomputed materialized signatures
-    covering exactly `docs` (the stream processor signs each micro-batch
-    once and shares the frame across probe/within/fold)."""
+
+    Layout (r7 LSM shape): per-batch postings and hashes go to INCREMENT
+    trees — {path}/banded_inc/ingest_batch=T/ and
+    {path}/hashes_inc/ingest_batch=T/, a few coalesced files per trigger
+    with the prefix kept as a DATA column — because a pfx-partitioned
+    per-batch write costs one file per non-empty prefix (~500 slivers for
+    a toy batch; the daemon soak measured per-batch walls growing 12 ->
+    26 s over 20 batches from accumulated files/dirs alone). Probes read
+    base ∪ increments transparently (_read_store: the base prunes on
+    pfx, the small increments row-filter); minhash_index_compact folds
+    increments into the pfx-clustered base on the compaction cadence.
+    {path}/sigs/ingest_batch=T/ stays a single tree (it has no prefix
+    level; writes are coalesced). Initialize an index by writing the
+    historical corpus under a 'base' tag — or just start streaming (cold
+    start) and compact later. `sigs` param: optional precomputed
+    materialized signatures covering exactly `docs` (the stream
+    processor signs each micro-batch once and shares the frame across
+    probe/within/fold)."""
     spark = docs.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -77,18 +88,26 @@ def write_postings(
             "doc_id",
             "band",
             "bucket",
-            F.lit(batch_tag).alias("ingest_batch"),
             F.substring("bucket", 1, 2).alias("pfx"),
+            F.lit(batch_tag).alias("ingest_batch"),
         )
-        # pfx-clustered like minhash_index_build: one file per owning
-        # task per pfx directory, not tasks x 256 slivers per batch.
-        banded.repartition(F.col("pfx")).write.mode("overwrite").partitionBy(
-            "ingest_batch", "pfx"
-        ).parquet(path + "/banded")
-        sigs.withColumn("ingest_batch", F.lit(batch_tag)).write.mode(
-            "overwrite"
-        ).partitionBy("ingest_batch").parquet(path + "/sigs")
-        _write_hash_store(sigs, path, mode="overwrite", batch_tag=batch_tag)
+        banded.coalesce(8).write.mode("overwrite").partitionBy(
+            "ingest_batch"
+        ).parquet(path + "/banded_inc")
+        sigs.coalesce(4).withColumn(
+            "ingest_batch", F.lit(batch_tag)
+        ).write.mode("overwrite").partitionBy("ingest_batch").parquet(
+            path + "/sigs"
+        )
+        hashes = (
+            _batch_hash_frame(sigs)
+            .select("kind", "hash", "hpfx")
+            .distinct()
+            .withColumn("ingest_batch", F.lit(batch_tag))
+        )
+        hashes.coalesce(2).write.mode("overwrite").partitionBy(
+            "ingest_batch"
+        ).parquet(path + "/hashes_inc")
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -126,7 +145,9 @@ def dedup_batch(
     if sigs is None:
         batch = batch.localCheckpoint(eager=True)
         sigs = minhash_signatures(fan_out(batch)).localCheckpoint(eager=True)
-    if os.path.exists(os.path.join(index_path, "banded")):
+    if os.path.exists(os.path.join(index_path, "banded")) or os.path.exists(
+        os.path.join(index_path, "banded_inc")
+    ):
         # exact tier first: verbatim copies (re-crawls are mostly these)
         # drop by hash equality in O(batch) and never reach the banded
         # candidate generator — which is quadratic on template-heavy

@@ -163,6 +163,50 @@ def test_dedup_batch_copy_heavy_within_batch(spark, tmp_path):
     assert kept == {200, 500}, kept
 
 
+def test_all_duplicate_batch_then_next_batch(spark, tmp_path):
+    """An ALL-duplicate micro-batch writes an empty keep-list and empty
+    increment partitions (a _SUCCESS-only parquet tree); the NEXT batch
+    must still probe cleanly — empty trees mean 'no rows', never an
+    UNABLE_TO_INFER_SCHEMA failure. Also covers compaction over a mix of
+    empty and non-empty increments."""
+    from ct_mapreduce_spark.operators.dedup_fuzzy import (
+        minhash_index_compact,
+        minhash_signatures,
+    )
+    from ct_mapreduce_spark.operators.util import fan_out
+
+    idx = str(tmp_path / "idx_allduP")
+
+    def cycle(batch, tag):
+        batch = batch.localCheckpoint(eager=True)
+        sigs = minhash_signatures(fan_out(batch)).localCheckpoint(eager=True)
+        kept = dedup_batch(spark, idx, batch, sigs=sigs).localCheckpoint(
+            eager=True
+        )
+        ksigs = sigs.join(kept.select("doc_id"), "doc_id", "left_semi")
+        write_postings(kept, idx, batch_tag=tag, sigs=ksigs)
+        return {r["doc_id"] for r in kept.collect()}
+
+    rows = [(i, f"steady corpus doc {i} body words " * 3) for i in range(30)]
+    b0 = spark.createDataFrame(rows, "doc_id long, text string")
+    assert len(cycle(b0, "0")) == 30
+    # batch 1: verbatim copies of batch 0 under new ids -> kept is EMPTY
+    b1 = b0.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    assert cycle(b1, "1") == set()
+    # batch 2 (fresh content) must work against the index with the empty
+    # ingest_batch=1 increments present
+    b2 = spark.createDataFrame(
+        [(2000 + i, f"fresh follow-up doc {i} words " * 3) for i in range(10)],
+        "doc_id long, text string",
+    )
+    assert len(cycle(b2, "2")) == 10
+    # compaction folds the mixed (empty + non-empty) increments
+    stats = minhash_index_compact(spark, idx)
+    assert stats["banded"][1] > 0
+    b3 = b2.select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+    assert cycle(b3, "3") == set()  # post-compact re-sends still dedup
+
+
 def test_dedup_batch_exact_copy_dropped(spark, tmp_path):
     rows = [(i, f"unique text number {i} " * 5) for i in range(20)]
     corpus = spark.createDataFrame(rows, "doc_id long, text string")
