@@ -219,14 +219,15 @@ def start_dedup_stream(
     index. Seeding a historical corpus first (write_postings under a
     'base' tag) remains the way to dedup against pre-stream history.
 
-    Lifecycle: every trigger adds ~one file per non-empty pfx per store,
-    and partition discovery + file opens are per-probe costs — the soak
-    measured per-batch wall growing 11.8 -> 25.2 s over 20 toy batches
-    and minhash_index_compact restoring (improving) it to ~5 s. Schedule
-    compaction every N batches with the stream STOPPED and its
-    checkpoint intact (a replay of a compacted-away batch id would
-    re-insert postings beside the consolidated copy); the growth is in
-    file count, not bytes, so N can be generous at real batch sizes.
+    Lifecycle: each trigger adds a few coalesced increment files (the
+    LSM shape in write_postings — per-batch walls measured FLAT at
+    ~4.3 s over 20 toy batches, vs 12 -> 26 s growing under the old
+    one-file-per-prefix-per-batch layout). Probes row-filter the small
+    increments, so schedule minhash_index_compact when accumulated
+    increment bytes approach the pruned base's per-probe read cost —
+    with the stream STOPPED and its checkpoint intact (a replay of a
+    compacted-away batch id would re-insert postings beside the
+    consolidated copy).
     """
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
