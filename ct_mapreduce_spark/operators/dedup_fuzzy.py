@@ -460,6 +460,97 @@ def minhash_lsh_pairs(
     return pairs.select("doc_a", "doc_b", "n_bands_matched", "est_jaccard")
 
 
+def minhash_dedup_keep(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.9,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket_width: int | None = 4096,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """One-shot near-dup dedup, KEEP-LIST shaped: (doc_id) rows that
+    survive MinHash/LSH dedup at `threshold` under the min-id-wins rule.
+
+    Why this exists next to minhash_lsh_pairs: the PAIRS operator's
+    output is inherently quadratic in duplicate-family size — a template
+    family of m signature-identical docs is m(m-1)/2 pair rows, and even
+    with the hot-bucket cap a 10k-doc boilerplate corpus measured ~50 s
+    of capped candidate scoring whose every pair was est_jaccard exactly
+    1.0. When the caller wants the KEEP-LIST (the common case — "which
+    docs survive"), the family answer is decided by signature equality
+    alone, so this operator collapses each signature-identical family to
+    its min-id representative in O(corpus) (map-side-combined groupBy,
+    no window — a template family would be one skewed window partition)
+    and runs the banded tier over REPRESENTATIVES only. Same tier order
+    as the serve paths (plans/curate.py, streaming/dedup_stream.py).
+
+    Declared semantics (what the independent oracle re-derives):
+      1. sig-collapse: per exact-signature-vector family, every doc but
+         the min doc_id is dropped (signature equality implies
+         est_jaccard exactly 1.0 in the banded tier, so for any
+         threshold <= 1.0 the keep-set equals the pairs+keep-rule
+         answer whenever the hot-bucket cap does not bind; when it
+         does bind, collapse-first strictly improves recall because
+         reps no longer saturate their buckets).
+      2. banded LSH pairs over the representatives (hot-bucket cap
+         applied to the representative population).
+      3. drop every rep that is greatest(doc_a, doc_b) of a pair with
+         est_jaccard >= threshold; emit the surviving doc_ids.
+
+    Zero-shingle docs (sub-k/empty text) share the all-zeros signature
+    and collapse to one representative — the same verdict the banded
+    tier gives them (they land in identical buckets); filter them
+    upstream if that is not wanted.
+
+    `sigs`: optional precomputed materialized signature frame carrying
+    doc_id, minhash, sig_hash (minhash_signatures output) for exactly
+    `docs` — the share-one-signature-pass protocol of the serve paths.
+    """
+    if not threshold <= 1.0:
+        raise ValueError(
+            f"threshold must be <= 1.0 (got {threshold}): the sig-collapse "
+            "tier drops signature-identical docs unconditionally, which is "
+            "only keep-set-preserving when est_jaccard 1.0 qualifies"
+        )
+    if sigs is None:
+        sigs = minhash_signatures(
+            fan_out(docs), text_col, k, num_hashes, seed
+        ).select("doc_id", "minhash", "sig_hash")
+        sigs = sigs.localCheckpoint(eager=True)
+    # Representative selection WITHOUT a window (a template family is one
+    # giant sig_hash partition — windows don't get AQE skew rescue) and
+    # WITHOUT broadcasting the drop side (non-reps are O(corpus) on the
+    # corpora this operator exists for): map-side-combined min per
+    # family, then a semi-join keyed (sig_hash, doc_id) that AQE plans.
+    reps = sigs.groupBy("sig_hash").agg(F.min("doc_id").alias("doc_id"))
+    rep_sigs = (
+        sigs.join(reps, ["sig_hash", "doc_id"], "left_semi")
+        .select("doc_id", "minhash")
+        .localCheckpoint(eager=True)  # consumers: banded frame x2, est join x2
+    )
+    pairs = minhash_lsh_pairs(
+        docs,
+        text_col,
+        k,
+        num_hashes,
+        bands,
+        seed,
+        max_bucket_width,
+        sigs=rep_sigs,
+    )
+    dropped = (
+        pairs.where(F.col("est_jaccard") >= threshold)
+        .select(F.greatest("doc_a", "doc_b").alias("doc_id"))
+        .distinct()
+    )
+    # dropped is sparse (one row per non-surviving rep) — AQE broadcasts
+    # it when small; no hint because adversarial corpora can make it wide.
+    return rep_sigs.select("doc_id").join(dropped, "doc_id", "left_anti")
+
+
 def _banded_frame(
     sigs: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:

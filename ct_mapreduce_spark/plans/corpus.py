@@ -1460,6 +1460,20 @@ def docs_minhash_lsh_dedup(spark, sf_dir):
     return dedup_fuzzy.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
+@q("docs_minhash_keep", _pin("docs_minhash_keep"), "dedup")
+def docs_minhash_keep(spark, sf_dir):
+    """KEEP-LIST-shaped one-shot MinHash dedup: which documents survive
+    near-dup dedup at threshold 0.9 under min-id-wins. Collapses
+    signature-identical template families to their representative BEFORE
+    the banded tier pairs anything (dedup_fuzzy.minhash_dedup_keep) —
+    the pairs operator's output is quadratic in family size, the
+    keep-list is not. Pin independently re-derived
+    (tools/independent_oracle.py:docs_minhash_keep)."""
+    return dedup_fuzzy.minhash_dedup_keep(
+        _t(spark, sf_dir, "documents"), threshold=0.9
+    )
+
+
 @q("docs_incremental_dedup", _pin("docs_incremental_dedup"), "dedup")
 def docs_incremental_dedup(spark, sf_dir):
     """Incremental dedup: a new batch probed against a MATERIALIZED

@@ -266,6 +266,57 @@ def test_minhash_lsh_hot_bucket_cap(spark):
     assert dedup_fuzzy.minhash_lsh_pairs(small, max_bucket_width=None).count() == 190
 
 
+def test_minhash_dedup_keep_matches_pairs_rule(spark, docs):
+    """Keep-list operator == pairs + greatest-id-drop rule whenever the
+    hot-bucket cap does not bind — including a grafted template family of
+    25 signature-identical whitespace variants (distinct bytes, same
+    token shingles) that the collapse tier must decide by signature
+    equality without changing the answer."""
+    src = docs.orderBy("doc_id").limit(1).collect()[0]
+    variants = [
+        Row(doc_id=100_000 + i, text=src.text + " " * (i + 1))
+        for i in range(25)
+    ]
+    corpus = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame(variants)
+    )
+    keep = {
+        r.doc_id
+        for r in dedup_fuzzy.minhash_dedup_keep(corpus, threshold=0.9).collect()
+    }
+    pairs = dedup_fuzzy.minhash_lsh_pairs(corpus)
+    drop = {
+        max(r.doc_a, r.doc_b)
+        for r in pairs.collect()
+        if r.est_jaccard >= 0.9
+    }
+    naive = {r.doc_id for r in corpus.select("doc_id").collect()} - drop
+    assert keep == naive
+    # every variant has the original (smaller id) as an est=1.0 partner
+    assert all(100_000 + i not in keep for i in range(25))
+
+
+def test_minhash_dedup_keep_rejects_threshold_above_one(spark, docs):
+    """threshold > 1.0 would make the unconditional sig-collapse drop
+    docs the pairs rule would keep — refused up front."""
+    with pytest.raises(ValueError, match="threshold"):
+        dedup_fuzzy.minhash_dedup_keep(docs, threshold=1.1)
+
+
+def test_minhash_dedup_keep_template_family_stays_small(spark):
+    """The reason the operator exists: a 2k-doc corpus that is ONE
+    signature-identical template family must reach the banded tier as a
+    single representative — keep-list is exactly {min doc_id}, and the
+    pairing stage sees one doc (no quadratic candidate work, cap never
+    involved)."""
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=boiler + " " * (i % 7)) for i in range(2000)]
+    )
+    keep = dedup_fuzzy.minhash_dedup_keep(df, threshold=0.9).collect()
+    assert [r.doc_id for r in keep] == [0]
+
+
 def test_ngram_jaccard_no_forced_broadcast(spark, docs):
     """Scale guard (round-1 review, wrong #2): the per-document sizes table
     must not carry a broadcast hint — at corpus scale a forced broadcast of

@@ -102,14 +102,12 @@ def _read(sf_dir: str, table: str):
 # ---------------------------------------------------------------------------
 
 
-def docs_minhash_lsh_dedup(
-    sf_dir: str,
-    k: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
-    seed: int = 42,
-    max_bucket_width: int = 4096,
-) -> list[tuple]:
+def _minhash_sigs(
+    sf_dir: str, k: int, num_hashes: int, seed: int
+) -> dict[int, np.ndarray]:
+    """doc_id -> signature vector, the shared first stage of the MinHash
+    family (same affine family over xxhash64 base hashes as
+    operators/dedup_fuzzy.py:minhash_signatures)."""
     t = _read(sf_dir, "documents")
     doc_ids = t.column("doc_id").to_pylist()
     texts = t.column("text").to_pylist()
@@ -119,7 +117,6 @@ def docs_minhash_lsh_dedup(
     a = rng.integers(1, (1 << 61) - 1, size=num_hashes, dtype=np.uint64)
     b = rng.integers(0, (1 << 61) - 1, size=num_hashes, dtype=np.uint64)
 
-    r = num_hashes // bands
     sigs: dict[int, np.ndarray] = {}
     for doc_id, text in zip(doc_ids, texts):
         sh = _shingles(text, k)
@@ -133,15 +130,26 @@ def docs_minhash_lsh_dedup(
         with np.errstate(over="ignore"):
             v = (a[:, None] * x[None, :] + b[:, None]) % p
         sigs[doc_id] = v.min(axis=1).astype(np.int64)
+    return sigs
 
-    # banded buckets
+
+def _lsh_pair_bands(
+    sigs: dict[int, np.ndarray],
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    max_bucket_width: int,
+) -> dict[tuple[int, int], int]:
+    """(doc_a, doc_b) -> n_bands_matched via banded buckets with the
+    deterministic hot-bucket cap (top-N by (xxhash64(doc_id, seed),
+    doc_id))."""
+    r = num_hashes // bands
     banded: dict[tuple[int, str], list[int]] = {}
     for doc_id, sig in sigs.items():
         for i in range(bands):
             key = ",".join(str(int(s)) for s in sig[i * r : (i + 1) * r])
             bucket = hashlib.sha1(key.encode()).hexdigest()
             banded.setdefault((i, bucket), []).append(doc_id)
-    # hot-bucket cap: deterministic top-N by (xxhash64(doc_id, seed), doc_id)
     for bk, members in banded.items():
         if len(members) > max_bucket_width:
             ranked = sorted(
@@ -156,12 +164,58 @@ def docs_minhash_lsh_dedup(
             for j in range(i + 1, len(ms)):
                 pr = (ms[i], ms[j])
                 pair_bands[pr] = pair_bands.get(pr, 0) + 1
+    return pair_bands
 
+
+def docs_minhash_lsh_dedup(
+    sf_dir: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket_width: int = 4096,
+) -> list[tuple]:
+    sigs = _minhash_sigs(sf_dir, k, num_hashes, seed)
+    pair_bands = _lsh_pair_bands(sigs, num_hashes, bands, seed, max_bucket_width)
     rows = []
     for (da, db), nb in pair_bands.items():
         agree = int(np.sum(sigs[da] == sigs[db]))
         rows.append((da, db, nb, _round6(agree / num_hashes)))
     return sorted(rows)
+
+
+def docs_minhash_keep(
+    sf_dir: str,
+    threshold: float = 0.9,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket_width: int = 4096,
+) -> list[tuple]:
+    """Re-derive minhash_dedup_keep's DECLARED semantics (keep-list,
+    collapse-first): (1) per exact-signature-vector family only the min
+    doc_id survives to the banded tier; (2) banded LSH pairs over the
+    representatives (cap applied to the rep population); (3) a rep is
+    dropped when it is the greater id of a pair whose rounded
+    signature-agreement fraction >= threshold. Output: surviving doc_ids,
+    one column."""
+    sigs = _minhash_sigs(sf_dir, k, num_hashes, seed)
+    fam_min: dict[bytes, int] = {}
+    for doc_id, sig in sigs.items():
+        key = sig.tobytes()
+        if key not in fam_min or doc_id < fam_min[key]:
+            fam_min[key] = doc_id
+    rep_sigs = {d: sigs[d] for d in fam_min.values()}
+    pair_bands = _lsh_pair_bands(
+        rep_sigs, num_hashes, bands, seed, max_bucket_width
+    )
+    dropped = set()
+    for (da, db), _nb in pair_bands.items():
+        agree = int(np.sum(rep_sigs[da] == rep_sigs[db]))
+        if _round6(agree / num_hashes) >= threshold:
+            dropped.add(max(da, db))
+    return sorted((d,) for d in rep_sigs if d not in dropped)
 
 
 def docs_simhash_pairs(sf_dir: str, max_hamming: int = 8) -> list[tuple]:
@@ -835,6 +889,7 @@ DERIVATIONS = {
     "emb_pq_topk": emb_pq_topk,
     "emb_pq_rerank_topk": emb_pq_rerank_topk,
     "docs_minhash_lsh_dedup": docs_minhash_lsh_dedup,
+    "docs_minhash_keep": docs_minhash_keep,
     "docs_simhash_pairs": docs_simhash_pairs,
     "emb_ann_lsh": emb_ann_lsh,
     "emb_ann_ivf": emb_ann_ivf,

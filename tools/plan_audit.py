@@ -39,6 +39,16 @@ ALLOWED: dict[tuple[str, str], str] = {
     "operator — on a healthy corpus those exchanges carry ~zero rows "
     "(hot list empty), and removing the count() job measured ~0.5 s "
     "faster at sf0.1 (BASELINE.md round-5 notes)",
+    ("docs_minhash_keep", "exchanges"): "docs_minhash_lsh_dedup's "
+    "adjudicated 7-exchange cap machinery plus two keep-list stages: "
+    "the dropped-rep distinct (map-side-combined over the SPARSE "
+    "qualifying-pair frame) and the final anti-join of the "
+    "representative ids against it (AQE broadcasts the sparse side at "
+    "runtime; the static plan shows SMJ because stats are unknown "
+    "pre-execution). The sig-collapse groupBy+semi-join run before the "
+    "representative checkpoint and are not in this plan — they are one "
+    "shuffle of the (sig_hash, doc_id) projection, the price that "
+    "removes the quadratic family pairing",
     ("emb_label_outliers", "exchanges"): "every exchange past the "
     "centroid aggregation moves a MODEL-sized frame (per-label moment "
     "rows after map-side combine; the centroid-array build over "

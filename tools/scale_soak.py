@@ -103,6 +103,73 @@ def main() -> None:
         }
         print(f"minhash x{mult}: {times} pairs={n_pairs}", file=sys.stderr)
 
+    # --- keep-list one-shot dedup on a template family (r7): the PAIRS
+    # operator's output is quadratic in duplicate-family size (the
+    # hot-bucket cap bounds each bucket at C(cap,2) scoring but the
+    # family's answer is still decided pair-by-pair); minhash_dedup_keep
+    # collapses signature-identical docs to one representative BEFORE
+    # the banded tier. Corpus: 5k*mult distinct docs + 5k*mult
+    # whitespace variants of ONE page. The keep wall must track corpus
+    # size (exponent ~<= 1); the 1x pairs+keep-rule counterfactual shows
+    # the bound the collapse removes. ---
+    from ct_mapreduce_spark.operators.dedup_fuzzy import minhash_dedup_keep
+
+    template = " ".join(f"tok{i} word{i * 7 % 13}" for i in range(60))
+
+    def _template_corpus(mult: int):
+        n = 5000 * mult
+        fam = spark.range(n).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.concat(
+                F.lit(template), F.repeat(F.lit(" "), (F.col("id") % 97 + 1).cast("int"))
+            ).alias("text"),
+        )
+        # sf0.1 documents is exactly 5000 rows, so _docs_at(mult) IS the
+        # n-doc distinct half — no limit (a GlobalLimit would serialize
+        # the scan through one task and distort the measurement)
+        return _docs_at(mult).select("doc_id", "text").unionByName(fam)
+
+    for mult in DOC_MULTS:
+        docs = _template_corpus(mult)
+        times = []
+        n_keep = None
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            n_keep = minhash_dedup_keep(docs).count()
+            times.append(round(time.perf_counter() - t0, 2))
+        results[f"keep_template_x{mult}"] = {
+            "iterations": times,
+            "min": min(times),
+            "n_keep": n_keep,
+        }
+        print(f"keep template x{mult}: {times} keep={n_keep}", file=sys.stderr)
+    # 1x counterfactual: same corpus through pairs + greatest-drop rule
+    # (one iteration — this is the bound being demonstrated, not a path
+    # anyone should run on a template-heavy corpus). n_keep is HIGHER
+    # here than the keep operator's: the 5000-member family exceeds the
+    # 4096 cap, every band ranks the same tail out (rank hash depends on
+    # doc_id only), so ~900 family members never pair and escape the
+    # drop rule — collapse-first is strictly better recall when the cap
+    # binds, besides being ~5x faster.
+    docs = _template_corpus(1)
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(docs)
+    drop = (
+        pairs.where(F.col("est_jaccard") >= 0.9)
+        .select(F.greatest("doc_a", "doc_b").alias("doc_id"))
+        .distinct()
+    )
+    n_keep_cf = docs.select("doc_id").join(drop, "doc_id", "left_anti").count()
+    cf_s = round(time.perf_counter() - t0, 2)
+    results["keep_template_x1_pairs_counterfactual"] = {
+        "wall_s": cf_s,
+        "n_keep": n_keep_cf,
+    }
+    print(
+        f"keep template x1 pairs-counterfactual: {cf_s}s keep={n_keep_cf}",
+        file=sys.stderr,
+    )
+
     # --- single-pass dup-span stats at 1x/10x docs (r6 reformulation) ---
     from ct_mapreduce_spark.operators.dedup_fuzzy import dup_span_stats
 
@@ -454,6 +521,9 @@ def main() -> None:
         "ann_probe_1x_to_100x": expo("ann_x1", "ann_x100", 100, "probe_min"),
         "dupspans_boiler_1x_to_10x": expo(
             "dupspans_boiler_x1", "dupspans_boiler_x10", 10
+        ),
+        "keep_template_1x_to_10x": expo(
+            "keep_template_x1", "keep_template_x10", 10
         ),
         "curate_drop1_1x_to_10x": expo("curate_x1", "curate_x10", 10, "drop1_s"),
         "curate_drop2_1x_to_10x": expo("curate_x1", "curate_x10", 10, "drop2_s"),
