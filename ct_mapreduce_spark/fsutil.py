@@ -48,6 +48,30 @@ def delete_path(spark: SparkSession, path: str) -> None:
             fs.delete(q, True)
 
 
+def count_parquet_files(spark: SparkSession, path: str) -> int:
+    """Recursive .parquet data-file count under `path` (0 if absent) —
+    the health metric index-compaction maintains: probe cost over a
+    long-lived partitioned store is file opens before it is bytes."""
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return 0
+    n = 0
+    stack = [p]
+    while stack:
+        for st in fs.listStatus(stack.pop()):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                # same convention as Spark's input listing: underscore/
+                # hidden trees (e.g. an IVF index's _centroids sidecar)
+                # are not data files
+                continue
+            if st.isDirectory():
+                stack.append(st.getPath())
+            elif name.endswith(".parquet"):
+                n += 1
+    return n
+
+
 def recover_swap(spark: SparkSession, path: str) -> None:
     """Complete or roll back an interrupted swap_into_place on `path`.
 

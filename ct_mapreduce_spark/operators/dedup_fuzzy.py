@@ -964,24 +964,14 @@ def minhash_index_compact(
 
     from ct_mapreduce_spark.fsutil import (
         TMP_SUFFIX,
+        count_parquet_files,
         delete_path,
         recover_swap,
         swap_into_place,
     )
 
     def _count_files(p: str) -> int:
-        if not os.path.exists(p):
-            return 0
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        jp = jvm.org.apache.hadoop.fs.Path(p)
-        fs = jp.getFileSystem(hconf)
-        n = 0
-        it = fs.listFiles(jp, True)
-        while it.hasNext():
-            if it.next().getPath().getName().endswith(".parquet"):
-                n += 1
-        return n
+        return count_parquet_files(spark, p)
 
     DATA_COLS = {
         "banded": ["doc_id", "band", "bucket"],

@@ -830,7 +830,16 @@ def ivf_index_append(
     cell partitions. Cost is O(batch), independent of index size — the
     ANN twin of dedup_fuzzy.minhash_index_append. Centroids drift as the
     distribution shifts; when recall degrades, rebuild (ivf_build_index)
-    — the same rebuild-on-drift policy a 100 TB deployment runs."""
+    — the same rebuild-on-drift policy a 100 TB deployment runs.
+
+    The append is CLUSTERED by cell before the partitioned write
+    (repartition on the partition column -> each touched cell's rows land
+    in one task -> one file per touched cell per append), so a long
+    append history grows the store by O(cells) files per batch instead of
+    O(tasks x cells) slivers — the same file-count discipline the dedup
+    index's posting writes learned; `ivf_index_compact` folds the
+    accumulated per-append files down when probe cost starts tracking
+    file opens instead of bytes."""
     spark = new_vectors.sparkSession
     cent_rows = spark.read.parquet(path + "/_centroids").collect()
     assigned = _assign_nearest(new_vectors, cent_rows, id_col, vec_col, "neighbor")
@@ -838,10 +847,48 @@ def ivf_index_append(
         assigned.withColumnRenamed("neighbor_id", id_col)
         .withColumnRenamed("neighbor_vec", vec_col)
         .withColumnRenamed("neighbor_norm", "vnorm")
+        .repartition(F.col("cell"))
         .write.partitionBy("cell")
         .mode("append")
         .parquet(path)
     )
+
+
+def ivf_index_compact(spark, path: str) -> tuple[int, int]:
+    """Index maintenance for a long-lived IVF store: rewrite the
+    accumulated per-append cell files into one right-sized file per cell
+    — the ANN twin of dedup_fuzzy.minhash_index_compact. Every
+    ivf_index_append adds ~one file per touched cell; after thousands of
+    batches a probe's cost is dominated by opening those files, not by
+    the bytes the cell partition filter actually admits. Same crash-safe
+    temp-write + rename-aside swap as the cert store (fsutil.py):
+    `_centroids` is carried into the temp tree before the swap, so the
+    index is never visible without its own definition. Probe results are
+    unchanged (pytest-asserted: ivf_topk_indexed bit-identical before vs
+    after). Returns (files_before, files_after)."""
+    from ct_mapreduce_spark.fsutil import (
+        TMP_SUFFIX,
+        count_parquet_files,
+        recover_swap,
+        swap_into_place,
+    )
+
+    recover_swap(spark, path)
+    before = count_parquet_files(spark, path)
+    # Both reads execute fully BEFORE the swap renames the source dir
+    # (tmp write + centroid copy are complete jobs), so no checkpoint is
+    # needed — the store never round-trips through executor memory.
+    corpus = spark.read.parquet(path)
+    cents = spark.read.parquet(path + "/_centroids")
+    (
+        corpus.repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path + TMP_SUFFIX)
+    )
+    cents.write.mode("overwrite").parquet(path + TMP_SUFFIX + "/_centroids")
+    swap_into_place(spark, path + TMP_SUFFIX, path)
+    return before, count_parquet_files(spark, path)
 
 
 def ivf_topk_indexed(

@@ -625,6 +625,65 @@ def test_ivf_index_append_matches_full_build(spark, emb, tmp_path):
     assert got == want and len(got) == 40
 
 
+def test_ivf_index_compact_probe_identical(spark, emb, tmp_path):
+    """Lifecycle contract for a long-lived IVF store: many clustered
+    appends accumulate ~one file per touched cell each; ivf_index_compact
+    folds them to one file per cell with probe results BIT-IDENTICAL and
+    the centroid frame preserved through the swap."""
+    from ct_mapreduce_spark.fsutil import count_parquet_files
+
+    idx = str(tmp_path / "ivf_cmp")
+    thirds = [emb.where(F.col("vec_id") % 3 == i) for i in range(3)]
+    similarity.ivf_build_index(thirds[0], idx)
+    for part in thirds[1:]:
+        similarity.ivf_index_append(part, idx)
+    queries = emb.where(F.col("vec_id") < 8)
+    before_rows = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk_indexed(spark, idx, queries, k=5).collect()
+    )
+    cents_before = sorted(
+        tuple(r) for r in spark.read.parquet(idx + "/_centroids").collect()
+    )
+    n_before, n_after = similarity.ivf_index_compact(spark, idx)
+    # two appends over 16 cells: the store holds multiple files per cell
+    # before the fold and exactly one per non-empty cell after
+    assert n_after < n_before
+    cells = {
+        r["cell"]
+        for r in spark.read.parquet(idx).select("cell").distinct().collect()
+    }
+    assert n_after == len(cells)
+    after_rows = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk_indexed(spark, idx, queries, k=5).collect()
+    )
+    assert after_rows == before_rows
+    cents_after = sorted(
+        tuple(r) for r in spark.read.parquet(idx + "/_centroids").collect()
+    )
+    assert cents_after == cents_before
+    # a second compact is a no-op fold: file count stays at one per cell
+    assert similarity.ivf_index_compact(spark, idx)[1] == len(cells)
+
+
+def test_ivf_append_is_cell_clustered(spark, emb, tmp_path):
+    """File-count discipline: one append adds at most one data file per
+    TOUCHED cell (repartition on the partition column before the write),
+    not tasks x cells slivers."""
+    from ct_mapreduce_spark.fsutil import count_parquet_files
+
+    idx = str(tmp_path / "ivf_clu")
+    similarity.ivf_build_index(emb.where(F.col("vec_id") % 2 == 0), idx)
+    base = count_parquet_files(spark, idx)
+    similarity.ivf_index_append(emb.where(F.col("vec_id") % 2 == 1), idx)
+    grown = count_parquet_files(spark, idx) - base
+    cells = (
+        spark.read.parquet(idx).select("cell").distinct().count()
+    )
+    assert grown <= cells
+
+
 def test_label_centroids_default_no_collect(spark):
     """Scale guard (round-2 review, wrong #3): the default path must not
     collect a group's values into one array (a mega-label would OOM the

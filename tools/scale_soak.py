@@ -351,6 +351,57 @@ def main() -> None:
     )
     shutil.rmtree(idx, ignore_errors=True)
 
+    # --- IVF index lifecycle (r7): a long-lived store under a steady
+    # append cadence. 12 clustered appends over a 16-cell index add
+    # <= 16 files each (the counterfactual unclustered append writes
+    # tasks x cells slivers — 32-shuffle-partition tasks -> up to 512
+    # per batch); ivf_index_compact folds the history back to one file
+    # per cell with the probe bit-identical (pytest owns equality, this
+    # rung owns the walls/file counts). ---
+    from ct_mapreduce_spark.fsutil import count_parquet_files
+
+    emb10 = spark.read.parquet(_emb_path(10))
+    idx = tempfile.mkdtemp(prefix="ctspark_soak_ivf_life_")
+    n_slices = 13  # slice 0 builds, 1..12 append
+    sliced = [emb10.where(F.col("vec_id") % n_slices == i) for i in range(n_slices)]
+    similarity.ivf_build_index(sliced[0], idx)
+    t0 = time.perf_counter()
+    for part in sliced[1:]:
+        similarity.ivf_index_append(part, idx)
+    append_s = round(time.perf_counter() - t0, 2)
+    files_appended = count_parquet_files(spark, idx)
+    queries = emb10.where(F.col("vec_id") < 8)
+
+    def _probe_min() -> float:
+        times = []
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            similarity.ivf_topk_indexed(spark, idx, queries, k=5).count()
+            times.append(round(time.perf_counter() - t0, 2))
+        return min(times)
+
+    probe_frag = _probe_min()
+    t0 = time.perf_counter()
+    files_before, files_after = similarity.ivf_index_compact(spark, idx)
+    compact_s = round(time.perf_counter() - t0, 2)
+    probe_compact = _probe_min()
+    results["ivf_lifecycle_x10"] = {
+        "appends": n_slices - 1,
+        "append_total_s": append_s,
+        "files_after_appends": files_appended,
+        "probe_min_fragmented": probe_frag,
+        "compact_s": compact_s,
+        "files_compacted": [files_before, files_after],
+        "probe_min_compacted": probe_compact,
+    }
+    print(
+        f"ivf lifecycle x10: {n_slices - 1} appends -> {files_appended} files, "
+        f"probe {probe_frag}s; compact {compact_s}s -> {files_after} files, "
+        f"probe {probe_compact}s",
+        file=sys.stderr,
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+
     # --- e2e curation pipeline, two drops, 1x/10x crawl (r7): drop 1
     # builds the index from a fresh crawl; drop 2 re-crawls the same
     # pages (new record ids => new doc_ids, same content) and must dedup
