@@ -865,20 +865,37 @@ def ivf_index_compact(spark, path: str) -> tuple[int, int]:
     `_centroids` is carried into the temp tree before the swap, so the
     index is never visible without its own definition. Probe results are
     unchanged (pytest-asserted: ivf_topk_indexed bit-identical before vs
-    after). Returns (files_before, files_after)."""
+    after). Returns (files_before, files_after).
+
+    If the index carries streaming increment trees ({path}/_inc, written
+    by streaming/ann_stream.py), they are folded into the cell-
+    partitioned base and deleted. The fold full-row-deduplicates
+    (an index row is (id, vector, norm, cell) — exact duplicates are
+    only ever produced by a crash between a completed swap and the
+    increment delete), which makes compaction IDEMPOTENT: re-running it
+    over any crash leftover converges to the same store."""
     from ct_mapreduce_spark.fsutil import (
         TMP_SUFFIX,
         count_parquet_files,
+        delete_path,
         recover_swap,
         swap_into_place,
     )
 
     recover_swap(spark, path)
-    before = count_parquet_files(spark, path)
-    # Both reads execute fully BEFORE the swap renames the source dir
+    inc_p = path + "/_inc"
+    before = count_parquet_files(spark, path) + count_parquet_files(
+        spark, inc_p
+    )
+    # All reads execute fully BEFORE the swap renames the source dir
     # (tmp write + centroid copy are complete jobs), so no checkpoint is
     # needed — the store never round-trips through executor memory.
+    from ct_mapreduce_spark.operators.dedup_fuzzy import _try_read_parquet
+
     corpus = spark.read.parquet(path)
+    inc = _try_read_parquet(spark, inc_p)
+    if inc is not None:
+        corpus = corpus.unionByName(inc.select(*corpus.columns)).dropDuplicates()
     cents = spark.read.parquet(path + "/_centroids")
     (
         corpus.repartition(F.col("cell"))
@@ -888,6 +905,7 @@ def ivf_index_compact(spark, path: str) -> tuple[int, int]:
     )
     cents.write.mode("overwrite").parquet(path + TMP_SUFFIX + "/_centroids")
     swap_into_place(spark, path + TMP_SUFFIX, path)
+    delete_path(spark, inc_p)
     return before, count_parquet_files(spark, path)
 
 
@@ -905,22 +923,33 @@ def ivf_topk_indexed(
     ONLY those cells' files — the `cell` partition filter prunes at the
     source (PartitionFilters in the scan, asserted in tests), so probe
     cost tracks the probed fraction of the corpus, not its size. Result
-    is bit-identical to ivf_topk on the same corpus/parameters."""
+    is bit-identical to ivf_topk on the same corpus/parameters.
+
+    If the index carries streaming increment trees ({path}/_inc, the
+    LSM shape streaming/ann_stream.py writes per trigger), they are read
+    transparently: the base partition-prunes on cell, the small
+    increments row-filter on their cell DATA column — the same
+    base ∪ increments probe the dedup index serves
+    (dedup_fuzzy._read_store)."""
     cents = spark.read.parquet(path + "/_centroids")
     qa = _assign_probes(queries, cents, id_col, vec_col, "query", n_probe)
     # The probed-cell set is tiny (<= n_queries x n_probe distinct ints);
     # collecting it makes the pruning predicate a literal IN-list the
     # parquet source can evaluate against partition directories.
     probe_cells = sorted({r["cell"] for r in qa.select("cell").distinct().collect()})
-    ca = (
-        spark.read.parquet(path)
-        .where(F.col("cell").isin(probe_cells))
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("neighbor_vec"),
-            F.col("vnorm").alias("neighbor_norm"),
-            "cell",
+    corpus = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    from ct_mapreduce_spark.operators.dedup_fuzzy import _try_read_parquet
+
+    inc = _try_read_parquet(spark, path + "/_inc")
+    if inc is not None:
+        corpus = corpus.unionByName(
+            inc.where(F.col("cell").isin(probe_cells)).select(*corpus.columns)
         )
+    ca = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+        F.col("vnorm").alias("neighbor_norm"),
+        "cell",
     )
     return _rank_cell_candidates(ca, qa, k)
 

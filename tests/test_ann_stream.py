@@ -1,0 +1,155 @@
+"""Streaming IVF index maintenance (streaming/ann_stream.py): per-batch
+increment folds under the stored centroids, probe-over-base∪increments
+equality with the batch append path, replay idempotence of the
+batch-keyed dynamic-overwrite writes, and compaction folding the
+increment trees away."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ct_mapreduce_spark.fsutil import count_parquet_files
+from ct_mapreduce_spark.operators import similarity
+from ct_mapreduce_spark.streaming.ann_stream import (
+    start_ann_ingest_stream,
+    write_cells,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+def _one_file(df, src_dir: str, name: str, mtime: float) -> None:
+    tmp = src_dir + "_stage_" + name
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(tmp + "/part-*.parquet")[0]
+    os.makedirs(src_dir, exist_ok=True)
+    dst = os.path.join(src_dir, name + ".parquet")
+    shutil.copyfile(part, dst)
+    os.utime(dst, (mtime, mtime))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _probe(spark, idx, queries, k=5):
+    return sorted(
+        tuple(r)
+        for r in similarity.ivf_topk_indexed(spark, idx, queries, k=k).collect()
+    )
+
+
+def test_increment_probe_matches_batch_append(spark, emb, tmp_path):
+    """A probe over base ∪ increments must be bit-identical to a probe
+    over the same vectors folded in via the batch append path (both
+    assign under the SAME stored centroids)."""
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    queries = emb.where(F.col("vec_id") < 8)
+
+    idx_inc = str(tmp_path / "inc")
+    similarity.ivf_build_index(base, idx_inc)
+    write_cells(rest, idx_inc, batch_tag="0")
+
+    idx_app = str(tmp_path / "app")
+    similarity.ivf_build_index(base, idx_app)
+    similarity.ivf_index_append(rest, idx_app)
+
+    assert _probe(spark, idx_inc, queries) == _probe(spark, idx_app, queries)
+
+
+def test_write_cells_replay_idempotent(spark, emb, tmp_path):
+    """A replayed batch tag overwrites exactly its own increment
+    partition: writing the same batch twice changes nothing, and a
+    different tag's partition is untouched."""
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    b1 = emb.where(F.col("vec_id") % 3 == 1)
+    b2 = emb.where(F.col("vec_id") % 3 == 2)
+    queries = emb.where(F.col("vec_id") < 8)
+    idx = str(tmp_path / "idx")
+    similarity.ivf_build_index(base, idx)
+    write_cells(b1, idx, batch_tag="0")
+    write_cells(b2, idx, batch_tag="1")
+    want = _probe(spark, idx, queries)
+    n_rows = spark.read.parquet(idx + "/_inc").count()
+    write_cells(b1, idx, batch_tag="0")  # crash replay of batch 0
+    assert spark.read.parquet(idx + "/_inc").count() == n_rows
+    assert _probe(spark, idx, queries) == want
+
+
+def test_compact_folds_increments(spark, emb, tmp_path):
+    """ivf_index_compact folds the increment trees into the cell-
+    clustered base (one file per cell, _inc gone) with the probe
+    bit-identical; a crash leftover _inc (swap done, delete missed)
+    re-compacts to the same store because the fold full-row-dedups."""
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "idx")
+    similarity.ivf_build_index(base, idx)
+    for i, part in enumerate(
+        [emb.where(F.col("vec_id") % 3 == j) for j in (1, 2)]
+    ):
+        write_cells(part, idx, batch_tag=str(i))
+    queries = emb.where(F.col("vec_id") < 8)
+    want = _probe(spark, idx, queries)
+    similarity.ivf_index_compact(spark, idx)
+    assert not os.path.exists(idx + "/_inc")
+    cells = spark.read.parquet(idx).select("cell").distinct().count()
+    assert count_parquet_files(spark, idx) == cells
+    assert _probe(spark, idx, queries) == want
+    # simulate the crash window: the folded rows ALSO still present as
+    # an increment tree; re-running compact must converge, not double
+    write_cells(emb.where(F.col("vec_id") % 3 == 1), idx, batch_tag="0")
+    similarity.ivf_index_compact(spark, idx)
+    assert _probe(spark, idx, queries) == want
+    assert spark.read.parquet(idx).count() == emb.count()
+
+
+def test_ann_ingest_stream_end_to_end(spark, emb, tmp_path):
+    """File-source stream -> per-trigger increment folds: after the
+    availableNow run drains both files, a probe answers over the full
+    corpus, identically to a batch-appended index; a restart from the
+    same checkpoint with no new files is a no-op."""
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    b1 = emb.where(F.col("vec_id") % 3 == 1).select("vec_id", "embedding")
+    b2 = emb.where(F.col("vec_id") % 3 == 2).select("vec_id", "embedding")
+    idx = str(tmp_path / "idx")
+    similarity.ivf_build_index(base, idx)
+    src = str(tmp_path / "src")
+    _one_file(b1, src, "b0", 1_000_000.0)
+    _one_file(b2, src, "b1", 1_000_100.0)
+    ckpt = str(tmp_path / "ckpt")
+    q = start_ann_ingest_stream(
+        spark, source_path=src, index_path=idx, checkpoint=ckpt
+    )
+    q.awaitTermination(120)
+    # two triggers (maxFilesPerTrigger=1) => two increment partitions
+    tags = {
+        r["ingest_batch"]
+        for r in spark.read.parquet(idx + "/_inc")
+        .select("ingest_batch")
+        .distinct()
+        .collect()
+    }
+    assert len(tags) == 2
+    queries = emb.where(F.col("vec_id") < 8)
+    idx_app = str(tmp_path / "app")
+    similarity.ivf_build_index(base, idx_app)
+    similarity.ivf_index_append(
+        b1.unionByName(b2), idx_app
+    )
+    assert _probe(spark, idx, queries) == _probe(spark, idx_app, queries)
+    n_rows = spark.read.parquet(idx + "/_inc").count()
+    q2 = start_ann_ingest_stream(
+        spark, source_path=src, index_path=idx, checkpoint=ckpt
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(idx + "/_inc").count() == n_rows
