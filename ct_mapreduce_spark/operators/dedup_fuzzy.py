@@ -36,7 +36,7 @@ from pyspark.sql import types as T
 
 _LOG = logging.getLogger(__name__)
 
-from ct_mapreduce_spark.operators.text import gram_stream, shingles
+from ct_mapreduce_spark.operators.text import gram_stream, shingles, tokens
 from ct_mapreduce_spark.operators.util import fan_out
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -177,6 +177,85 @@ def dup_span_stats(
             F.round(
                 F.col("n_dup_spans") / F.col("n_spans").cast("double"), 6
             ).alias("dup_frac"),
+        )
+    )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Duplicate-passage REMOVAL — the action counterpart to
+    dup_span_stats: delete from every document the word k-gram spans
+    whose gram occurs in >= min_docs distinct documents (boilerplate,
+    templates, license headers — the repeated passages document-level
+    dedup can't see; the exact-substring corpus-dedup of Lee et al.
+    2022 restated span-wise). A token is removed when ANY flagged gram
+    occurrence covers its position; the surviving tokens are re-joined
+    in order. Output: (doc_id, clean_text, n_tokens, n_removed) —
+    whitespace-normalized (tokenization splits on runs of whitespace),
+    every input doc present, fully-boilerplate docs come back empty.
+
+    Plan (all map-side-combinable aggregates, no windows): the
+    positional gram stream feeds (1) a gram -> distinct-doc count (two-
+    phase count_distinct: partial dedup of (gram, doc) per task, so the
+    hottest boilerplate gram's state is one entry per task — the same
+    skew posture as dup_span_stats' nd), and (2) a semi-join of
+    occurrences against the flagged grams. Coverage explodes flagged
+    occurrences k-fold ONLY (bounded by the boilerplate fraction), the
+    anti-join on (doc_id, pos) is AQE-skew-eligible, and reassembly is
+    a per-document aggregate whose state is the document itself. The
+    gram stream is recomputed for its two consumers rather than
+    checkpointed: two codegen scan passes beat materializing a
+    corpus-token-sized positional stream (contrast dup_span_stats,
+    whose checkpointed frame is the COMPACT per-(gram,doc) rollup)."""
+    tok_pos = docs.select(
+        "doc_id", F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    g = docs.select(
+        "doc_id", F.posexplode(gram_stream(text_col, k)).alias("pos", "gram")
+    )
+    flagged = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        g.join(flagged, "gram", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    kept = tok_pos.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    return (
+        docs.select(
+            "doc_id", F.size(tokens(text_col)).cast("long").alias("n_tokens")
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
         )
     )
 

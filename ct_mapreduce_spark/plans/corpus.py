@@ -1407,6 +1407,53 @@ def docs_dup_spans(spark, sf_dir):
 
 
 @q(
+    "docs_remove_dup_spans",
+    r"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), tok AS (
+      SELECT doc_id, i, w[i] AS t
+      FROM words, UNNEST(generate_series(1, len(w))) AS u(i)
+    ), g AS (
+      SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS s
+      FROM words, UNNEST(generate_series(1, len(w) - 7)) AS u(i)
+    ), dup AS (
+      SELECT s FROM g GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+    ), covered AS (
+      SELECT DISTINCT g.doc_id, g.i + o.o AS i
+      FROM g JOIN dup USING (s), UNNEST(generate_series(0, 7)) AS o(o)
+    ), kept AS (
+      SELECT tok.doc_id, tok.i, tok.t
+      FROM tok LEFT JOIN covered c ON tok.doc_id = c.doc_id AND tok.i = c.i
+      WHERE c.i IS NULL
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY 1
+    )
+    SELECT w.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(len(w.w) AS BIGINT) AS n_tokens,
+           CAST(len(w.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM words w LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    "dedup",
+    "text",
+)
+def docs_remove_dup_spans(spark, sf_dir):
+    """Duplicate-passage removal (operators/dedup_fuzzy.py:
+    remove_dup_spans): strip from every document the word 8-gram spans
+    that occur in >= 2 distinct documents and re-join the surviving
+    tokens in order — the exact-substring corpus dedup a training
+    pipeline runs on boilerplate/templated text. String-exact end to
+    end (integer positions, deterministic re-join), so the oracle
+    agrees byte-for-byte on clean_text."""
+    return dedup_fuzzy.remove_dup_spans(
+        _t(spark, sf_dir, "documents"), k=8, min_docs=2
+    )
+
+
+@q(
     "docs_dedup_clusters",
     r"""
     WITH RECURSIVE words AS (

@@ -1344,6 +1344,53 @@ def test_dup_span_stats_fractions(spark):
     assert out[3].dup_frac == 0.0
 
 
+def test_remove_dup_spans_strips_shared_passage(spark):
+    """The shared 4-gram passage disappears from every document carrying
+    it (every token any flagged occurrence covers), unique text
+    survives in order, a fully-boilerplate doc comes back empty, and a
+    doc shorter than k is untouched (modulo whitespace normalization)."""
+    mk = lambda i, t: Row(doc_id=i, text=t)
+    d = spark.createDataFrame(
+        [
+            mk(1, "alpha beta gamma delta one two"),
+            mk(2, "x alpha beta gamma delta y"),
+            mk(3, "p q r s t u"),
+            mk(4, "alpha beta gamma delta"),  # nothing but the passage
+            mk(5, "short  doc"),              # < k tokens, double space
+        ]
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_fuzzy.remove_dup_spans(d, k=4, min_docs=2).collect()
+    }
+    assert out[1].clean_text == "one two" and out[1].n_removed == 4
+    assert out[2].clean_text == "x y" and out[2].n_removed == 4
+    assert out[3].clean_text == "p q r s t u" and out[3].n_removed == 0
+    assert out[4].clean_text == "" and out[4].n_removed == 4
+    assert out[5].clean_text == "short doc" and out[5].n_removed == 0
+    assert out[1].n_tokens == 6 and out[5].n_tokens == 2
+    assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_remove_dup_spans_overlapping_flagged_grams(spark):
+    """Overlapping flagged occurrences cover the UNION of their spans —
+    a 5-token shared passage flags two overlapping 4-grams and all five
+    tokens go, not just the first gram's four."""
+    mk = lambda i, t: Row(doc_id=i, text=t)
+    d = spark.createDataFrame(
+        [
+            mk(1, "a b c d e tail one"),
+            mk(2, "head a b c d e"),
+        ]
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_fuzzy.remove_dup_spans(d, k=4, min_docs=2).collect()
+    }
+    assert out[1].clean_text == "tail one" and out[1].n_removed == 5
+    assert out[2].clean_text == "head" and out[2].n_removed == 5
+
+
 def test_dup_span_stats_agg_join_matches_window_form(spark):
     """Tier equality for the r7 de-skew: the groupBy("gram")-joined-back
     nd computation is bit-identical to the window form it replaced, on a
