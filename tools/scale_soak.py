@@ -208,6 +208,35 @@ def main() -> None:
         }
         print(f"dupspans boiler x{mult}: {times}", file=sys.stderr)
 
+    # --- duplicate-passage REMOVAL on the same boilerplate-heavy corpus:
+    # the hot gram's occurrences all flag, so the coverage explode and the
+    # (doc_id, pos) anti-join carry the boilerplate fraction of corpus
+    # tokens; wall must stay LINEAR in corpus size with the hot gram in
+    # 60% of docs (no window anywhere in the plan) ---
+    from ct_mapreduce_spark.operators.dedup_fuzzy import remove_dup_spans
+
+    for mult in DOC_MULTS:
+        docs = _docs_at(mult).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 < 3, F.concat(F.lit(boiler), F.col("text"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        times = []
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            remove_dup_spans(docs).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times.append(round(time.perf_counter() - t0, 2))
+        results[f"rmspans_boiler_x{mult}"] = {
+            "iterations": times,
+            "min": min(times),
+        }
+        print(f"rmspans boiler x{mult}: {times}", file=sys.stderr)
+
     # --- incremental dedup serve path: index build 1x/10x, probes with a
     # FIXED batch — probe wall must track the touched-partition bytes (the
     # bounded pfx IN-list), never the full index ---
