@@ -386,6 +386,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("--quality-min", type=float, default=0.2)
     c.add_argument("--est-threshold", type=float, default=0.9)
+    c.add_argument(
+        "--strip-boilerplate",
+        action="store_true",
+        help="strip word 8-gram spans repeated across >= "
+        "--boilerplate-min-docs of this drop's pages before quality "
+        "scoring (site templates, license headers)",
+    )
+    c.add_argument("--boilerplate-min-docs", type=int, default=8)
     c.add_argument("--export-shards", type=int, default=2)
     c.add_argument(
         "--drop-tag",
@@ -415,6 +423,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             est_threshold=args.est_threshold,
             n_export_shards=args.export_shards,
             drop_tag=args.drop_tag,
+            strip_boilerplate=args.strip_boilerplate,
+            boilerplate_min_docs=args.boilerplate_min_docs,
         )
         for k, v in stats.items():
             print(f"{k:18s} {v}")

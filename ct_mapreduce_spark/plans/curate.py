@@ -69,11 +69,21 @@ def curate_crawl(
     seqs_per_shard: int = 8,
     n_export_shards: int = 2,
     drop_tag: str | None = None,
+    strip_boilerplate: bool = False,
+    boilerplate_min_docs: int = 8,
 ) -> dict:
     """Run the full curation pass; returns stage-count stats (including
     the resolved drop tag). Writes {workdir}/mh_index (created on first
     run, probed+grown after), {workdir}/export/drop=<tag> (gzipped JSONL
-    shards), {workdir}/manifest/drop=<tag> (parquet shard manifest)."""
+    shards), {workdir}/manifest/drop=<tag> (parquet shard manifest).
+
+    strip_boilerplate=True inserts a duplicate-passage-removal stage
+    (dedup_fuzzy.remove_dup_spans) between extraction and the quality
+    gate: spans whose word 8-gram repeats across >= boilerplate_min_docs
+    of THIS drop's pages (site templates, nav bars, license headers) are
+    stripped before quality scoring and signing, so the gate judges
+    substantive text and near-dup signatures aren't dominated by shared
+    chrome; adds `boiler_tokens_removed` to the stats."""
     from ct_mapreduce_spark.operators import dedup_fuzzy, sampling, text
     from ct_mapreduce_spark.operators.packing import (
         pack_sequences,
@@ -101,6 +111,33 @@ def curate_crawl(
         .localCheckpoint(eager=True)
     )
     n_extracted = docs.count()  # block scan, no recomputation
+
+    n_boiler_tokens = None
+    if strip_boilerplate:
+        # Optional stage 1b: duplicate-passage removal WITHIN the drop —
+        # strip spans whose 8-gram appears in >= boilerplate_min_docs of
+        # this drop's pages (site templates, license headers, nav bars)
+        # BEFORE quality scoring and signing, so the quality gate judges
+        # substantive text and near-dup signatures aren't dominated by
+        # shared boilerplate. Checkpointed: three consumers (token stat,
+        # the re-join, the emptied-doc filter) read blocks, the
+        # gram/coverage passes run once.
+        stripped = dedup_fuzzy.remove_dup_spans(
+            docs, k=8, min_docs=boilerplate_min_docs
+        ).localCheckpoint(eager=True)
+        n_boiler_tokens = (
+            stripped.agg(F.sum("n_removed")).collect()[0][0] or 0
+        )
+        docs = (
+            docs.select("doc_id", "url")
+            .join(
+                stripped.where(F.length("clean_text") > 0).select(
+                    "doc_id", F.col("clean_text").alias("text")
+                ),
+                "doc_id",
+            )
+            .localCheckpoint(eager=True)
+        )
 
     # Stage boundary 2: quality gate — inline expression (no self-join
     # back to a scored frame), checkpointed because four consumers read
@@ -198,7 +235,7 @@ def curate_crawl(
     manifest.write.mode("overwrite").parquet(manifest_path)
     text_source.write_jsonl_gz(balanced, export_path, n_shards=n_export_shards)
     n_shards = spark.read.parquet(manifest_path).count()
-    return {
+    stats = {
         "drop_tag": drop_tag,
         "extracted": n_extracted,
         "quality_survivors": n_good,
@@ -206,3 +243,6 @@ def curate_crawl(
         "after_mixture": n_balanced,
         "shards": n_shards,
     }
+    if n_boiler_tokens is not None:
+        stats["boiler_tokens_removed"] = int(n_boiler_tokens)
+    return stats

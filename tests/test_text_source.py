@@ -278,6 +278,72 @@ def test_curate_scans_warc_once(spark, tmp_path, monkeypatch):
     assert acc.value == 32  # every fixture record seen exactly once
 
 
+def test_curate_strip_boilerplate(spark, tmp_path):
+    """The optional span-removal stage: a paragraph shared by every page
+    (a site template) disappears from the exported corpus while each
+    page's unique text survives, and the removed-token count lands in
+    the stats dict. Default runs leave text untouched."""
+    from ct_mapreduce_spark.plans.curate import curate_crawl
+    from ct_mapreduce_spark.sources.text_source import encode_warc
+
+    boiler = (
+        "<p>all rights reserved worldwide by the example "
+        "corporation contact legal for terms</p>"
+    )
+    recs = []
+    for i in range(24):
+        uniq = " ".join(f"u{i}w{j}" for j in range(30))
+        html = f"<html><body>{boiler}<p>{uniq}</p></body></html>"
+        body = (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n" + html
+        )
+        recs.append(
+            {
+                "warc_type": "response",
+                "url": f"https://t.example/p/{i}",
+                "date": "2026-01-01T00:00:00Z",
+                "record_id": f"<urn:uuid:b{i:07d}>",
+                "content_type": "application/http; msgtype=response",
+                "body": body,
+            }
+        )
+    crawl = str(tmp_path / "c")
+    os.makedirs(crawl, exist_ok=True)
+    with open(os.path.join(crawl, "seg.warc"), "wb") as f:
+        f.write(encode_warc(recs))
+
+    stats = curate_crawl(
+        spark,
+        crawl,
+        str(tmp_path / "wd"),
+        quality_min=0.0,
+        strip_boilerplate=True,
+        boilerplate_min_docs=8,
+    )
+    assert stats["boiler_tokens_removed"] >= 24 * 12  # 12-token template
+    exported = (
+        spark.read.option("compression", "gzip")
+        .json(str(tmp_path / "wd" / "export" / f"drop={stats['drop_tag']}"))
+        .collect()
+    )
+    assert len(exported) == stats["after_mixture"] > 0
+    for r in exported:
+        assert "rights reserved" not in r["text"]
+        assert "u" in r["text"]  # the page's unique words survived
+    # control: without the flag the template stays and no stat appears
+    stats2 = curate_crawl(
+        spark, crawl, str(tmp_path / "wd2"), quality_min=0.0
+    )
+    assert "boiler_tokens_removed" not in stats2
+    exported2 = (
+        spark.read.option("compression", "gzip")
+        .json(str(tmp_path / "wd2" / "export" / f"drop={stats2['drop_tag']}"))
+        .collect()
+    )
+    assert any("rights reserved" in r["text"] for r in exported2)
+
+
 def test_cli_curate_subcommand(spark, tmp_path):
     from ct_mapreduce_spark.cli import main as cli_main
     from ct_mapreduce_spark.sources import text_source
