@@ -402,7 +402,87 @@ def build_parser() -> argparse.ArgumentParser:
         "auto-increment drop-NNNN; pass explicitly to make a re-run "
         "of the same drop overwrite itself)",
     )
+
+    a = sub.add_parser(
+        "ann",
+        help="IVF ANN index lifecycle: build/append/compact/topk/stream "
+        "(engine extension; operators/similarity.py + "
+        "streaming/ann_stream.py)",
+    )
+    a.add_argument(
+        "action", choices=["build", "append", "compact", "topk", "stream"]
+    )
+    a.add_argument("--index", required=True, help="IVF index path")
+    a.add_argument(
+        "--embeddings",
+        help="embedding parquet (vec_id, embedding) — build/append input",
+    )
+    a.add_argument("--n-cells", type=int, default=16)
+    a.add_argument("--refine-iters", type=int, default=0)
+    a.add_argument("--queries", help="query parquet (vec_id, embedding) — topk")
+    a.add_argument("--k", type=int, default=5)
+    a.add_argument("--n-probe", type=int, default=4)
+    a.add_argument("--out", help="topk result parquet (omit => print count)")
+    a.add_argument("--stream-source", help="embedding file-stream dir — stream")
+    a.add_argument("--checkpoint", help="stream checkpoint dir — stream")
     return p
+
+
+def cmd_ann(spark: SparkSession, args) -> int:
+    """IVF ANN lifecycle dispatcher (the ANN twin of the curate
+    subcommand): one materialized index, four maintenance/serve verbs
+    plus the streaming ingest daemon (availableNow drain)."""
+    from ct_mapreduce_spark.operators import similarity
+
+    if args.action == "build":
+        if not args.embeddings:
+            raise SystemExit("ann build requires --embeddings")
+        emb = spark.read.parquet(args.embeddings)
+        similarity.ivf_build_index(
+            emb,
+            args.index,
+            n_cells=args.n_cells,
+            refine_iters=args.refine_iters,
+        )
+        print(f"built {args.index} n_cells={args.n_cells}")
+    elif args.action == "append":
+        if not args.embeddings:
+            raise SystemExit("ann append requires --embeddings")
+        similarity.ivf_index_append(
+            spark.read.parquet(args.embeddings), args.index
+        )
+        print(f"appended into {args.index}")
+    elif args.action == "compact":
+        before, after = similarity.ivf_index_compact(spark, args.index)
+        print(f"compacted {args.index}: {before} -> {after} files")
+    elif args.action == "topk":
+        if not args.queries:
+            raise SystemExit("ann topk requires --queries")
+        res = similarity.ivf_topk_indexed(
+            spark,
+            args.index,
+            spark.read.parquet(args.queries),
+            k=args.k,
+            n_probe=args.n_probe,
+        )
+        if args.out:
+            res.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            print(f"topk rows: {res.count()}")
+    else:  # stream
+        if not (args.stream_source and args.checkpoint):
+            raise SystemExit("ann stream requires --stream-source and --checkpoint")
+        from ct_mapreduce_spark.streaming.ann_stream import (
+            start_ann_ingest_stream,
+        )
+
+        q = start_ann_ingest_stream(
+            spark, args.stream_source, args.index, args.checkpoint
+        )
+        q.awaitTermination()
+        print("stream drained")
+    return 0
 
 
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
@@ -411,6 +491,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
     parser = build_parser()
     args = parser.parse_args(argv)
+    if args.cmd == "ann":  # no cert-source config; dispatch immediately
+        spark = spark or get_spark("ct_mapreduce_spark-cli")
+        return cmd_ann(spark, args)
     if args.cmd == "curate":  # no cert-source config; dispatch immediately
         from ct_mapreduce_spark.plans.curate import curate_crawl
 

@@ -239,3 +239,43 @@ def test_statistics_verbose_levels(spark, cert_src, tmp_path, capsys):
     out3 = capsys.readouterr().out
     assert out3.count("-----BEGIN CERTIFICATE-----") == total
     assert out3.count("Certificate serial={") == total
+
+
+def test_cli_ann_lifecycle(spark, tmp_path, capsys):
+    """The ann subcommand drives the whole IVF lifecycle: build on half
+    the corpus, append the rest, stream one more batch, topk to parquet,
+    compact — and the served results are identical before/after the
+    compact."""
+    from pyspark.sql import functions as F
+
+    from ct_mapreduce_spark.cli import main
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    halves = [emb.where(F.col("vec_id") % 3 == i) for i in range(3)]
+    p_build = str(tmp_path / "e0")
+    p_app = str(tmp_path / "e1")
+    halves[0].write.parquet(p_build)
+    halves[1].write.parquet(p_app)
+    src = str(tmp_path / "src")
+    halves[2].select("vec_id", "embedding").coalesce(1).write.parquet(src)
+    idx = str(tmp_path / "idx")
+    q_path = str(tmp_path / "q")
+    emb.where(F.col("vec_id") < 8).write.parquet(q_path)
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+
+    assert main(["ann", "build", "--index", idx, "--embeddings", p_build],
+                spark=spark) == 0
+    assert main(["ann", "append", "--index", idx, "--embeddings", p_app],
+                spark=spark) == 0
+    assert main(["ann", "stream", "--index", idx, "--stream-source", src,
+                 "--checkpoint", str(tmp_path / "ckpt")], spark=spark) == 0
+    assert main(["ann", "topk", "--index", idx, "--queries", q_path,
+                 "--out", out1], spark=spark) == 0
+    assert main(["ann", "compact", "--index", idx], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "compacted" in out and "stream drained" in out
+    assert main(["ann", "topk", "--index", idx, "--queries", q_path,
+                 "--out", out2], spark=spark) == 0
+    a = sorted(tuple(r) for r in spark.read.parquet(out1).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(out2).collect())
+    assert a == b and len(a) == 40
