@@ -1334,10 +1334,33 @@ def pq_topk(
     broadcasts against the corpus for the vector fetch; the corpus still
     never shuffles and full vectors are only read for the sliver."""
     books = pq_codebooks(corpus, m_sub, n_codes, id_col, vec_col, seed)
-    d = len(books[0][0])
     codes = pq_encode(corpus, books, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
+    return _pq_adc_rank(
+        codes, queries, books, k, id_col, vec_col,
+        rerank_corpus=corpus if rerank_factor else None,
+        rerank_factor=rerank_factor,
+    )
+
+
+def _pq_adc_rank(
+    codes: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    rerank_corpus: DataFrame | None = None,
+    rerank_factor: int = 0,
+) -> DataFrame:
+    """The ADC scan + rank shared by the inline (pq_topk) and
+    materialized (pq_topk_indexed) serve paths: per-query LUT broadcast,
+    narrow scored map over the codes frame, WindowGroupLimit top-k,
+    optional exact-cosine re-rank of the shortlist against
+    `rerank_corpus`. Expression-for-expression the original pq_topk
+    body, so both callers stay bit-identical to the golden pin."""
+    d = len(books[0][0])
     lut_cols = []
     for j, book in enumerate(books):
         qsub = F.slice(F.col(vec_col), j * d + 1, d)
@@ -1391,7 +1414,7 @@ def pq_topk(
         .where(F.col("r0") <= k * rerank_factor)
         .select("query_id", "neighbor_id")
     )
-    cvec = corpus.select(
+    cvec = rerank_corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
         _norm(F.col(vec_col)).alias("nnorm"),
@@ -1418,4 +1441,99 @@ def pq_topk(
         rescored.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def pq_build_index(
+    corpus: DataFrame,
+    path: str,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Materialize the PQ serve path: estimate codebooks once, encode
+    the corpus, and persist {path}/codes (id + m_sub small ints per row
+    — the 32x-smaller table every ADC scan reads) with the codebooks as
+    a {path}/_codebooks sidecar (rows (j, code, cvec); model parameters,
+    like the IVF index's _centroids). pq_topk re-estimates codebooks and
+    re-encodes per CALL — fine inline, wrong as a serve path: at corpus
+    scale the encode is the expensive pass and the codes table is the
+    thing you keep. Full vectors are NOT stored (storing them would
+    forfeit the compression that justifies PQ); the exact re-rank tier
+    takes the vector corpus as an argument at query time."""
+    books = pq_codebooks(corpus, m_sub, n_codes, id_col, vec_col, seed)
+    spark = corpus.sparkSession
+    rows = [
+        (j, c, [float(x) for x in vec])
+        for j, book in enumerate(books)
+        for c, vec in enumerate(book)
+    ]
+    pq_encode(corpus, books, id_col, vec_col).select(
+        id_col, "codes"
+    ).write.mode("overwrite").parquet(path + "/codes")
+    spark.createDataFrame(
+        rows, "j int, code int, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_codebooks")
+
+
+def _pq_read_books(spark, path: str) -> list[list[list[float]]]:
+    rows = spark.read.parquet(path + "/_codebooks").collect()
+    m_sub = 1 + max(r["j"] for r in rows)
+    n_codes = 1 + max(r["code"] for r in rows)
+    books: list[list[list[float]]] = [
+        [None] * n_codes for _ in range(m_sub)  # type: ignore[list-item]
+    ]
+    for r in rows:
+        books[r["j"]][r["code"]] = list(r["cvec"])
+    return books
+
+
+def pq_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold new vectors into a materialized PQ index: encode under the
+    index's STORED codebooks (they are the index's definition — the
+    same consistency rule as ivf_index_append's stored centroids) and
+    append to the codes table, coalesced so a long append history grows
+    by a few files per batch. Codebooks drift as the distribution
+    shifts; rebuild (pq_build_index) when ADC recall degrades."""
+    spark = new_vectors.sparkSession
+    books = _pq_read_books(spark, path)
+    pq_encode(new_vectors, books, id_col, vec_col).select(
+        id_col, "codes"
+    ).coalesce(4).write.mode("append").parquet(path + "/codes")
+
+
+def pq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    rerank_corpus: DataFrame | None = None,
+    rerank_factor: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve PQ ANN queries from a materialized pq_build_index: read the
+    stored codebooks, broadcast per-query LUTs, ADC-scan the persisted
+    codes table — no re-estimation, no re-encode; the only corpus-sized
+    read is the 8-bytes-per-row codes scan. Bit-identical to pq_topk on
+    the same corpus/parameters (shared _pq_adc_rank expressions).
+    rerank_factor > 0 requires rerank_corpus (the full-vector table):
+    the exact-cosine re-rank reads vectors only for the
+    queries x k x factor shortlist sliver."""
+    if rerank_factor and rerank_corpus is None:
+        raise ValueError("rerank_factor > 0 requires rerank_corpus")
+    books = _pq_read_books(spark, path)
+    codes = spark.read.parquet(path + "/codes").select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    return _pq_adc_rank(
+        codes, queries, books, k, id_col, vec_col,
+        rerank_corpus=rerank_corpus, rerank_factor=rerank_factor,
     )

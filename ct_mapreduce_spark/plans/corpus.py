@@ -4593,6 +4593,32 @@ def emb_pq_rerank_topk(spark, sf_dir):
     return pq_topk(emb, emb.where(F.col("vec_id") < 8), k=5, rerank_factor=4)
 
 
+@q("emb_pq_indexed_topk", _pin("emb_pq_topk"), "similarity")
+def emb_pq_indexed_topk(spark, sf_dir):
+    """The 100 TB serving shape of emb_pq_topk: materialize the codes
+    table + codebook sidecar once (pq_build_index, idempotent per
+    sf_dir), then serve by ADC-scanning the persisted 8-bytes-per-row
+    codes — no per-query codebook estimation or corpus re-encode.
+    Bit-identical to the inline path by construction (shared
+    _pq_adc_rank expressions, stored codebooks = the inline
+    estimation), so it shares emb_pq_topk's independently re-derived
+    pin."""
+    import os
+
+    from ct_mapreduce_spark.operators.similarity import (
+        pq_build_index,
+        pq_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = f"/tmp/ctspark_pq_idx_{_cache_tag(sf_dir, 'embeddings', 'v1')}"
+    if not os.path.exists(idx + "/codes/_SUCCESS"):
+        pq_build_index(emb, idx)
+    return pq_topk_indexed(
+        spark, idx, emb.where(F.col("vec_id") < 8), k=5
+    )
+
+
 @q(
     "a11_unpivot",
     """

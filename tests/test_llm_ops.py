@@ -549,6 +549,52 @@ def test_semdedup_auto_cells_scale_with_corpus(spark):
     assert max(pcells) <= 15
 
 
+def test_pq_index_serves_identically(spark, emb, tmp_path):
+    """The materialized PQ serve path: pq_build_index + pq_topk_indexed
+    must be bit-identical to inline pq_topk (shared ADC expressions,
+    stored codebooks = the inline estimation), with and without the
+    exact re-rank tier; appending under stored codebooks matches
+    building over the union."""
+    idx = str(tmp_path / "pq")
+    queries = emb.where(F.col("vec_id") < 8)
+    similarity.pq_build_index(emb, idx)
+    got = sorted(
+        tuple(r)
+        for r in similarity.pq_topk_indexed(spark, idx, queries, k=5).collect()
+    )
+    want = sorted(
+        tuple(r) for r in similarity.pq_topk(emb, queries, k=5).collect()
+    )
+    assert got == want and len(got) == 40
+    got_rr = sorted(
+        tuple(r)
+        for r in similarity.pq_topk_indexed(
+            spark, idx, queries, k=5, rerank_corpus=emb, rerank_factor=4
+        ).collect()
+    )
+    want_rr = sorted(
+        tuple(r)
+        for r in similarity.pq_topk(emb, queries, k=5, rerank_factor=4).collect()
+    )
+    assert got_rr == want_rr
+    # append path: half-built index + appended half == codes of the union
+    idx2 = str(tmp_path / "pq2")
+    similarity.pq_build_index(emb.where(F.col("vec_id") % 2 == 0), idx2)
+    similarity.pq_index_append(emb.where(F.col("vec_id") % 2 == 1), idx2)
+    books = similarity._pq_read_books(spark, idx2)
+    appended = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(idx2 + "/codes").collect()
+    }
+    direct = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_encode(emb, books).collect()
+    }
+    assert appended == direct
+    with pytest.raises(ValueError):
+        similarity.pq_topk_indexed(spark, idx, queries, rerank_factor=2)
+
+
 def test_pq_encode_tiers_bit_equal(spark, emb):
     books = similarity.pq_codebooks(emb)
     a = {
