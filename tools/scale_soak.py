@@ -431,6 +431,36 @@ def main() -> None:
     )
     shutil.rmtree(idx, ignore_errors=True)
 
+    # --- PQ serve path (r7): materialized codes table vs inline
+    # re-estimate+re-encode at 10x. The indexed probe's only corpus-
+    # sized read is the 8-bytes-per-row codes scan; the inline path
+    # pays the Arrow encode of the full vector corpus per call — the
+    # gap is the encode cost and widens with corpus size. ---
+    emb10 = spark.read.parquet(_emb_path(10))
+    pq_idx = tempfile.mkdtemp(prefix="ctspark_soak_pq_")
+    queries = emb10.where(F.col("vec_id") < 8)
+    t0 = time.perf_counter()
+    similarity.pq_build_index(emb10, pq_idx)
+    pq_build_s = round(time.perf_counter() - t0, 2)
+
+    def _mn(f):
+        ts = []
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            f().count()
+            ts.append(round(time.perf_counter() - t0, 2))
+        return ts
+
+    results["pq_serve_x10"] = {
+        "build_s": pq_build_s,
+        "inline": _mn(lambda: similarity.pq_topk(emb10, queries, k=5)),
+        "indexed": _mn(
+            lambda: similarity.pq_topk_indexed(spark, pq_idx, queries, k=5)
+        ),
+    }
+    print(f"pq serve x10: {results['pq_serve_x10']}", file=sys.stderr)
+    shutil.rmtree(pq_idx, ignore_errors=True)
+
     # --- e2e curation pipeline, two drops, 1x/10x crawl (r7): drop 1
     # builds the index from a fresh crawl; drop 2 re-crawls the same
     # pages (new record ids => new doc_ids, same content) and must dedup
