@@ -52,6 +52,12 @@ HEADLINE = [
     # the min reflects the steady-state probe — the serving-path number.
     "docs_pack_sequences",
     "docs_incremental_dedup",
+    # round-7 additions (first recorded run = their baseline).
+    # emb_pq_indexed_topk materializes its codes table on first call
+    # (fingerprint-cached in /tmp) — the min is the steady-state ADC
+    # scan, the serving-path number.
+    "docs_remove_dup_spans",
+    "emb_pq_indexed_topk",
 ]
 
 # min-of-3: the first run pays JIT/codegen warmup and local-mode timings

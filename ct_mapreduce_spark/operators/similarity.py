@@ -1509,6 +1509,34 @@ def pq_index_append(
     ).coalesce(4).write.mode("append").parquet(path + "/codes")
 
 
+def pq_index_compact(spark, path: str) -> tuple[int, int]:
+    """Fold a PQ index's append history into right-sized codes files.
+    Unlike the IVF store there is no partition level to cluster on (the
+    ADC scan reads every code row by design), so compaction is purely a
+    file-count fold: thousands of coalesced appends still mean
+    thousands of file opens per probe. Same crash-safe rename-aside
+    swap as the other index compactors; the _codebooks sidecar rides
+    through untouched (it lives beside /codes, not inside it). Returns
+    (files_before, files_after)."""
+    from ct_mapreduce_spark.fsutil import (
+        TMP_SUFFIX,
+        count_parquet_files,
+        recover_swap,
+        swap_into_place,
+    )
+
+    codes_p = path + "/codes"
+    recover_swap(spark, codes_p)
+    before = count_parquet_files(spark, codes_p)
+    df = spark.read.parquet(codes_p)
+    # same 8x fold rule as the sigs store in minhash_index_compact
+    df.coalesce(max(1, before // 8)).write.mode("overwrite").parquet(
+        codes_p + TMP_SUFFIX
+    )
+    swap_into_place(spark, codes_p + TMP_SUFFIX, codes_p)
+    return before, count_parquet_files(spark, codes_p)
+
+
 def pq_topk_indexed(
     spark,
     path: str,

@@ -52,6 +52,7 @@ def write_cells(
     batch_tag: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cent_rows: list | None = None,
 ) -> None:
     """Assign one batch's vectors to their nearest cells under the
     index's stored centroids and write them to the increment tree
@@ -60,9 +61,14 @@ def write_cells(
     partition and no others). The index must exist — the stored
     centroid frame is what makes an append consistent with every past
     and future probe; there is no cold start for an ANN index the way
-    there is for the dedup index (seed with ivf_build_index)."""
+    there is for the dedup index (seed with ivf_build_index).
+    `cent_rows`: optional pre-collected centroid rows — the stream
+    processor reads them once at its first trigger and reuses them
+    (they are immutable for the life of a running stream: rebuild
+    requires the stream stopped, and compaction preserves them)."""
     spark = vectors.sparkSession
-    cent_rows = spark.read.parquet(index_path + "/_centroids").collect()
+    if cent_rows is None:
+        cent_rows = spark.read.parquet(index_path + "/_centroids").collect()
     assigned = (
         _assign_nearest(vectors, cent_rows, id_col, vec_col, "neighbor")
         .withColumnRenamed("neighbor_id", id_col)
@@ -109,15 +115,23 @@ def start_ann_ingest_stream(
     compact fold's full-row dedup would collapse them again on the
     next compaction, but probes in between would see doubles)."""
 
+    cent_cache: list = []  # read once at the first trigger, then reused
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch hands the batch a CLONED SparkSession; conf must
         # be set on THAT session or the dynamic overwrite silently runs
         # STATIC and truncates every other batch's increment partition —
         # write_cells keys off its input frame's session for exactly
         # this reason (the dedup daemon found this trap first).
+        if not cent_cache:
+            cent_cache.extend(
+                batch_df.sparkSession.read.parquet(
+                    index_path + "/_centroids"
+                ).collect()
+            )
         write_cells(
             batch_df, index_path, batch_tag=str(batch_id),
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, cent_rows=list(cent_cache),
         )
 
     stream = (

@@ -593,6 +593,22 @@ def test_pq_index_serves_identically(spark, emb, tmp_path):
     assert appended == direct
     with pytest.raises(ValueError):
         similarity.pq_topk_indexed(spark, idx, queries, rerank_factor=2)
+    # compaction folds the append slivers; serve bit-identical after
+    from ct_mapreduce_spark.fsutil import count_parquet_files
+
+    want2 = sorted(
+        tuple(r)
+        for r in similarity.pq_topk_indexed(spark, idx2, queries, k=5).collect()
+    )
+    nb, na = similarity.pq_index_compact(spark, idx2)
+    assert na <= max(1, nb // 8) + 1 and na == count_parquet_files(
+        spark, idx2 + "/codes"
+    )
+    got2 = sorted(
+        tuple(r)
+        for r in similarity.pq_topk_indexed(spark, idx2, queries, k=5).collect()
+    )
+    assert got2 == want2
 
 
 def test_pq_encode_tiers_bit_equal(spark, emb):

@@ -79,6 +79,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("emb_pq_rerank_topk", "bnlj"): "same ADC broadcast-LUT scan as "
     "emb_pq_topk; the rerank tier adds only broadcast hash joins of the "
     "shortlist",
+    ("emb_pq_indexed_topk", "bnlj"): "same ADC broadcast-LUT scan as "
+    "emb_pq_topk, but over the persisted codes table — the stored index "
+    "replaces the encode stage, not the scan shape",
     ("emb_ann_ivf", "global_window"): "centroid numbering over exactly "
     "n_cells=16 rows",
     ("q6_forecast_revenue", "no_pushdown"): "spark.sql over a temp view: "
