@@ -174,3 +174,47 @@ def stratified_sample(
         .where(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    key: str,
+    seed: int = 42,
+    n_shards: int = 64,
+    out_shard: str = "shard",
+    out_pos: str = "pos",
+) -> DataFrame:
+    """Deterministic seeded global shuffle into ordered shards — the
+    "shuffle the corpus before training" step, as a pure function of
+    (seed, key) rather than of Spark's partitioning.
+
+    Every row gets rank = md5(seed || ':' || key): `shard` is the top 32
+    rank bits mod n_shards, `pos` the 0-based position within the shard
+    ordered by (rank, key) — the key tiebreak makes the order total even
+    under md5 collisions. Rerunning with the same seed on any engine or
+    any partitioning reproduces the identical permutation (the DuckDB
+    oracle replays it exactly); changing the seed is a fresh independent
+    permutation.
+
+    Scale posture: md5 spreads rows uniformly, so the n_shards window
+    partitions are balanced by construction — no skew, AQE not needed.
+    Choose n_shards ~ corpus_size / desired_shard_size: the per-shard
+    sort IS the sort a writer must pay to emit ordered shards anyway
+    (repartition(n_shards, shard) + sortWithinPartitions is the same
+    exchange), so the plan carries exactly one shuffle. A GLOBAL
+    orderBy(rank) — the naive formulation — would funnel the corpus
+    through a single range-partitioned sort; this never does."""
+    rank = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(key).cast("string"))
+    )
+    df = df.withColumn("_shuffle_rank", rank).withColumn(
+        out_shard,
+        (
+            F.conv(F.substring("_shuffle_rank", 1, 8), 16, 10).cast("long")
+            % n_shards
+        ),
+    )
+    w = W.partitionBy(out_shard).orderBy("_shuffle_rank", key)
+    return df.withColumn(
+        out_pos, (F.row_number().over(w) - 1).cast("long")
+    ).drop("_shuffle_rank")

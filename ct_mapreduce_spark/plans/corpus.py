@@ -4640,3 +4640,141 @@ def a11_unpivot(spark, sf_dir):
         "metric",
         "val",
     )
+
+
+# ------------------------------------------------------------------ tokenizer
+# Learned BPE pipeline (operators/tokenizer.py): one corpus-sized frequency
+# pass, driver-side training on the model-sized capped table, distributed
+# memoized encode. No reference analog; extends the LLM-pipeline surface.
+
+_BPE_MERGE_CACHE: dict[str, list] = {}
+
+
+def _bpe_merges(spark, sf_dir):
+    """Train-once-per-corpus merges (keyed by the documents fingerprint so
+    a driver regeneration invalidates; the three tokenizer queries share
+    one training run the way a real pipeline shares one tokenizer)."""
+    from ct_mapreduce_spark.operators.tokenizer import bpe_train, word_frequencies
+
+    tag = _cache_tag(sf_dir, "documents", "bpe-v1")
+    got = _BPE_MERGE_CACHE.get(tag)
+    if got is None:
+        freq = word_frequencies(
+            _t(spark, sf_dir, "documents"), top_v=8192
+        )
+        got = _BPE_MERGE_CACHE[tag] = bpe_train(freq, n_merges=60, min_count=2)
+    return got
+
+
+@q(
+    "docs_word_frequencies",
+    r"""
+    SELECT word, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+          FROM documents) t
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 50
+    """,
+    "tokenizer",
+)
+def docs_word_frequencies(spark, sf_dir):
+    """Top-V word-frequency table (operators/tokenizer.py:
+    word_frequencies) — tokenizer training's only corpus-sized pass.
+    groupBy(word) map-side-combines; the deterministic (n DESC, word)
+    cap compiles to TakeOrderedAndProject (per-partition partial top-k,
+    never a global sort). Full DuckDB oracle."""
+    from ct_mapreduce_spark.operators.tokenizer import word_frequencies
+
+    return word_frequencies(_t(spark, sf_dir, "documents"), top_v=50)
+
+
+@q("docs_bpe_vocab", _pin("docs_bpe_vocab"), "tokenizer")
+def docs_bpe_vocab(spark, sf_dir):
+    """The learned BPE merge table itself: (mrank, lhs, rhs, merged) in
+    training order — the model artifact a tokenize stage ships. Training
+    runs driver-side on the top-V frequency table (model-sized by
+    contract); pinned via the independent no-Spark re-derivation
+    (naive per-round recount vs the engine's incremental statistics)."""
+    merges = _bpe_merges(spark, sf_dir)
+    rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "mrank BIGINT, lhs STRING, rhs STRING, merged STRING"
+    )
+
+
+@q("docs_bpe_token_stats", _pin("docs_bpe_token_stats"), "tokenizer")
+def docs_bpe_token_stats(spark, sf_dir):
+    """Per-document BPE token counts + compression (chars per token) under
+    the corpus-trained tokenizer. Encode is memoized mapInPandas
+    (operators/tokenizer.py:token_counts) — narrow, no shuffle; the pin
+    gate cross-checks the engine's in-order merge application against the
+    oracle's min-rank iterative encode."""
+    from ct_mapreduce_spark.operators.tokenizer import token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    tc = token_counts(docs, _bpe_merges(spark, sf_dir))
+    return tc.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.length("text").cast("bigint").alias("n_text_chars"),
+        F.round(
+            F.length("text").cast("double")
+            / F.greatest(F.col("n_bpe_tokens"), F.lit(1)).cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+@q("docs_bpe_top_tokens", _pin("docs_bpe_top_tokens"), "tokenizer")
+def docs_bpe_top_tokens(spark, sf_dir):
+    """Corpus token-frequency head under the learned tokenizer (top 40 by
+    (n DESC, token)) — the discriminating summary: any divergence in the
+    merge table reshapes every count. explode -> map-side-combined
+    groupBy -> TakeOrderedAndProject."""
+    from ct_mapreduce_spark.operators.tokenizer import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, _bpe_merges(spark, sf_dir))
+    return (
+        enc.select(F.explode("bpe_tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(40)
+    )
+
+
+@q(
+    "docs_seeded_shuffle",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             md5(concat('42', ':', CAST(doc_id AS VARCHAR))) AS rk
+      FROM documents
+    ), s AS (
+      SELECT doc_id, rk,
+             CAST(('0x' || substr(rk, 1, 8)) AS BIGINT) % 8 AS shard
+      FROM t
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+             PARTITION BY shard ORDER BY rk, doc_id) - 1 AS BIGINT) AS pos
+    FROM s
+    """,
+    "sampling",
+)
+def docs_seeded_shuffle(spark, sf_dir):
+    """Deterministic seeded global shuffle (operators/sampling.py:
+    seeded_shuffle): every doc's (shard, pos) under the seed-42 md5
+    permutation — the pre-training corpus shuffle as a pure function of
+    the data. One hash-partitioned exchange + per-shard sort (the sort an
+    ordered-shard writer pays anyway); never a global orderBy. Full
+    DuckDB oracle replays the identical permutation."""
+    from ct_mapreduce_spark.operators.sampling import seeded_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return seeded_shuffle(docs, "doc_id", seed=42, n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )

@@ -54,3 +54,13 @@ def test_ctlog_scan_matches_engine_and_catches_corruption(spark):
     engine = _spark_rows(spark, "s1_ctlog_scan")
     assert [tuple(r) for r in io_.s1_ctlog_scan(SF)] == engine
     assert [tuple(r) for r in io_.s1_ctlog_scan(SF, offset=400)] != engine
+
+
+def test_bpe_matches_engine_and_catches_corruption(spark):
+    engine = _spark_rows(spark, "docs_bpe_token_stats")
+    assert [tuple(r) for r in io_.docs_bpe_token_stats(SF)] == engine
+    # a shorter merge table segments words differently: counts must move
+    assert [tuple(r) for r in io_.docs_bpe_token_stats(SF, n_merges=20)] != engine
+    vocab = _spark_rows(spark, "docs_bpe_vocab")
+    assert [tuple(r) for r in io_.docs_bpe_vocab(SF)] == vocab
+    assert [tuple(r) for r in io_.docs_bpe_vocab(SF, n_merges=20)] != vocab

@@ -899,3 +899,135 @@ DERIVATIONS = {
     "mm_extract_features": mm_extract_features,
     "mm_sample_frames": mm_sample_frames,
 }
+
+
+# ------------------------------------------------------------------ tokenizer
+# BPE re-derivations from the DECLARED semantics in operators/tokenizer.py's
+# module docstring, with deliberately different algorithms: training is the
+# naive O(V)-per-round full pair recount (the engine maintains incremental
+# pair statistics + an inverted index), and encoding is the min-rank
+# iterative formulation (the engine applies merges in training order) — so
+# a bookkeeping bug on either side fails the pin gate.
+
+_BPE_END = "</w>"
+
+
+def _bpe_merge_ltr(seq: tuple, pair: tuple) -> tuple:
+    """Left-to-right non-overlapping merge of adjacent pair -> concat."""
+    a, b = pair
+    out, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return tuple(out)
+
+
+def _bpe_capped_freq(sf_dir: str, top_v: int = 8192) -> dict:
+    texts = _read(sf_dir, "documents").column("text").to_pylist()
+    freq: dict[str, int] = {}
+    for t in texts:
+        for w in _tokens(t or ""):
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    items = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:top_v]
+    return dict(items)
+
+
+def _bpe_train_naive(
+    freq: dict, n_merges: int = 60, min_count: int = 2
+) -> list[tuple]:
+    seqs = {w: tuple(w) + (_BPE_END,) for w in freq}
+    merges: list[tuple] = []
+    for _ in range(n_merges):
+        stats: dict[tuple, int] = {}
+        for w, n in freq.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                stats[p] = stats.get(p, 0) + n
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        merges.append(best[0])
+        for w in seqs:
+            seqs[w] = _bpe_merge_ltr(seqs[w], best[0])
+    return merges
+
+
+def _bpe_encode_minrank(word: str, ranks: dict) -> list:
+    """Repeatedly merge ALL occurrences of the present pair with the
+    lowest rank (a merge's output symbol only feeds later-rank merges,
+    so this equals in-order application)."""
+    seq: tuple = tuple(word) + (_BPE_END,)
+    while len(seq) > 1:
+        best_pair, best_rank = None, None
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_pair, best_rank = (seq[i], seq[i + 1]), r
+        if best_pair is None:
+            break
+        seq = _bpe_merge_ltr(seq, best_pair)
+    return list(seq)
+
+
+def docs_bpe_vocab(sf_dir: str, n_merges: int = 60) -> list[tuple]:
+    merges = _bpe_train_naive(_bpe_capped_freq(sf_dir), n_merges=n_merges)
+    return sorted((i, a, b, a + b) for i, (a, b) in enumerate(merges))
+
+
+def docs_bpe_token_stats(sf_dir: str, n_merges: int = 60) -> list[tuple]:
+    tbl = _read(sf_dir, "documents")
+    doc_ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    merges = _bpe_train_naive(_bpe_capped_freq(sf_dir), n_merges=n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    memo: dict[str, int] = {}
+    rows = []
+    for did, t in zip(doc_ids, texts):
+        t = t or ""
+        n_tok = 0
+        for w in _tokens(t):
+            if not w:
+                continue
+            if w not in memo:
+                memo[w] = len(_bpe_encode_minrank(w, ranks))
+            n_tok += memo[w]
+        n_chars = len(t)
+        rows.append(
+            (did, n_tok, n_chars, _round6(n_chars / max(n_tok, 1)))
+        )
+    return sorted(rows)
+
+
+def docs_bpe_top_tokens(sf_dir: str, n_merges: int = 60) -> list[tuple]:
+    texts = _read(sf_dir, "documents").column("text").to_pylist()
+    merges = _bpe_train_naive(_bpe_capped_freq(sf_dir), n_merges=n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    memo: dict[str, list] = {}
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in _tokens(t or ""):
+            if not w:
+                continue
+            if w not in memo:
+                memo[w] = _bpe_encode_minrank(w, ranks)
+            for tok in memo[w]:
+                counts[tok] = counts.get(tok, 0) + 1
+    head = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:40]
+    return sorted(head)
+
+
+DERIVATIONS.update(
+    {
+        "docs_bpe_vocab": docs_bpe_vocab,
+        "docs_bpe_token_stats": docs_bpe_token_stats,
+        "docs_bpe_top_tokens": docs_bpe_top_tokens,
+    }
+)
