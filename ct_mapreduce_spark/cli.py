@@ -425,6 +425,36 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--out", help="topk result parquet (omit => print count)")
     a.add_argument("--stream-source", help="embedding file-stream dir — stream")
     a.add_argument("--checkpoint", help="stream checkpoint dir — stream")
+
+    t = sub.add_parser(
+        "tokenize",
+        help="BPE tokenizer lifecycle: train/encode/stats (engine "
+        "extension; operators/tokenizer.py)",
+    )
+    t.add_argument("action", choices=["train", "encode", "stats"])
+    t.add_argument(
+        "--input", required=True, help="documents parquet with a text column"
+    )
+    t.add_argument("--text-col", default="text")
+    t.add_argument(
+        "--model",
+        required=True,
+        help="merge-table parquet (train writes it; encode/stats read it)",
+    )
+    t.add_argument("--n-merges", type=int, default=4096)
+    t.add_argument("--min-count", type=int, default=2)
+    t.add_argument(
+        "--top-v",
+        type=int,
+        default=1_000_000,
+        help="frequency-table cap — bounds the driver-side training set",
+    )
+    t.add_argument("--out", help="encode: output parquet path")
+    t.add_argument(
+        "--counts-only",
+        action="store_true",
+        help="encode: write per-doc n_bpe_tokens instead of token arrays",
+    )
     return p
 
 
@@ -485,6 +515,54 @@ def cmd_ann(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_tokenize(spark: SparkSession, args) -> int:
+    """BPE tokenizer lifecycle: one model artifact (the merge table),
+    three verbs. train = frequency pass + driver merges; encode/stats =
+    distributed memoized mapInPandas under the stored model."""
+    from ct_mapreduce_spark.operators import tokenizer
+
+    docs = spark.read.parquet(args.input)
+    if args.action == "train":
+        freq = tokenizer.word_frequencies(docs, args.text_col, top_v=args.top_v)
+        merges = tokenizer.bpe_train(
+            freq, n_merges=args.n_merges, min_count=args.min_count
+        )
+        tokenizer.save_merges(spark, merges, args.model)
+        print(f"trained {len(merges)} merges -> {args.model}")
+    elif args.action == "encode":
+        if not args.out:
+            raise SystemExit("tokenize encode requires --out")
+        merges = tokenizer.load_merges(spark, args.model)
+        out = (
+            tokenizer.token_counts(docs, merges, args.text_col)
+            if args.counts_only
+            else tokenizer.bpe_encode(docs, merges, args.text_col)
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        print(f"encoded {spark.read.parquet(args.out).count()} docs -> {args.out}")
+    else:  # stats
+        from pyspark.sql import functions as F
+
+        merges = tokenizer.load_merges(spark, args.model)
+        row = (
+            tokenizer.token_counts(docs, merges, args.text_col)
+            .agg(
+                F.sum("n_bpe_tokens").alias("total_tokens"),
+                F.sum(F.length(args.text_col)).alias("total_chars"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+            .collect()[0]
+        )
+        total_tok = int(row["total_tokens"] or 0)
+        total_chars = int(row["total_chars"] or 0)
+        print(f"n_docs          {row['n_docs']}")
+        print(f"n_merges        {len(merges)}")
+        print(f"total_tokens    {total_tok}")
+        print(f"total_chars     {total_chars}")
+        print(f"chars_per_token {total_chars / max(total_tok, 1):.3f}")
+    return 0
+
+
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     from ct_mapreduce_spark.config import load_config
     from ct_mapreduce_spark.session import get_spark
@@ -494,6 +572,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     if args.cmd == "ann":  # no cert-source config; dispatch immediately
         spark = spark or get_spark("ct_mapreduce_spark-cli")
         return cmd_ann(spark, args)
+    if args.cmd == "tokenize":  # no cert-source config; dispatch immediately
+        spark = spark or get_spark("ct_mapreduce_spark-cli")
+        return cmd_tokenize(spark, args)
     if args.cmd == "curate":  # no cert-source config; dispatch immediately
         from ct_mapreduce_spark.plans.curate import curate_crawl
 

@@ -260,3 +260,21 @@ def token_counts(
             yield pdf
 
     return docs.mapInPandas(run, schema=out_schema)
+
+
+# ----------------------------------------------------------- model persistence
+
+
+def save_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the merge table as one-file parquet (mrank, lhs, rhs) —
+    the model artifact is merges-in-order; everything else derives."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    spark.createDataFrame(
+        rows, "mrank BIGINT, lhs STRING, rhs STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Read a save_merges artifact back into training order."""
+    rows = spark.read.parquet(path).orderBy("mrank").collect()
+    return [(r["lhs"], r["rhs"]) for r in rows]

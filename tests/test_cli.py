@@ -279,3 +279,53 @@ def test_cli_ann_lifecycle(spark, tmp_path, capsys):
     a = sorted(tuple(r) for r in spark.read.parquet(out1).collect())
     b = sorted(tuple(r) for r in spark.read.parquet(out2).collect())
     assert a == b and len(a) == 40
+
+
+def test_cli_tokenize_lifecycle(spark, tmp_path, capsys):
+    """The tokenize subcommand drives the BPE lifecycle: train writes the
+    merge-table artifact, encode tokenizes under the stored model (counts
+    and arrays agree), stats reports corpus totals."""
+    from ct_mapreduce_spark.cli import main
+    from ct_mapreduce_spark.sources.tables import load_table
+
+    docs_path = str(tmp_path / "docs")
+    load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    ).write.parquet(docs_path)
+    model = str(tmp_path / "model")
+    out_arrays = str(tmp_path / "enc")
+    out_counts = str(tmp_path / "cnt")
+
+    assert main(
+        ["tokenize", "train", "--input", docs_path, "--model", model,
+         "--n-merges", "40"],
+        spark=spark,
+    ) == 0
+    assert "trained" in capsys.readouterr().out
+
+    assert main(
+        ["tokenize", "encode", "--input", docs_path, "--model", model,
+         "--out", out_arrays],
+        spark=spark,
+    ) == 0
+    assert main(
+        ["tokenize", "encode", "--input", docs_path, "--model", model,
+         "--out", out_counts, "--counts-only"],
+        spark=spark,
+    ) == 0
+    from pyspark.sql import functions as F
+
+    enc = spark.read.parquet(out_arrays).select(
+        "doc_id", F.size("bpe_tokens").alias("n")
+    )
+    cnt = spark.read.parquet(out_counts).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n")
+    )
+    assert enc.exceptAll(cnt).count() == 0 and cnt.exceptAll(enc).count() == 0
+
+    assert main(
+        ["tokenize", "stats", "--input", docs_path, "--model", model],
+        spark=spark,
+    ) == 0
+    out = capsys.readouterr().out
+    assert "total_tokens" in out and "chars_per_token" in out

@@ -103,6 +103,44 @@ def main() -> None:
         }
         print(f"minhash x{mult}: {times} pairs={n_pairs}", file=sys.stderr)
 
+    # --- BPE tokenizer (r7): training's only corpus-sized cost is ONE
+    # frequency pass (driver merges run on the top-V capped table);
+    # encode is narrow memoized mapInPandas. Both walls must track
+    # corpus size (exponent ~<= 1) — a superlinear train would mean the
+    # frequency pass shuffles occurrences, a superlinear encode would
+    # mean the memo stopped absorbing the Zipfian word reuse. ---
+    from ct_mapreduce_spark.operators.tokenizer import (
+        bpe_train,
+        token_counts,
+        word_frequencies,
+    )
+
+    for mult in (1, 10):
+        docs = _docs_at(mult)
+        t0 = time.perf_counter()
+        merges = bpe_train(word_frequencies(docs, top_v=8192), n_merges=60)
+        train_s = round(time.perf_counter() - t0, 2)
+        times = []
+        total = None
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            total = (
+                token_counts(docs, merges)
+                .agg(F.sum("n_bpe_tokens"))
+                .collect()[0][0]
+            )
+            times.append(round(time.perf_counter() - t0, 2))
+        results[f"bpe_x{mult}"] = {
+            "train_s": train_s,
+            "iterations": times,
+            "min": min(times),
+            "total_tokens": int(total),
+        }
+        print(
+            f"bpe x{mult}: train={train_s} encode={times} tokens={total}",
+            file=sys.stderr,
+        )
+
     # --- keep-list one-shot dedup on a template family (r7): the PAIRS
     # operator's output is quadratic in duplicate-family size (the
     # hot-bucket cap bounds each bucket at C(cap,2) scoring but the
@@ -635,6 +673,8 @@ def main() -> None:
         "keep_template_1x_to_10x": expo(
             "keep_template_x1", "keep_template_x10", 10
         ),
+        "bpe_train_1x_to_10x": expo("bpe_x1", "bpe_x10", 10, "train_s"),
+        "bpe_encode_1x_to_10x": expo("bpe_x1", "bpe_x10", 10),
         "curate_drop1_1x_to_10x": expo("curate_x1", "curate_x10", 10, "drop1_s"),
         "curate_drop2_1x_to_10x": expo("curate_x1", "curate_x10", 10, "drop2_s"),
     }
