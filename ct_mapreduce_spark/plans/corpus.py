@@ -4778,3 +4778,62 @@ def docs_seeded_shuffle(spark, sf_dir):
     return seeded_shuffle(docs, "doc_id", seed=42, n_shards=8).select(
         "doc_id", "shard", "pos"
     )
+
+
+# ------------------------------------------------------------------ regression
+# One-pass linear model fitting (operators/regression.py): corpus work is a
+# single map-side-combined moment aggregation; the solve is exact-rational
+# on the driver; scoring is scan-local integer arithmetic. Pinned via an
+# independent derivation that solves the same normal equations by Cramer
+# determinants instead of Gaussian elimination.
+
+_RIDGE_FEATURES = ["x_words", "x_distinct"]
+
+
+def _ridge_features(docs):
+    words = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("y"),
+        F.size(words).cast("long").alias("x_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("x_distinct"),
+    )
+
+
+@q("docs_ridge_fit", _pin("docs_ridge_fit"), "regression")
+def docs_ridge_fit(spark, sf_dir):
+    """Chars-from-word-shape calibration model: OLS of text length on
+    (word count, distinct-word count), fit in ONE exact-integer moment
+    aggregation + an exact-rational driver solve. Output is the model
+    artifact — weights, R^2, n — HALF_UP-rounded only at this edge."""
+    from ct_mapreduce_spark.operators.regression import fit_linear, round_frac
+
+    feats = _ridge_features(_t(spark, sf_dir, "documents"))
+    fit = fit_linear(feats, _RIDGE_FEATURES, "y")
+    rows = [("intercept", round_frac(fit["weights"]["intercept"]))]
+    rows += [(f, round_frac(fit["weights"][f])) for f in _RIDGE_FEATURES]
+    rows += [("__r2__", round_frac(fit["r2"])), ("__n__", float(fit["n"]))]
+    return spark.createDataFrame(rows, "term STRING, value DOUBLE")
+
+
+@q("docs_ridge_scores", _pin("docs_ridge_scores"), "regression")
+def docs_ridge_scores(spark, sf_dir):
+    """Distributed scoring under the one-pass fit: per-doc prediction and
+    residual. predict_expr is pure codegen integer arithmetic (weights
+    enter as 1e6-scaled integers), so every engine computes the identical
+    double — no float fold order anywhere."""
+    from ct_mapreduce_spark.operators.regression import fit_linear, predict_expr
+
+    feats = _ridge_features(_t(spark, sf_dir, "documents"))
+    fit = fit_linear(feats, _RIDGE_FEATURES, "y")
+    scored = feats.select(
+        "doc_id",
+        F.col("y").cast("double").alias("y"),
+        predict_expr(fit["weights"], _RIDGE_FEATURES),
+    )
+    return scored.select(
+        "doc_id",
+        "y",
+        "prediction",
+        F.round(F.col("y") - F.col("prediction"), 6).alias("residual"),
+    )

@@ -64,3 +64,17 @@ def test_bpe_matches_engine_and_catches_corruption(spark):
     vocab = _spark_rows(spark, "docs_bpe_vocab")
     assert [tuple(r) for r in io_.docs_bpe_vocab(SF)] == vocab
     assert [tuple(r) for r in io_.docs_bpe_vocab(SF, n_merges=20)] != vocab
+
+
+def test_ridge_matches_engine_and_catches_corruption(spark):
+    engine = _spark_rows(spark, "docs_ridge_fit")
+    assert [tuple(r) for r in io_.docs_ridge_fit(SF)] == engine
+    # corrupting a moment (drop the last doc) must move the fit
+    import independent_oracle as m
+
+    real = m._ridge_rows
+    try:
+        m._ridge_rows = lambda sf: real(sf)[:-1]
+        assert [tuple(r) for r in io_.docs_ridge_fit(SF)] != engine
+    finally:
+        m._ridge_rows = real

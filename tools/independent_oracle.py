@@ -1031,3 +1031,111 @@ DERIVATIONS.update(
         "docs_bpe_top_tokens": docs_bpe_top_tokens,
     }
 )
+
+
+# ------------------------------------------------------------------ regression
+# Re-derivation of the one-pass linear fit from the DECLARED semantics in
+# operators/regression.py: exact integer moments, exact-rational solve of
+# the normal equations, HALF_UP rounding at the edge. Deliberately
+# different algorithm: Cramer determinants here vs the engine's Gaussian
+# elimination — exact rationals make both produce the identical solution,
+# so a moment-expression or elimination bug on either side fails the pin.
+
+from fractions import Fraction as _Fr
+
+
+def _ridge_rows(sf_dir: str) -> list[tuple]:
+    tbl = _read(sf_dir, "documents")
+    rows = []
+    for did, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        t = text or ""
+        words = [w for w in _tokens(t) if w]
+        rows.append((did, len(t), len(words), len(set(words))))
+    return rows
+
+
+def _det3(m: list[list[int]]) -> int:
+    return (
+        m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+        - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+        + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+    )
+
+
+def _ridge_solve(sf_dir: str):
+    """Cramer solve of the 3x3 OLS system. Returns (w: list[Fraction],
+    r2: Fraction, n, rows)."""
+    rows = _ridge_rows(sf_dir)
+    n = len(rows)
+    s = {}
+    for _, y, x1, x2 in rows:
+        cols = (1, x1, x2, y)
+        for i in range(4):
+            for j in range(i, 4):
+                s[(i, j)] = s.get((i, j), 0) + cols[i] * cols[j]
+
+    def m(i: int, j: int) -> int:
+        return s[(i, j)] if (i, j) in s else s[(j, i)]
+
+    a = [[m(i, j) for j in range(3)] for i in range(3)]
+    b = [m(i, 3) for i in range(3)]
+    det = _det3(a)
+    w = []
+    for c in range(3):
+        ac = [[b[i] if j == c else a[i][j] for j in range(3)] for i in range(3)]
+        w.append(_Fr(_det3(ac), det))
+    yy = _Fr(m(3, 3))
+    wxy = sum(wi * _Fr(b[i]) for i, wi in enumerate(w))
+    wgw = sum(
+        w[i] * w[j] * _Fr(a[i][j]) for i in range(3) for j in range(3)
+    )
+    sse = yy - 2 * wxy + wgw
+    sy = _Fr(m(0, 3))
+    sst = yy - sy * sy / _Fr(n)
+    r2 = _Fr(0) if sst == 0 else 1 - sse / sst
+    return w, r2, n, rows
+
+
+def _half_up_int(fr: _Fr) -> int:
+    """Nearest integer, ties away from zero (BigDecimal HALF_UP)."""
+    num, den = fr.numerator, fr.denominator
+    neg = num < 0
+    num = -num if neg else num
+    q = (2 * num + den) // (2 * den)
+    return -q if neg else q
+
+
+def _fr_round6(fr: _Fr) -> float:
+    return _half_up_int(fr * 10**6) / 10**6
+
+
+def docs_ridge_fit(sf_dir: str) -> list[tuple]:
+    w, r2, n, _ = _ridge_solve(sf_dir)
+    rows = [
+        ("intercept", _fr_round6(w[0])),
+        ("x_words", _fr_round6(w[1])),
+        ("x_distinct", _fr_round6(w[2])),
+        ("__r2__", _fr_round6(r2)),
+        ("__n__", float(n)),
+    ]
+    return sorted(rows)
+
+
+def docs_ridge_scores(sf_dir: str) -> list[tuple]:
+    w, _, _, rows = _ridge_solve(sf_dir)
+    w_int = [_half_up_int(wi * 10**6) for wi in w]
+    out = []
+    for did, y, x1, x2 in rows:
+        pred = float(w_int[0] + w_int[1] * x1 + w_int[2] * x2) / 1e6
+        out.append((did, float(y), pred, _round6(y - pred)))
+    return sorted(out)
+
+
+DERIVATIONS.update(
+    {
+        "docs_ridge_fit": docs_ridge_fit,
+        "docs_ridge_scores": docs_ridge_scores,
+    }
+)
