@@ -396,6 +396,14 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--boilerplate-min-docs", type=int, default=8)
     c.add_argument("--export-shards", type=int, default=2)
     c.add_argument(
+        "--bpe-model",
+        default=None,
+        help="pack in learned-BPE units: merge-table path (trained on "
+        "the first drop's corpus if absent, loaded if present — "
+        "successive drops share the tokenizer)",
+    )
+    c.add_argument("--bpe-merges", type=int, default=512)
+    c.add_argument(
         "--drop-tag",
         default=None,
         help="namespace for this drop's export/manifest (default: "
@@ -589,6 +597,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             drop_tag=args.drop_tag,
             strip_boilerplate=args.strip_boilerplate,
             boilerplate_min_docs=args.boilerplate_min_docs,
+            bpe_model=args.bpe_model,
+            bpe_merges=args.bpe_merges,
         )
         for k, v in stats.items():
             print(f"{k:18s} {v}")

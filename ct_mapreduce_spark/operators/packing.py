@@ -90,6 +90,7 @@ def pack_sequences(
     text_col: str = "text",
     order_col: str = "doc_id",
     n_buckets: int = 64,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Assign every document its span in the packed training stream.
 
@@ -97,6 +98,11 @@ def pack_sequences(
     unique — the deterministic corpus order); each occupies
     [start_offset, start_offset + n_tokens) in the global token stream;
     sequence s covers tokens [s*seq_len, (s+1)*seq_len).
+
+    `count_col`: pack by a precomputed per-doc token count (e.g. learned
+    BPE counts from operators/tokenizer.py:token_counts) instead of the
+    default whitespace tokenization of `text_col` — real training
+    streams are laid out in model-tokenizer units, not words.
 
     Returns (order_col, n_tokens, start_offset, seq_first, seq_last,
     n_seqs) with n_seqs = seq_last - seq_first + 1 (the number of
@@ -108,7 +114,11 @@ def pack_sequences(
     single-partition sort. Shuffle volume is one (order, n_tokens) pair
     per row; the text column is pruned before the exchange.
     """
-    ntok = F.size(tokens(text_col)).cast("long")
+    ntok = (
+        F.col(count_col).cast("long")
+        if count_col is not None
+        else F.size(tokens(text_col)).cast("long")
+    )
     base = docs.select(F.col(order_col), ntok.alias("n_tokens"))
     bucket, off_df = _bucket_offsets(base, order_col, "n_tokens", n_buckets)
     w = (

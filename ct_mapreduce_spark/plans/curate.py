@@ -71,6 +71,8 @@ def curate_crawl(
     drop_tag: str | None = None,
     strip_boilerplate: bool = False,
     boilerplate_min_docs: int = 8,
+    bpe_model: str | None = None,
+    bpe_merges: int = 512,
 ) -> dict:
     """Run the full curation pass; returns stage-count stats (including
     the resolved drop tag). Writes {workdir}/mh_index (created on first
@@ -83,7 +85,15 @@ def curate_crawl(
     of THIS drop's pages (site templates, nav bars, license headers) are
     stripped before quality scoring and signing, so the gate judges
     substantive text and near-dup signatures aren't dominated by shared
-    chrome; adds `boiler_tokens_removed` to the stats."""
+    chrome; adds `boiler_tokens_removed` to the stats.
+
+    bpe_model: pack the training stream in LEARNED-tokenizer units
+    instead of whitespace words. The path is the merge-table artifact:
+    trained on this drop's balanced corpus and saved there if absent,
+    loaded if present — so successive drops pack under the SAME
+    tokenizer (offsets stay comparable across the corpus), exactly like
+    mh_index persists across drops. The export rows gain a per-doc
+    `n_bpe_tokens` field; stats gain `bpe_merges`."""
     from ct_mapreduce_spark.operators import dedup_fuzzy, sampling, text
     from ct_mapreduce_spark.operators.packing import (
         pack_sequences,
@@ -226,7 +236,30 @@ def curate_crawl(
     )
     n_balanced = balanced.count()
 
-    packed = pack_sequences(balanced, seq_len=seq_len, n_buckets=64)
+    count_col = None
+    n_bpe_merges = None
+    if bpe_model is not None:
+        from ct_mapreduce_spark.operators import tokenizer
+
+        if os.path.exists(os.path.join(bpe_model, "_SUCCESS")):
+            merges = tokenizer.load_merges(spark, bpe_model)
+        else:
+            merges = tokenizer.bpe_train(
+                tokenizer.word_frequencies(balanced, top_v=65536),
+                n_merges=bpe_merges,
+            )
+            tokenizer.save_merges(spark, merges, bpe_model)
+        n_bpe_merges = len(merges)
+        # Stage boundary 4b: the Python encode runs once; both the pack
+        # and the export read the materialized counts.
+        balanced = tokenizer.token_counts(balanced, merges).localCheckpoint(
+            eager=True
+        )
+        count_col = "n_bpe_tokens"
+
+    packed = pack_sequences(
+        balanced, seq_len=seq_len, n_buckets=64, count_col=count_col
+    )
     manifest = shard_manifest(
         packed, seq_len=seq_len, seqs_per_shard=seqs_per_shard
     )
@@ -245,4 +278,6 @@ def curate_crawl(
     }
     if n_boiler_tokens is not None:
         stats["boiler_tokens_removed"] = int(n_boiler_tokens)
+    if n_bpe_merges is not None:
+        stats["bpe_merges"] = n_bpe_merges
     return stats

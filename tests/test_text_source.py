@@ -393,3 +393,43 @@ def test_warc_to_curation_pipeline(spark, tmp_path):
     stats = text_stats(docs)
     assert stats.count() == 10
     assert stats.where(F.col("n_tokens") <= 0).count() == 0
+
+
+def test_curate_bpe_packing(spark, tmp_path):
+    """curate_crawl with bpe_model: the first drop trains and saves the
+    merge table, the manifest's token totals are BPE counts (not
+    whitespace words), the export rows carry n_bpe_tokens, and a second
+    workdir reuses the stored model instead of retraining."""
+    from ct_mapreduce_spark.operators import tokenizer
+    from ct_mapreduce_spark.plans.curate import curate_crawl
+    from ct_mapreduce_spark.sources import text_source
+
+    crawl = str(tmp_path / "c")
+    text_source.synthetic_warc_html_fixture(crawl, n=48)
+    model = str(tmp_path / "bpe")
+    wd = str(tmp_path / "wd")
+    s1 = curate_crawl(spark, crawl, wd, bpe_model=model, bpe_merges=64)
+    assert s1["bpe_merges"] > 0
+    merges = tokenizer.load_merges(spark, model)
+    assert len(merges) == s1["bpe_merges"]
+
+    exported = spark.read.option("compression", "gzip").json(
+        wd + "/export/drop=drop-0000"
+    )
+    assert "n_bpe_tokens" in exported.columns
+    from pyspark.sql import functions as F
+
+    total_bpe = exported.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    manifest = spark.read.parquet(wd + "/manifest/drop=drop-0000")
+    assert manifest.agg(F.sum("n_tokens")).collect()[0][0] == total_bpe
+
+    # a fresh workdir against the SAME model path loads, not retrains:
+    # the merge table on disk is byte-identical after the second run
+    import os
+
+    before = sorted(os.listdir(model))
+    wd2 = str(tmp_path / "wd2")
+    s2 = curate_crawl(spark, crawl, wd2, bpe_model=model, bpe_merges=64)
+    assert s2["bpe_merges"] == s1["bpe_merges"]
+    assert sorted(os.listdir(model)) == before
+    assert tokenizer.load_merges(spark, model) == merges
