@@ -278,3 +278,78 @@ def load_merges(spark, path: str) -> list[tuple[str, str]]:
     """Read a save_merges artifact back into training order."""
     rows = spark.read.parquet(path).orderBy("mrank").collect()
     return [(r["lhs"], r["rhs"]) for r in rows]
+
+
+# ------------------------------------------------------------------ token ids
+
+
+def bpe_vocab(
+    merges: list[tuple[str, str]], base_symbols: Iterable[str]
+) -> dict[str, int]:
+    """Deterministic token->id mapping: the sorted base alphabet (single
+    symbols observed at training time, including the END marker) takes
+    ids [0, |alphabet|), then merged tokens in merge order. Symbols not
+    in the vocabulary encode as -1 (UNK) — the contract for characters
+    never seen in training."""
+    vocab: dict[str, int] = {}
+    for s in sorted(set(base_symbols) | {END}):
+        vocab[s] = len(vocab)
+    for a, b in merges:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab
+
+
+def alphabet_of(freq: DataFrame | Iterable[tuple[str, int]]) -> set[str]:
+    """The base alphabet induced by a frequency table: every code point
+    of every word (END is added by bpe_vocab)."""
+    if isinstance(freq, DataFrame):
+        words = [r["word"] for r in freq.select("word").collect()]
+    else:
+        words = [w for w, _ in freq]
+    return {c for w in words for c in w}
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Append an array<long> column of token ids — the training-ready
+    output shape (what a dataloader consumes, with `pack_sequences`
+    spans laid over it). Same memoized mapInPandas as bpe_encode; ids
+    resolve through `vocab`, unknown tokens to -1."""
+    out_schema = T.StructType(
+        list(docs.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.LongType()))]
+    )
+    mlist = list(merges)
+    vmap = dict(vocab)
+
+    def run(batches: Iterator) -> Iterator:
+        memo: dict[str, list[int]] = {}
+
+        def enc_doc(text: str) -> list[int]:
+            if text is None:
+                return []
+            out: list[int] = []
+            for w in _JAVA_WS.split(text.strip(" ")):
+                if not w:
+                    continue
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = [
+                        vmap.get(t, -1) for t in _encode_word(w, mlist)
+                    ]
+                out.extend(got)
+            return out
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[text_col].map(enc_doc)
+            yield pdf
+
+    return docs.mapInPandas(run, schema=out_schema)

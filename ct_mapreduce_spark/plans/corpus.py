@@ -4837,3 +4837,51 @@ def docs_ridge_scores(spark, sf_dir):
         "prediction",
         F.round(F.col("y") - F.col("prediction"), 6).alias("residual"),
     )
+
+
+@q("docs_bpe_vocab_ids", _pin("docs_bpe_vocab_ids"), "tokenizer")
+def docs_bpe_vocab_ids(spark, sf_dir):
+    """The id-numbered vocabulary: sorted base alphabet first, merged
+    tokens in merge order after — the exact table a dataloader's
+    id->token lookup ships with. Driver-built (model-sized), pinned via
+    the independent derivation."""
+    from ct_mapreduce_spark.operators.tokenizer import (
+        alphabet_of,
+        bpe_vocab,
+        word_frequencies,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    freq = word_frequencies(docs, top_v=8192)
+    rows_f = [(r["word"], int(r["n"])) for r in freq.collect()]
+    vocab = bpe_vocab(_bpe_merges(spark, sf_dir), alphabet_of(rows_f))
+    return spark.createDataFrame(
+        sorted((tid, tok) for tok, tid in vocab.items()),
+        "token_id BIGINT, token STRING",
+    )
+
+
+@q("docs_bpe_token_ids", _pin("docs_bpe_token_ids"), "tokenizer")
+def docs_bpe_token_ids(spark, sf_dir):
+    """Training-ready id streams for a deterministic document sample
+    (doc_id % 25 == 0), exploded to (doc_id, pos, token_id) scalar rows
+    so the pin gate hashes every position. The memoized mapInPandas
+    encode resolves ids through the stored vocabulary; -1 is the UNK
+    contract for symbols unseen at training time."""
+    from ct_mapreduce_spark.operators.tokenizer import (
+        alphabet_of,
+        bpe_encode_ids,
+        bpe_vocab,
+        word_frequencies,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    freq = word_frequencies(docs, top_v=8192)
+    rows_f = [(r["word"], int(r["n"])) for r in freq.collect()]
+    merges = _bpe_merges(spark, sf_dir)
+    vocab = bpe_vocab(merges, alphabet_of(rows_f))
+    sample = docs.where(F.col("doc_id") % 25 == 0)
+    enc = bpe_encode_ids(sample, merges, vocab)
+    return enc.select(
+        "doc_id", F.posexplode("token_ids").alias("pos", "token_id")
+    )

@@ -150,3 +150,38 @@ def test_seeded_shuffle_permutation(spark):
         for r in seeded_shuffle(docs, "doc_id", seed=8, n_shards=8).collect()
     )
     assert other != sorted(rows)
+
+
+def test_vocab_ids_and_unk(spark):
+    """bpe_vocab numbers the sorted alphabet then merges in order;
+    encode_ids round-trips through the inverse vocab, and unseen
+    characters resolve to -1."""
+    from ct_mapreduce_spark.operators.tokenizer import (
+        alphabet_of,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    merges = bpe_train(SENNRICH, n_merges=8)
+    alphabet = alphabet_of(SENNRICH)
+    vocab = bpe_vocab(merges, alphabet)
+    # alphabet ids come first and are dense
+    base = sorted(alphabet | {END})
+    assert [vocab[s] for s in base] == list(range(len(base)))
+    # merged tokens follow in merge order
+    merged_ids = [vocab[a + b] for a, b in merges if a + b in vocab]
+    assert merged_ids == sorted(merged_ids)
+
+    docs = spark.createDataFrame(
+        [(1, "low newest"), (2, "zebra?")], "doc_id BIGINT, text STRING"
+    )
+    enc = {
+        r["doc_id"]: r["token_ids"]
+        for r in bpe_encode_ids(docs, merges, vocab).collect()
+    }
+    inv = {i: t for t, i in vocab.items()}
+    # round-trip doc 1 through the inverse vocab
+    text1 = "".join(inv[i] for i in enc[1]).replace(END, " ").rstrip()
+    assert text1 == "low newest"
+    # 'z', 'b', 'r', 'a', '?' were never in training: UNK ids present
+    assert -1 in enc[2]

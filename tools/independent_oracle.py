@@ -1139,3 +1139,55 @@ DERIVATIONS.update(
         "docs_ridge_scores": docs_ridge_scores,
     }
 )
+
+
+def _bpe_vocab_map(sf_dir: str) -> tuple[dict, list]:
+    freq = _bpe_capped_freq(sf_dir)
+    merges = _bpe_train_naive(freq)
+    alphabet = {c for w in freq for c in w} | {_BPE_END}
+    vocab: dict[str, int] = {}
+    for s in sorted(alphabet):
+        vocab[s] = len(vocab)
+    for a, b in merges:
+        if a + b not in vocab:
+            vocab[a + b] = len(vocab)
+    return vocab, merges
+
+
+def docs_bpe_vocab_ids(sf_dir: str) -> list[tuple]:
+    vocab, _ = _bpe_vocab_map(sf_dir)
+    return sorted((tid, tok) for tok, tid in vocab.items())
+
+
+def docs_bpe_token_ids(sf_dir: str) -> list[tuple]:
+    vocab, merges = _bpe_vocab_map(sf_dir)
+    ranks = {p: i for i, p in enumerate(merges)}
+    tbl = _read(sf_dir, "documents")
+    memo: dict[str, list] = {}
+    out = []
+    for did, t in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        if did % 25 != 0:
+            continue
+        pos = 0
+        for w in _tokens(t or ""):
+            if not w:
+                continue
+            if w not in memo:
+                memo[w] = [
+                    vocab.get(tok, -1)
+                    for tok in _bpe_encode_minrank(w, ranks)
+                ]
+            for tid in memo[w]:
+                out.append((did, pos, tid))
+                pos += 1
+    return sorted(out)
+
+
+DERIVATIONS.update(
+    {
+        "docs_bpe_vocab_ids": docs_bpe_vocab_ids,
+        "docs_bpe_token_ids": docs_bpe_token_ids,
+    }
+)
