@@ -64,6 +64,10 @@ HEADLINE = [
     # tokenize-with-a-trained-tokenizer number, the serving-path cost.
     "docs_bpe_token_stats",
     "docs_seeded_shuffle",
+    # docs_token_budget runs the full DSIR pipeline (weights -> scores ->
+    # budget prefix sum) — the selection-path headliner covers all three
+    # new operators in one number.
+    "docs_token_budget",
 ]
 
 # min-of-3: the first run pays JIT/codegen warmup and local-mode timings

@@ -1,0 +1,226 @@
+"""Data selection: DSIR-style importance weighting + token-budget picks.
+
+Two curation-side selection tools a training-data pipeline runs after
+cleaning and dedup:
+
+1. **Hashed n-gram importance weights (DSIR-style).** Following the
+   published importance-resampling recipe (Xie et al. 2023, "Data
+   Selection for Language Models via Importance Resampling"): hash every
+   unigram and bigram of a TARGET corpus (the distribution you want more
+   of) and of the RAW corpus into `n_buckets` buckets, smooth the two
+   bucket-frequency profiles (add-one over buckets), and give each
+   bucket the log-likelihood ratio log(p_target / p_raw). A document's
+   importance score is the sum of its grams' bucket weights — high when
+   the document's n-gram profile looks like the target.
+
+   Determinism contract (the repo-wide exact-arithmetic rule): bucket
+   ids come from the md5-prefix integer both engines share (the
+   `mixture_rebalance` device), and the per-bucket log-ratio is rounded
+   ONCE to an integer micro-weight (`round(ln(...) * 1e6)` as BIGINT).
+   Document scores are then pure integer sums — order-independent, so
+   the Spark plan and the DuckDB oracle hash-match bit-for-bit no matter
+   how either engine schedules the aggregation. Floats never survive
+   past the model-sized weight table.
+
+2. **Token-budget selection.** "Fill a 10B-token training budget with
+   the best documents": order by a score (descending, doc id tiebreak)
+   and keep every document whose inclusive running token total still
+   fits the budget. The running total is the packing module's two-phase
+   distributed prefix sum (bucket totals -> driver prefix of model-sized
+   subtotals -> per-bucket windows) — never a global single-partition
+   ORDER BY window, which is the plan that dies at 100 TB.
+
+Scale posture: gram hashing and bucket assignment are codegen-side
+(md5/conv/%); the weight table is `n_buckets` rows — model parameters,
+broadcastable; scoring is explode -> broadcast join -> map-side-combined
+groupBy(doc) whose shuffle carries ONE narrow row per document (the
+exploded gram rows collapse locally before the exchange); budget
+selection shuffles one (id, score, n_tokens) triple per row.
+
+No reference analog (jcjones/ct-mapreduce has no corpus-selection
+concept); extends the LLM-pipeline suite the way packing/sampling do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ct_mapreduce_spark.operators.packing import _bucket_offsets
+from ct_mapreduce_spark.operators.text import gram_stream, tokens
+
+
+def dsir_grams(text_col: str = "text") -> Column:
+    """The hashed-feature gram stream: every unigram plus every bigram,
+    in document order, duplicates kept (frequencies are the feature).
+    Empty-text documents contribute nothing (split yields [''], which
+    the unigram filter drops and the bigram guard never reaches)."""
+    uni = F.array_remove(tokens(text_col), "")
+    return F.concat(uni, gram_stream(text_col, 2))
+
+
+def gram_bucket(gram: Column, n_buckets: int) -> Column:
+    """Hash a gram to a bucket id shared exactly with the SQL oracle:
+    first 8 hex chars of md5 as an integer, mod n_buckets. Non-negative
+    (the 32-bit prefix is), so % and pmod agree across engines."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+        % F.lit(int(n_buckets))
+    ).cast("long")
+
+
+def _bucket_counts(
+    df: DataFrame, text_col: str, n_buckets: int, out_col: str
+) -> DataFrame:
+    return (
+        df.select(F.explode(dsir_grams(text_col)).alias("_g"))
+        .select(gram_bucket(F.col("_g"), n_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias(out_col))
+    )
+
+
+def dsir_weights(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """The learned importance model: one row per bucket with the target
+    and raw gram counts and the integer micro-weight
+    `round(ln(((t+1)*(R+B)) / ((r+1)*(T+B))) * 1e6)` (add-one smoothing
+    over B buckets; T, R are total gram counts). `n_buckets` rows —
+    model parameters. The whole-frame window that derives T and R runs
+    over this bounded frame (the mixture_rebalance pattern), never the
+    corpus.
+
+    The ratio is computed as ONE product-over-product division so both
+    engines evaluate the identical IEEE expression tree; ln is the only
+    libm-vs-JVM 1-ulp surface and sits behind a 1e-6 rounding grid."""
+    spark = target.sparkSession
+    spine = spark.range(int(n_buckets)).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    joined = (
+        spine.join(
+            _bucket_counts(target, text_col, n_buckets, "target_n"),
+            "bucket",
+            "left",
+        )
+        .join(_bucket_counts(raw, text_col, n_buckets, "raw_n"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("target_n", F.lit(0)).cast("long").alias("target_n"),
+            F.coalesce("raw_n", F.lit(0)).cast("long").alias("raw_n"),
+        )
+    )
+    whole = W.partitionBy(F.lit(0))
+    b = float(int(n_buckets))
+    t_tot = F.sum("target_n").over(whole).cast("double")
+    r_tot = F.sum("raw_n").over(whole).cast("double")
+    ratio = (
+        (F.col("target_n").cast("double") + F.lit(1.0)) * (r_tot + F.lit(b))
+    ) / ((F.col("raw_n").cast("double") + F.lit(1.0)) * (t_tot + F.lit(b)))
+    return joined.select(
+        "bucket",
+        "target_n",
+        "raw_n",
+        F.round(F.log(ratio) * F.lit(1_000_000.0)).cast("long").alias(
+            "weight_micro"
+        ),
+    )
+
+
+def dsir_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per-document importance score: the integer sum of the document's
+    gram bucket micro-weights (exact — no float accumulation), plus the
+    gram count. Documents with no grams (empty text) score 0.
+
+    Plan: explode_outer grams (a gramless document keeps one null row,
+    so no second corpus-sized join is needed to resurrect it) -> codegen
+    bucket hash -> broadcast LEFT join against the model-sized weight
+    table -> groupBy(id) whose map-side combine collapses each
+    document's gram rows locally, so the shuffle carries one row per
+    document. ONE corpus exchange total."""
+    g = docs.select(
+        F.col(id_col), F.explode_outer(dsir_grams(text_col)).alias("_g")
+    ).select(id_col, gram_bucket(F.col("_g"), n_buckets).alias("bucket"))
+    return (
+        g.join(
+            F.broadcast(weights.select("bucket", "weight_micro")),
+            "bucket",
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(F.sum("weight_micro"), F.lit(0))
+            .cast("long")
+            .alias("dsir_score_micro"),
+            F.count("bucket").cast("long").alias("n_grams"),
+        )
+    )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    id_col: str = "doc_id",
+    count_col: str | None = None,
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Keep the highest-`score_col` rows whose inclusive running token
+    total fits `budget`, ordering by (score DESC, id ASC). Returns
+    (id, score, n_tokens, cum_tokens) for the kept rows — cum_tokens is
+    the running total including the row itself, so max(cum_tokens) is
+    the budget actually spent.
+
+    `count_col`: a precomputed per-row token count; default whitespace
+    tokenization of `text_col` (the pack_sequences convention).
+
+    The running total is the two-phase distributed prefix sum from
+    operators/packing.py over the order key `-score` (ascending negated
+    score == descending score; equal scores share a bucket by
+    construction, and the within-bucket window breaks ties on id) —
+    bucket totals visit the driver as model parameters, the corpus-side
+    sort is per-bucket. Pure integer arithmetic: the kept set is a
+    deterministic function of the data and an ordinary window cumsum
+    reproduces it bit-for-bit.
+
+    The input frame is evaluated up to three times (min/max + bucket
+    totals driver actions, then the final pass) — localCheckpoint an
+    expensive upstream (e.g. a full scoring pipeline) before calling."""
+    ntok = (
+        F.col(count_col).cast("long")
+        if count_col is not None
+        else F.size(tokens(text_col)).cast("long")
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(score_col),
+        ntok.alias("n_tokens"),
+    ).withColumn("_ord", -F.col(score_col).cast("double"))
+    bucket, off_df = _bucket_offsets(base, "_ord", "n_tokens", n_buckets)
+    w = (
+        W.partitionBy("_bucket")
+        .orderBy("_ord", id_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    staged = (
+        base.withColumn("_bucket", bucket)
+        .join(F.broadcast(off_df), "_bucket")
+        .withColumn(
+            "cum_tokens",
+            (F.sum("n_tokens").over(w) + F.col("_bucket_off")).cast("long"),
+        )
+    )
+    return staged.where(F.col("cum_tokens") <= int(budget)).select(
+        id_col, score_col, "n_tokens", "cum_tokens"
+    )

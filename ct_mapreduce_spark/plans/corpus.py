@@ -4885,3 +4885,158 @@ def docs_bpe_token_ids(spark, sf_dir):
     return enc.select(
         "doc_id", F.posexplode("token_ids").alias("pos", "token_id")
     )
+
+
+# --- DSIR-style importance selection (operators/selection.py) ---------
+# Shared oracle fragments: the hashed gram stream (unigrams + bigrams,
+# md5-prefix bucket ids — the mixture_rebalance hashing device) and the
+# 256-bucket integer micro-weight table. Determinism rests on the
+# repo-wide exact-arithmetic rule: the log-ratio is rounded ONCE into an
+# integer weight, so document scores are order-independent integer sums
+# and both engines hash-match bit-for-bit.
+
+_DSIR_GRAMS = r"""toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(
+               list_filter(w, t -> t <> ''),
+               list_transform(generate_series(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i + 1])
+             )) AS g
+      FROM toks
+    ), gb AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 256 AS bucket
+      FROM grams
+    )"""
+
+_DSIR_WEIGHTS = r"""tc AS (
+      SELECT bucket, count(*) AS n FROM gb WHERE lang = 'en' GROUP BY bucket
+    ), rc AS (
+      SELECT bucket, count(*) AS n FROM gb GROUP BY bucket
+    ), spine AS (
+      SELECT range AS bucket FROM range(0, 256)
+    ), j AS (
+      SELECT s.bucket,
+             CAST(COALESCE(tc.n, 0) AS BIGINT) AS target_n,
+             CAST(COALESCE(rc.n, 0) AS BIGINT) AS raw_n
+      FROM spine s LEFT JOIN tc ON s.bucket = tc.bucket
+                   LEFT JOIN rc ON s.bucket = rc.bucket
+    ), wt AS (
+      SELECT bucket, target_n, raw_n,
+             CAST(round(ln(
+               ((CAST(target_n AS DOUBLE) + 1.0)
+                 * (CAST(CAST(SUM(raw_n) OVER () AS BIGINT) AS DOUBLE)
+                    + 256.0))
+               / ((CAST(raw_n AS DOUBLE) + 1.0)
+                 * (CAST(CAST(SUM(target_n) OVER () AS BIGINT) AS DOUBLE)
+                    + 256.0))
+             ) * 1000000.0) AS BIGINT) AS weight_micro
+      FROM j
+    )"""
+
+_DSIR_SCORES = r"""s AS (
+      SELECT gb.doc_id,
+             CAST(SUM(wt.weight_micro) AS BIGINT) AS dsir_score_micro,
+             CAST(count(*) AS BIGINT) AS n_grams
+      FROM gb JOIN wt USING (bucket) GROUP BY gb.doc_id
+    )"""
+
+
+@q(
+    "docs_dsir_weights",
+    "WITH " + _DSIR_GRAMS + ", " + _DSIR_WEIGHTS
+    + "\n    SELECT bucket, target_n, raw_n, weight_micro FROM wt",
+    "selection",
+)
+def docs_dsir_weights(spark, sf_dir):
+    """DSIR importance model (operators/selection.py:dsir_weights):
+    hashed unigram+bigram bucket counts for the target distribution
+    (lang='en' documents) vs the raw corpus, and the add-one-smoothed
+    integer micro-weight round(ln(((t+1)(R+B))/((r+1)(T+B)))*1e6) per
+    bucket. 256 rows — model parameters. The totals window runs over
+    the bounded bucket frame, never the corpus."""
+    from ct_mapreduce_spark.operators.selection import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_weights(d.where(F.col("lang") == "en"), d, n_buckets=256)
+
+
+@q(
+    "docs_dsir_scores",
+    "WITH " + _DSIR_GRAMS + ", " + _DSIR_WEIGHTS + ", " + _DSIR_SCORES
+    + r"""
+    SELECT d.doc_id,
+           CAST(COALESCE(s.dsir_score_micro, 0) AS BIGINT)
+             AS dsir_score_micro,
+           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams
+    FROM documents d LEFT JOIN s USING (doc_id)""",
+    "selection",
+)
+def docs_dsir_scores(spark, sf_dir):
+    """Per-document DSIR importance score: the exact integer sum of the
+    document's gram bucket micro-weights under the lang='en' target
+    model. Explode -> codegen md5 bucket -> broadcast join against the
+    256-row weight table -> map-side-combined groupBy(doc) — the shuffle
+    carries one row per document."""
+    from ct_mapreduce_spark.operators.selection import dsir_score, dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    w = dsir_weights(d.where(F.col("lang") == "en"), d, n_buckets=256)
+    return dsir_score(d, w, n_buckets=256)
+
+
+@q(
+    "docs_token_budget",
+    "WITH " + _DSIR_GRAMS + ", " + _DSIR_WEIGHTS + ", " + _DSIR_SCORES
+    + r""", t AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(s.dsir_score_micro, 0) AS BIGINT)
+               AS dsir_score_micro,
+             CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents d LEFT JOIN s USING (doc_id)
+    ), c AS (
+      SELECT doc_id, dsir_score_micro, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               ORDER BY dsir_score_micro DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, dsir_score_micro, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 8000""",
+    "selection",
+)
+def docs_token_budget(spark, sf_dir):
+    """Token-budget selection (operators/selection.py:
+    select_token_budget): fill an 8,000-token budget with the highest
+    DSIR-scoring documents (score DESC, doc_id tiebreak), keeping every
+    row whose inclusive running token total still fits. The oracle is an
+    ordinary window cumsum; the engine computes the SAME integer result
+    via the packing module's two-phase distributed prefix sum over the
+    negated-score order key — no global single-partition window. The
+    narrow (id, score, n_tokens) frame is localCheckpointed so the
+    scoring pipeline runs once, not once per bounded driver action."""
+    from ct_mapreduce_spark.operators.selection import (
+        dsir_score,
+        dsir_weights,
+        select_token_budget,
+    )
+    from ct_mapreduce_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    w = dsir_weights(d.where(F.col("lang") == "en"), d, n_buckets=256)
+    scored = dsir_score(d, w, n_buckets=256)
+    frame = (
+        d.select(
+            "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+        )
+        .join(scored.select("doc_id", "dsir_score_micro"), "doc_id")
+        .localCheckpoint()
+    )
+    return select_token_budget(
+        frame, 8000, "dsir_score_micro", count_col="n_tokens"
+    )
