@@ -404,6 +404,27 @@ def build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("--bpe-merges", type=int, default=512)
     c.add_argument(
+        "--token-budget",
+        type=int,
+        default=None,
+        help="cap the drop's exported corpus at this many tokens (BPE "
+        "units with --bpe-model, whitespace words otherwise), keeping "
+        "the highest DSIR-scoring documents",
+    )
+    c.add_argument(
+        "--dsir-target",
+        default=None,
+        help="JSONL dir of target-distribution documents the DSIR "
+        "importance model trains against (first drop)",
+    )
+    c.add_argument(
+        "--dsir-model",
+        default=None,
+        help="DSIR weight-table path (trained+saved on the first drop "
+        "if absent, loaded after — successive drops select under the "
+        "same importance model)",
+    )
+    c.add_argument(
         "--drop-tag",
         default=None,
         help="namespace for this drop's export/manifest (default: "
@@ -599,6 +620,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             boilerplate_min_docs=args.boilerplate_min_docs,
             bpe_model=args.bpe_model,
             bpe_merges=args.bpe_merges,
+            token_budget=args.token_budget,
+            dsir_target=args.dsir_target,
+            dsir_model=args.dsir_model,
         )
         for k, v in stats.items():
             print(f"{k:18s} {v}")

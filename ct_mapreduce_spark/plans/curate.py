@@ -6,8 +6,10 @@ examples/crawl_pipeline.py:
 
   WARC -> HTTP header strip -> HTML-to-text -> quality gate
        -> incremental MinHash dedup (probe index, append survivors)
-       -> language mixture rebalance -> sequence packing
-       -> shard manifest -> gzipped JSONL export
+       -> language mixture rebalance
+       -> [optional] DSIR token-budget selection (keep the docs most
+          like a target distribution until the budget fills)
+       -> sequence packing -> shard manifest -> gzipped JSONL export
 
 The dedup index persists under {workdir}/mh_index across invocations —
 run the command per crawl drop and each batch dedups against everything
@@ -73,6 +75,10 @@ def curate_crawl(
     boilerplate_min_docs: int = 8,
     bpe_model: str | None = None,
     bpe_merges: int = 512,
+    token_budget: int | None = None,
+    dsir_target: str | None = None,
+    dsir_model: str | None = None,
+    dsir_buckets: int = 4096,
 ) -> dict:
     """Run the full curation pass; returns stage-count stats (including
     the resolved drop tag). Writes {workdir}/mh_index (created on first
@@ -93,7 +99,19 @@ def curate_crawl(
     loaded if present — so successive drops pack under the SAME
     tokenizer (offsets stay comparable across the corpus), exactly like
     mh_index persists across drops. The export rows gain a per-doc
-    `n_bpe_tokens` field; stats gain `bpe_merges`."""
+    `n_bpe_tokens` field; stats gain `bpe_merges`.
+
+    token_budget: cap the drop's exported corpus at this many tokens
+    (BPE units when bpe_model is active, whitespace words otherwise),
+    keeping the documents that look most like the TARGET distribution:
+    scores come from the DSIR importance model
+    (operators/selection.py), trained against `dsir_target` (a JSONL
+    dir of target-distribution documents) with this drop's balanced
+    corpus as the raw side. `dsir_model` persists the weight table like
+    mh_index/bpe_model — trained+saved on the first drop if absent,
+    loaded thereafter, so successive drops select under the SAME
+    importance model. Stats gain `after_budget` (docs kept) and
+    `budget_tokens` (tokens actually spent, <= token_budget)."""
     from ct_mapreduce_spark.operators import dedup_fuzzy, sampling, text
     from ct_mapreduce_spark.operators.packing import (
         pack_sequences,
@@ -257,6 +275,68 @@ def curate_crawl(
         )
         count_col = "n_bpe_tokens"
 
+    n_selected = None
+    budget_spent = None
+    if token_budget is not None:
+        from ct_mapreduce_spark.operators.selection import (
+            dsir_score,
+            dsir_weights,
+            select_token_budget,
+        )
+
+        if dsir_model is not None and os.path.exists(
+            os.path.join(dsir_model, "_SUCCESS")
+        ):
+            weights = spark.read.parquet(dsir_model)
+            n_buckets = weights.count()  # model-sized frame
+        else:
+            if dsir_target is None:
+                raise ValueError(
+                    "token_budget needs dsir_target (to train the "
+                    "importance model) or an existing dsir_model"
+                )
+            n_buckets = int(dsir_buckets)
+            target = text_source.read_jsonl(spark, dsir_target).where(
+                F.col("text").isNotNull()
+            )
+            weights = dsir_weights(target, balanced, n_buckets=n_buckets)
+            if dsir_model is not None:
+                weights.coalesce(1).write.mode("overwrite").parquet(
+                    dsir_model
+                )
+                weights = spark.read.parquet(dsir_model)
+        scored = dsir_score(balanced, weights, n_buckets=n_buckets)
+        ntok = (
+            F.col(count_col)
+            if count_col is not None
+            else F.size(text.tokens("text"))
+        )
+        # narrow (id, score, n_tokens) frame, checkpointed: the prefix
+        # sum's two bounded driver actions and the final pass must not
+        # re-run the scoring pipeline (selection.py docstring contract)
+        frame = (
+            balanced.select(
+                "doc_id", ntok.cast("long").alias("_budget_tokens")
+            )
+            .join(scored.select("doc_id", "dsir_score_micro"), "doc_id")
+            .localCheckpoint(eager=True)
+        )
+        picked = select_token_budget(
+            frame,
+            int(token_budget),
+            "dsir_score_micro",
+            count_col="_budget_tokens",
+        ).localCheckpoint(eager=True)
+        n_selected = picked.count()
+        budget_spent = int(
+            picked.agg(F.max("cum_tokens")).collect()[0][0] or 0
+        )
+        # Stage boundary 4c: the budget-selected corpus — the pack, the
+        # manifest write and the export write all read this frame.
+        balanced = balanced.join(
+            picked.select("doc_id"), "doc_id", "left_semi"
+        ).localCheckpoint(eager=True)
+
     packed = pack_sequences(
         balanced, seq_len=seq_len, n_buckets=64, count_col=count_col
     )
@@ -280,4 +360,7 @@ def curate_crawl(
         stats["boiler_tokens_removed"] = int(n_boiler_tokens)
     if n_bpe_merges is not None:
         stats["bpe_merges"] = n_bpe_merges
+    if n_selected is not None:
+        stats["after_budget"] = n_selected
+        stats["budget_tokens"] = budget_spent
     return stats

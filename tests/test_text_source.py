@@ -433,3 +433,92 @@ def test_curate_bpe_packing(spark, tmp_path):
     assert s2["bpe_merges"] == s1["bpe_merges"]
     assert sorted(os.listdir(model)) == before
     assert tokenizer.load_merges(spark, model) == merges
+
+
+def test_curate_token_budget(spark, tmp_path):
+    """curate_crawl with a DSIR token budget: the export is capped at
+    the budget (inclusive running total), selection keeps the
+    highest-importance docs, the trained weight table persists at
+    dsir_model, and a later run with NO target reuses it. Selection
+    ordering correctness itself is covered by tests/test_selection.py;
+    this test owns the pipeline wiring."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ct_mapreduce_spark.plans.curate import curate_crawl
+    from ct_mapreduce_spark.sources import text_source
+
+    crawl = str(tmp_path / "c")
+    text_source.synthetic_warc_html_fixture(crawl, n=48)
+
+    # un-budgeted reference drop: total whitespace tokens of the export
+    wd0 = str(tmp_path / "wd0")
+    s0 = curate_crawl(spark, crawl, wd0)
+    exported0 = spark.read.option("compression", "gzip").json(
+        wd0 + "/export/drop=drop-0000"
+    )
+    total_tokens = exported0.agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).collect()[0][0]
+    assert total_tokens > 0
+
+    # target distribution: a handful of the corpus's own pages as JSONL
+    target_dir = tmp_path / "target"
+    target_dir.mkdir()
+    sample = exported0.limit(5).collect()
+    (target_dir / "t.jsonl").write_text(
+        "\n".join(
+            json.dumps(
+                {"doc_id": i, "text": r["text"], "lang": "en"}
+            )
+            for i, r in enumerate(sample)
+        )
+    )
+
+    budget = int(total_tokens) // 2
+    model = str(tmp_path / "dsir")
+    wd1 = str(tmp_path / "wd1")
+    s1 = curate_crawl(
+        spark,
+        crawl,
+        wd1,
+        token_budget=budget,
+        dsir_target=str(target_dir),
+        dsir_model=model,
+        dsir_buckets=256,
+    )
+    assert 0 < s1["after_budget"] < s1["after_mixture"]
+    assert 0 < s1["budget_tokens"] <= budget
+    exported1 = spark.read.option("compression", "gzip").json(
+        wd1 + "/export/drop=drop-0000"
+    )
+    assert exported1.count() == s1["after_budget"]
+    assert (
+        exported1.agg(
+            F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        ).collect()[0][0]
+        == s1["budget_tokens"]
+    )
+    assert os.path.exists(os.path.join(model, "_SUCCESS"))
+    w = spark.read.parquet(model)
+    assert w.count() == 256  # dsir_buckets rows — model parameters
+
+    # fresh workdir, NO dsir_target: the stored model is loaded, weights
+    # on disk stay byte-identical
+    before = sorted(os.listdir(model))
+    wd2 = str(tmp_path / "wd2")
+    s2 = curate_crawl(
+        spark, crawl, wd2, token_budget=budget, dsir_model=model
+    )
+    assert s2["after_budget"] > 0
+    assert sorted(os.listdir(model)) == before
+
+    # budget without target or model is a hard error, not a silent skip
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dsir_target"):
+        curate_crawl(
+            spark, crawl, str(tmp_path / "wd3"), token_budget=budget
+        )
