@@ -141,6 +141,53 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # --- DSIR token-budget selection (r7): the full selection pipeline
+    # (weight training vs a 1/5 pseudo-target slice, integer scoring,
+    # budget prefix sum keeping ~half the tokens). Every stage is a
+    # linear scan + model-sized driver traffic, so the wall must track
+    # corpus size (exponent ~<= 1); a superlinear rung would mean the
+    # score shuffle stopped collapsing map-side or the prefix sum
+    # degenerated into a global window. ---
+    from ct_mapreduce_spark.operators.selection import (
+        dsir_score,
+        dsir_weights,
+        select_token_budget,
+    )
+
+    for mult in DOC_MULTS:
+        docs = _docs_at(mult)
+        target = docs.where(F.col("doc_id") % 5 == 0)
+        times = []
+        n_sel = None
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            w = dsir_weights(target, docs, n_buckets=4096)
+            scored = dsir_score(docs, w, n_buckets=4096)
+            frame = (
+                docs.select(
+                    "doc_id",
+                    F.size(F.split(F.trim("text"), r"\s+"))
+                    .cast("long")
+                    .alias("nt"),
+                )
+                .join(scored.select("doc_id", "dsir_score_micro"), "doc_id")
+                .localCheckpoint(eager=True)
+            )
+            budget = 150_000 * mult  # ~half the corpus tokens
+            n_sel = select_token_budget(
+                frame, budget, "dsir_score_micro", count_col="nt"
+            ).count()
+            times.append(round(time.perf_counter() - t0, 2))
+        results[f"dsir_select_x{mult}"] = {
+            "iterations": times,
+            "min": min(times),
+            "n_selected": n_sel,
+        }
+        print(
+            f"dsir select x{mult}: {times} selected={n_sel}",
+            file=sys.stderr,
+        )
+
     # --- keep-list one-shot dedup on a template family (r7): the PAIRS
     # operator's output is quadratic in duplicate-family size (the
     # hot-bucket cap bounds each bucket at C(cap,2) scoring but the
@@ -674,6 +721,9 @@ def main() -> None:
             "keep_template_x1", "keep_template_x10", 10
         ),
         "bpe_train_1x_to_10x": expo("bpe_x1", "bpe_x10", 10, "train_s"),
+        "dsir_select_1x_to_10x": expo(
+            "dsir_select_x1", "dsir_select_x10", 10
+        ),
         "bpe_encode_1x_to_10x": expo("bpe_x1", "bpe_x10", 10),
         "curate_drop1_1x_to_10x": expo("curate_x1", "curate_x10", 10, "drop1_s"),
         "curate_drop2_1x_to_10x": expo("curate_x1", "curate_x10", 10, "drop2_s"),
