@@ -224,3 +224,103 @@ def select_token_budget(
     return staged.where(F.col("cum_tokens") <= int(budget)).select(
         id_col, score_col, "n_tokens", "cum_tokens"
     )
+
+
+def select_token_budget_per_stratum(
+    df: DataFrame,
+    budgets: dict | int,
+    score_col: str,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    count_col: str | None = None,
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-stratum token budgets — "fill N tokens per language": within
+    each stratum, keep the highest-`score_col` rows whose inclusive
+    running token total fits that stratum's budget. `budgets` is either
+    one int applied to every observed stratum or a {stratum: budget}
+    map; mirroring mixture_rebalance's contract, a stratum observed in
+    the data but absent from an explicit map gets budget 0 and is
+    dropped. The stratum column must be a string (the offset/budget
+    frames are built with string keys). Returns (id, stratum, score,
+    n_tokens, cum_tokens).
+
+    The running sum generalizes the two-phase prefix sum: ONE
+    map-side-combined groupBy((stratum, score-range bucket)) computes
+    subtotals — n_strata x n_buckets rows, model parameters (the same
+    bounded-strata contract mixture_rebalance documents) — the driver
+    prefixes them WITHIN each stratum, and the corpus-side window is
+    partitioned by (stratum, bucket). No stratum ever sorts on a single
+    task, and strata don't serialize behind each other. An ordinary
+    per-stratum window cumsum reproduces the integer result exactly."""
+    ntok = (
+        F.col(count_col).cast("long")
+        if count_col is not None
+        else F.size(tokens(text_col)).cast("long")
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.col(score_col),
+        ntok.alias("n_tokens"),
+    ).withColumn("_ord", -F.col(score_col).cast("double"))
+    spark = base.sparkSession
+    lo_hi = base.agg(F.min("_ord").alias("lo"), F.max("_ord").alias("hi")).first()
+    if lo_hi["lo"] is None:
+        return base.select(
+            id_col, stratum_col, score_col, "n_tokens"
+        ).withColumn("cum_tokens", F.lit(0).cast("long")).where(F.lit(False))
+    lo, hi = float(lo_hi["lo"]), float(lo_hi["hi"])
+    width = max((hi - lo) / n_buckets, 1e-9)
+    bucket = F.least(
+        F.floor((F.col("_ord") - F.lit(lo)) / F.lit(width)).cast("long"),
+        F.lit(int(n_buckets) - 1),
+    )
+    totals = (
+        base.groupBy(
+            F.col(stratum_col).alias("_s"), bucket.alias("_bucket")
+        )
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .collect()
+    )
+    by_stratum: dict = {}
+    for row in totals:
+        by_stratum.setdefault(row["_s"], []).append(row)
+    offs = []
+    for s, rows in by_stratum.items():
+        acc = 0
+        for row in sorted(rows, key=lambda r: r["_bucket"]):
+            offs.append((s, row["_bucket"], acc))
+            acc += row["_tot"]
+    off_df = spark.createDataFrame(
+        offs, f"_s string, _bucket bigint, _bucket_off bigint"
+    ).withColumnRenamed("_s", stratum_col)
+    if isinstance(budgets, int):
+        strata = sorted(by_stratum)
+        budgets = {s: int(budgets) for s in strata}
+    budget_df = F.broadcast(
+        spark.createDataFrame(
+            [(s, int(b)) for s, b in budgets.items()],
+            f"{stratum_col} string, _budget bigint",
+        )
+    )
+    w = (
+        W.partitionBy(stratum_col, "_bucket")
+        .orderBy("_ord", id_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    staged = (
+        base.withColumn("_bucket", bucket)
+        .join(F.broadcast(off_df), [stratum_col, "_bucket"])
+        .join(budget_df, stratum_col, "left")
+        .withColumn(
+            "cum_tokens",
+            (F.sum("n_tokens").over(w) + F.col("_bucket_off")).cast("long"),
+        )
+    )
+    # null _budget (stratum absent from an explicit map) fails the
+    # comparison -> dropped, the documented contract; made explicit:
+    return staged.where(
+        F.col("cum_tokens") <= F.coalesce("_budget", F.lit(0))
+    ).select(id_col, stratum_col, score_col, "n_tokens", "cum_tokens")

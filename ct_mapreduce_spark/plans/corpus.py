@@ -5040,3 +5040,60 @@ def docs_token_budget(spark, sf_dir):
     return select_token_budget(
         frame, 8000, "dsir_score_micro", count_col="n_tokens"
     )
+
+
+@q(
+    "docs_lang_token_budget",
+    "WITH " + _DSIR_GRAMS + ", " + _DSIR_WEIGHTS + ", " + _DSIR_SCORES
+    + r""", t AS (
+      SELECT d.doc_id, d.lang,
+             CAST(COALESCE(s.dsir_score_micro, 0) AS BIGINT)
+               AS dsir_score_micro,
+             CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents d LEFT JOIN s USING (doc_id)
+    ), c AS (
+      SELECT doc_id, lang, dsir_score_micro, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY dsir_score_micro DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang, dsir_score_micro, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 2000""",
+    "selection",
+)
+def docs_lang_token_budget(spark, sf_dir):
+    """Per-stratum token budgets (operators/selection.py:
+    select_token_budget_per_stratum): fill 2,000 tokens PER LANGUAGE
+    with that language's highest DSIR-scoring documents — the
+    mixture-aware form of docs_token_budget ("5B tokens per language",
+    not "50B wherever they land"). The oracle is a per-lang window
+    cumsum; the engine computes the SAME integer result with subtotals
+    grouped by (lang, score-range bucket) — model-sized driver traffic —
+    and a corpus window partitioned by (lang, bucket), so no language
+    ever sorts on a single task."""
+    from ct_mapreduce_spark.operators.selection import (
+        dsir_score,
+        dsir_weights,
+        select_token_budget_per_stratum,
+    )
+    from ct_mapreduce_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    w = dsir_weights(d.where(F.col("lang") == "en"), d, n_buckets=256)
+    scored = dsir_score(d, w, n_buckets=256)
+    frame = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.size(tokens("text")).cast("long").alias("n_tokens"),
+        )
+        .join(scored.select("doc_id", "dsir_score_micro"), "doc_id")
+        .localCheckpoint()
+    )
+    return select_token_budget_per_stratum(
+        frame, 2000, "dsir_score_micro", "lang", count_col="n_tokens"
+    )

@@ -154,3 +154,61 @@ def test_budget_empty_input(spark):
     empty = spark.createDataFrame([], "doc_id bigint, s bigint, n bigint")
     got = select_token_budget(empty, 100, "s", count_col="n", n_buckets=4)
     assert got.count() == 0
+
+
+def test_per_stratum_budget_matches_brute_force(spark, docs):
+    """Per-stratum selection == the per-stratum greedy prefix; an int
+    budget == the explicit map over observed strata; a stratum missing
+    from an explicit map is dropped entirely."""
+    from ct_mapreduce_spark.operators.selection import (
+        select_token_budget_per_stratum,
+    )
+
+    frame = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        (F.xxhash64("doc_id") % 1000).alias("s"),
+    ).localCheckpoint()
+    budget = 800
+    rows = frame.collect()
+    expect = {}
+    for lang in {r["lang"] for r in rows}:
+        acc = 0
+        for r in sorted(
+            (r for r in rows if r["lang"] == lang),
+            key=lambda r: (-r["s"], r["doc_id"]),
+        ):
+            acc += r["n_tokens"]
+            if acc > budget:
+                break
+            expect[r["doc_id"]] = (lang, acc)
+    got = select_token_budget_per_stratum(
+        frame, budget, "s", "lang", count_col="n_tokens", n_buckets=8
+    ).collect()
+    assert {r["doc_id"]: (r["lang"], r["cum_tokens"]) for r in got} == expect
+
+    langs = sorted({r["lang"] for r in rows})
+    as_map = select_token_budget_per_stratum(
+        frame,
+        {l: budget for l in langs},
+        "s",
+        "lang",
+        count_col="n_tokens",
+        n_buckets=8,
+    ).collect()
+    assert {r["doc_id"] for r in as_map} == {r["doc_id"] for r in got}
+
+    # drop one language from the map -> none of its docs survive
+    partial = select_token_budget_per_stratum(
+        frame,
+        {l: budget for l in langs[1:]},
+        "s",
+        "lang",
+        count_col="n_tokens",
+        n_buckets=8,
+    ).collect()
+    assert all(r["lang"] != langs[0] for r in partial)
+    assert {r["doc_id"] for r in partial} == {
+        r["doc_id"] for r in got if r["lang"] != langs[0]
+    }
