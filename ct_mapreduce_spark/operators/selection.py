@@ -324,3 +324,49 @@ def select_token_budget_per_stratum(
     return staged.where(
         F.col("cum_tokens") <= F.coalesce("_budget", F.lit(0))
     ).select(id_col, stratum_col, score_col, "n_tokens", "cum_tokens")
+
+
+def dsir_weights_flagged(
+    docs: DataFrame,
+    is_target,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """dsir_weights for the common target-is-a-slice-of-raw case
+    (`is_target` a boolean Column over `docs`): ONE gram explosion with
+    a conditional count computes both profiles, instead of two full
+    corpus scans for dsir_weights(docs.where(pred), docs). Identical
+    integer counts -> bit-identical weights (tier-equality pytest)."""
+    g = docs.select(
+        is_target.alias("_is_t"), F.explode(dsir_grams(text_col)).alias("_g")
+    ).select("_is_t", gram_bucket(F.col("_g"), n_buckets).alias("bucket"))
+    counts = g.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0))
+        .cast("long")
+        .alias("target_n"),
+        F.count(F.lit(1)).cast("long").alias("raw_n"),
+    )
+    spark = docs.sparkSession
+    spine = spark.range(int(n_buckets)).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    joined = spine.join(counts, "bucket", "left").select(
+        "bucket",
+        F.coalesce("target_n", F.lit(0)).cast("long").alias("target_n"),
+        F.coalesce("raw_n", F.lit(0)).cast("long").alias("raw_n"),
+    )
+    whole = W.partitionBy(F.lit(0))
+    b = float(int(n_buckets))
+    t_tot = F.sum("target_n").over(whole).cast("double")
+    r_tot = F.sum("raw_n").over(whole).cast("double")
+    ratio = (
+        (F.col("target_n").cast("double") + F.lit(1.0)) * (r_tot + F.lit(b))
+    ) / ((F.col("raw_n").cast("double") + F.lit(1.0)) * (t_tot + F.lit(b)))
+    return joined.select(
+        "bucket",
+        "target_n",
+        "raw_n",
+        F.round(F.log(ratio) * F.lit(1_000_000.0)).cast("long").alias(
+            "weight_micro"
+        ),
+    )

@@ -4952,16 +4952,20 @@ _DSIR_SCORES = r"""s AS (
     "selection",
 )
 def docs_dsir_weights(spark, sf_dir):
-    """DSIR importance model (operators/selection.py:dsir_weights):
-    hashed unigram+bigram bucket counts for the target distribution
-    (lang='en' documents) vs the raw corpus, and the add-one-smoothed
-    integer micro-weight round(ln(((t+1)(R+B))/((r+1)(T+B)))*1e6) per
-    bucket. 256 rows — model parameters. The totals window runs over
-    the bounded bucket frame, never the corpus."""
-    from ct_mapreduce_spark.operators.selection import dsir_weights
+    """DSIR importance model (operators/selection.py:
+    dsir_weights_flagged): hashed unigram+bigram bucket counts for the
+    target distribution (lang='en' documents) vs the raw corpus, and
+    the add-one-smoothed integer micro-weight
+    round(ln(((t+1)(R+B))/((r+1)(T+B)))*1e6) per bucket. 256 rows —
+    model parameters. Target-is-a-slice-of-raw, so ONE gram explosion
+    with a conditional count builds both profiles (the two-frame
+    dsir_weights form pays two corpus scans; tier-equality pytest);
+    the totals window runs over the bounded bucket frame, never the
+    corpus."""
+    from ct_mapreduce_spark.operators.selection import dsir_weights_flagged
 
     d = _t(spark, sf_dir, "documents")
-    return dsir_weights(d.where(F.col("lang") == "en"), d, n_buckets=256)
+    return dsir_weights_flagged(d, F.col("lang") == "en", n_buckets=256)
 
 
 @q(
@@ -4981,10 +4985,13 @@ def docs_dsir_scores(spark, sf_dir):
     model. Explode -> codegen md5 bucket -> broadcast join against the
     256-row weight table -> map-side-combined groupBy(doc) — the shuffle
     carries one row per document."""
-    from ct_mapreduce_spark.operators.selection import dsir_score, dsir_weights
+    from ct_mapreduce_spark.operators.selection import (
+        dsir_score,
+        dsir_weights_flagged,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    w = dsir_weights(d.where(F.col("lang") == "en"), d, n_buckets=256)
+    w = dsir_weights_flagged(d, F.col("lang") == "en", n_buckets=256)
     return dsir_score(d, w, n_buckets=256)
 
 
@@ -5022,13 +5029,13 @@ def docs_token_budget(spark, sf_dir):
     scoring pipeline runs once, not once per bounded driver action."""
     from ct_mapreduce_spark.operators.selection import (
         dsir_score,
-        dsir_weights,
+        dsir_weights_flagged,
         select_token_budget,
     )
     from ct_mapreduce_spark.operators.text import tokens
 
     d = _t(spark, sf_dir, "documents")
-    w = dsir_weights(d.where(F.col("lang") == "en"), d, n_buckets=256)
+    w = dsir_weights_flagged(d, F.col("lang") == "en", n_buckets=256)
     scored = dsir_score(d, w, n_buckets=256)
     frame = (
         d.select(
@@ -5077,13 +5084,13 @@ def docs_lang_token_budget(spark, sf_dir):
     ever sorts on a single task."""
     from ct_mapreduce_spark.operators.selection import (
         dsir_score,
-        dsir_weights,
+        dsir_weights_flagged,
         select_token_budget_per_stratum,
     )
     from ct_mapreduce_spark.operators.text import tokens
 
     d = _t(spark, sf_dir, "documents")
-    w = dsir_weights(d.where(F.col("lang") == "en"), d, n_buckets=256)
+    w = dsir_weights_flagged(d, F.col("lang") == "en", n_buckets=256)
     scored = dsir_score(d, w, n_buckets=256)
     frame = (
         d.select(

@@ -212,3 +212,23 @@ def test_per_stratum_budget_matches_brute_force(spark, docs):
     assert {r["doc_id"] for r in partial} == {
         r["doc_id"] for r in got if r["lang"] != langs[0]
     }
+
+
+def test_flagged_weights_match_two_frame_form(spark, docs):
+    """dsir_weights_flagged(docs, pred) must be bit-identical to
+    dsir_weights(docs.where(pred), docs) — same integer counts, same
+    micro-weights, one corpus scan instead of two."""
+    from ct_mapreduce_spark.operators.selection import dsir_weights_flagged
+
+    two = dsir_weights(
+        docs.where(F.col("lang") == "en"), docs, n_buckets=N_BUCKETS
+    ).collect()
+    one = dsir_weights_flagged(
+        docs, F.col("lang") == "en", n_buckets=N_BUCKETS
+    ).collect()
+    key = lambda r: r["bucket"]
+    assert sorted(
+        ((r["bucket"], r["target_n"], r["raw_n"], r["weight_micro"]) for r in two)
+    ) == sorted(
+        ((r["bucket"], r["target_n"], r["raw_n"], r["weight_micro"]) for r in one)
+    )
