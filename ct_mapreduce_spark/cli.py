@@ -185,10 +185,18 @@ def cmd_fetch_follow(
             # listener-bus delivery is async: without a grace period the
             # final batch's progress datagram is lost at shutdown. Metrics
             # are fire-and-forget, so this is a bounded wait, not a
-            # handshake — sent() goes up once the last event flushes.
+            # handshake — sent() goes up once the last event flushes. Only
+            # wait when the query actually processed a batch (otherwise no
+            # event is ever coming and the wait would just burn the full
+            # deadline); when one IS owed, allow the bus a generous window
+            # (observed >5 s under load on a busy session).
             import time as _time
 
-            deadline = _time.monotonic() + 5.0
+            try:
+                owed = bool(q.recentProgress)
+            except Exception:
+                owed = True
+            deadline = _time.monotonic() + (20.0 if owed else 0.5)
             while statsd.sent() == 0 and _time.monotonic() < deadline:
                 _time.sleep(0.1)
             spark.streams.removeListener(statsd)

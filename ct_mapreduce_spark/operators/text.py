@@ -184,6 +184,97 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# The eight "required stop words" of the published Gopher quality rules
+# (Rae et al. 2021, §A1.1.2) — a document passes the stopword rule when it
+# contains at least two of them.
+GOPHER_REQUIRED_STOPWORDS = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Published-heuristic quality filter: the Gopher rules (Rae et al.
+    2021, "Scaling Language Models", table A1 — the same battery Dolma
+    and DataTrove ship), restated as pure codegen expressions so a
+    100 TB corpus is filtered without a single Python hop:
+
+      words_ok     50 <= n_words <= 100000
+      mean_len_ok  3 <= mean word length <= 10
+      symbol_ok    (#'#' + #'...') / n_words <= 0.1
+      bullet_ok    < 90% of lines start with a bullet (- * •)
+      ellipsis_ok  < 30% of lines end with an ellipsis (... or …)
+      alpha_ok     > 80% of words contain an alphabetic character
+      stop_ok      >= 2 of the eight required stop words present
+
+    Determinism contract (repo-wide): every ratio is one BIGINT/BIGINT
+    division in DOUBLE rounded to 6 places, so the DuckDB oracle
+    reproduces each metric bit-for-bit. Mean word length is derived as
+    len(text minus whitespace) / n_words — no per-token fold needed.
+    Empty documents (0 words) fail words_ok and report 0.0 metrics."""
+    t = F.col(text_col)
+    toks = F.array_remove(tokens(text_col), "")
+    n_words = F.size(toks).cast("long")
+    nw1 = F.greatest(n_words, F.lit(1))
+    # sum(len(word)) == length of the text with all whitespace removed
+    n_word_chars = F.length(F.regexp_replace(t, r"\s+", "")).cast("long")
+    mean_word_len = F.round(n_word_chars.cast("double") / nw1, 6)
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast(
+        "long"
+    )
+    n_ell = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+    ).cast("long")
+    symbol_ratio = F.round((n_hash + n_ell).cast("double") / nw1, 6)
+    n_alpha = F.size(
+        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("long")
+    alpha_frac = F.round(n_alpha.cast("double") / nw1, 6)
+    toks_l = F.transform(toks, lambda x: F.lower(x))
+    n_stop = sum(
+        F.array_contains(toks_l, w).cast("int")
+        for w in GOPHER_REQUIRED_STOPWORDS
+    ).cast("long")
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    ).cast("long")
+    n_ell_line = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    ).cast("long")
+    bullet_frac = F.round(n_bullet.cast("double") / n_lines, 6)
+    ellipsis_frac = F.round(n_ell_line.cast("double") / n_lines, 6)
+    words_ok = (n_words >= 50) & (n_words <= 100000)
+    mean_len_ok = (mean_word_len >= 3.0) & (mean_word_len <= 10.0)
+    symbol_ok = symbol_ratio <= 0.1
+    bullet_ok = bullet_frac < 0.9
+    ellipsis_ok = ellipsis_frac < 0.3
+    alpha_ok = alpha_frac > 0.8
+    stop_ok = n_stop >= 2
+    return fan_out(docs).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_req_stopwords"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        words_ok.alias("words_ok"),
+        mean_len_ok.alias("mean_len_ok"),
+        symbol_ok.alias("symbol_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (
+            words_ok & mean_len_ok & symbol_ok & bullet_ok & ellipsis_ok
+            & alpha_ok & stop_ok
+        ).alias("gopher_pass"),
+    )
+
+
 def strip_http_headers(body: Column | str) -> Column:
     """Drop the HTTP response header block a raw WARC `response` body
     carries (everything through the first blank CRLF line); bodies

@@ -3994,6 +3994,82 @@ def docs_quality(spark, sf_dir):
     return text.quality_score(_t(spark, sf_dir, "documents"))
 
 
+def _gopher_sql() -> str:
+    from ct_mapreduce_spark.operators.text import GOPHER_REQUIRED_STOPWORDS
+
+    stop_hits = " + ".join(
+        f"CAST(list_contains(wl, '{w}') AS INT)"
+        for w in GOPHER_REQUIRED_STOPWORDS
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS wf,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(wf) AS BIGINT) AS n_words,
+             greatest(CAST(len(wf) AS BIGINT), 1) AS nw1,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+               AS n_word_chars,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               AS n_hash,
+             CAST((length(text) - length(replace(text, '...', ''))) / 3
+                  + (length(text) - length(replace(text, '…', '')))
+                  AS BIGINT) AS n_ell,
+             CAST(len(list_filter(wf, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS BIGINT) AS n_alpha,
+             list_transform(wf, x -> lower(x)) AS wl,
+             greatest(CAST(len(lines) AS BIGINT), 1) AS n_lines,
+             CAST(len(list_filter(lines,
+                    l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT)
+               AS n_bullet,
+             CAST(len(list_filter(lines,
+                    l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT)
+               AS n_ell_line
+      FROM t
+    ), r AS (
+      SELECT doc_id, n_words,
+             round(CAST(n_word_chars AS DOUBLE) / nw1, 6) AS mean_word_len,
+             round(CAST(n_hash + n_ell AS DOUBLE) / nw1, 6) AS symbol_ratio,
+             round(CAST(n_alpha AS DOUBLE) / nw1, 6) AS alpha_frac,
+             CAST({stop_hits} AS BIGINT) AS n_req_stopwords,
+             round(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_frac,
+             round(CAST(n_ell_line AS DOUBLE) / n_lines, 6) AS ellipsis_frac
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+           n_req_stopwords, bullet_frac, ellipsis_frac,
+           (n_words >= 50 AND n_words <= 100000) AS words_ok,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS mean_len_ok,
+           (symbol_ratio <= 0.1) AS symbol_ok,
+           (bullet_frac < 0.9) AS bullet_ok,
+           (ellipsis_frac < 0.3) AS ellipsis_ok,
+           (alpha_frac > 0.8) AS alpha_ok,
+           (n_req_stopwords >= 2) AS stop_ok,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND (symbol_ratio <= 0.1) AND (bullet_frac < 0.9)
+            AND (ellipsis_frac < 0.3) AND (alpha_frac > 0.8)
+            AND (n_req_stopwords >= 2)) AS gopher_pass
+    FROM r
+    """
+
+
+@q("docs_gopher_rules", _gopher_sql(), "text")
+def docs_gopher_rules(spark, sf_dir):
+    """Published-heuristic quality rules (operators/text.py:
+    gopher_quality): the Gopher battery (Rae et al. 2021, table A1)
+    as pure codegen expressions — word-count bounds, mean word length,
+    symbol-to-word ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, required-stopword presence, and the combined pass flag.
+    One BIGINT/BIGINT division per ratio rounded once to 6 places, so
+    the DuckDB oracle matches bit-for-bit. Full oracle."""
+    return text.gopher_quality(_t(spark, sf_dir, "documents"))
+
+
 @q(
     "docs_hash_split",
     """

@@ -172,8 +172,10 @@ def test_statsd_emitter_wire_format(spark, tmp_path):
         spark=spark,
     )
     assert rc == 0
-    # wait for the async listener to flush at least one datagram
-    deadline = time.time() + 10
+    # wait for the async listener to flush at least one datagram (the
+    # cli already blocks until sent() > 0 when a batch ran, so this is
+    # belt-and-suspenders for the UDP hop itself)
+    deadline = time.time() + 15
     while not grams and time.time() < deadline:
         time.sleep(0.1)
     cap.close()

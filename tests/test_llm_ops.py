@@ -1605,3 +1605,47 @@ def test_semdedup_drops_planted_duplicates(spark):
     kept = {r.vec_id for r in similarity.semdedup_keep(test, threshold=0.999).collect()}
     assert {10_000, 10_001, 10_002}.isdisjoint(kept)
     assert {0, 1, 2} <= kept
+
+
+def test_gopher_quality_planted_rules(spark):
+    """Each Gopher rule trips on a purpose-built document and the clean
+    document passes the full battery."""
+    good_text = (
+        "the quick brown fox jumps over the lazy dog and then runs back "
+        "home to be with the pack that it came from so that every one of "
+        "them could have dinner together with plenty of space and food "
+        "for all members young and old alike in the den tonight again"
+    )
+    rows = [
+        Row(doc_id=1, text=good_text),                      # passes all
+        Row(doc_id=2, text="too short"),                    # words_ok fails
+        Row(doc_id=3, text=" ".join(["a"] * 60)),           # mean_len < 3
+        Row(doc_id=4, text=" ".join(["#tag"] * 30) + " " + good_text),
+        Row(doc_id=5, text="\n".join(["- bullet line"] * 10)),
+        Row(doc_id=6, text="\n".join(["trailing words ..."] * 10)),
+        Row(doc_id=7, text=" ".join(["12345"] * 60)),       # alpha fails
+        Row(doc_id=8, text=" ".join(["lorem"] * 60)),       # no stopwords
+        Row(doc_id=9, text=""),                             # empty
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.doc_id: r for r in text.gopher_quality(df).collect()}
+    assert got[1].gopher_pass, got[1]
+    assert not got[2].words_ok and not got[2].gopher_pass
+    assert not got[3].mean_len_ok
+    assert not got[4].symbol_ok and got[4].symbol_ratio > 0.1
+    assert not got[5].bullet_ok and got[5].bullet_frac == 1.0
+    assert not got[6].ellipsis_ok and got[6].ellipsis_frac == 1.0
+    assert not got[7].alpha_ok and got[7].alpha_frac == 0.0
+    assert not got[8].stop_ok and got[8].n_req_stopwords == 0
+    assert got[9].n_words == 0 and not got[9].gopher_pass
+    # ratio sanity on the clean doc
+    assert 3.0 <= got[1].mean_word_len <= 10.0
+    assert got[1].n_req_stopwords >= 2
+
+
+def test_gopher_quality_is_pure_codegen(spark, docs):
+    """No Python evaluation anywhere in the plan (the 100 TB contract):
+    the physical plan must not contain a BatchEvalPython / ArrowEvalPython
+    node."""
+    plan = text.gopher_quality(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
