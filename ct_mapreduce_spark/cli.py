@@ -412,6 +412,27 @@ def build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("--bpe-merges", type=int, default=512)
     c.add_argument(
+        "--lm-max-xent",
+        type=int,
+        default=None,
+        help="perplexity gate: drop documents above this per-token "
+        "cross-entropy (micro-nats) under the unigram reference model "
+        "(operators/lm.py)",
+    )
+    c.add_argument(
+        "--lm-reference",
+        default=None,
+        help="JSONL dir of trusted reference documents the LM trains on "
+        "(omit to train on this drop's own quality survivors)",
+    )
+    c.add_argument(
+        "--lm-model",
+        default=None,
+        help="unigram-model path (trained+saved on the first drop if "
+        "absent, loaded after — successive drops score under the same "
+        "model)",
+    )
+    c.add_argument(
         "--token-budget",
         type=int,
         default=None,
@@ -628,6 +649,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             boilerplate_min_docs=args.boilerplate_min_docs,
             bpe_model=args.bpe_model,
             bpe_merges=args.bpe_merges,
+            lm_max_xent=args.lm_max_xent,
+            lm_reference=args.lm_reference,
+            lm_model=args.lm_model,
             token_budget=args.token_budget,
             dsir_target=args.dsir_target,
             dsir_model=args.dsir_model,

@@ -1,0 +1,194 @@
+"""N-gram language-model quality scoring (CCNet-style perplexity filter).
+
+The classic web-corpus quality gate (Wenzek et al. 2020, "CCNet:
+Extracting High Quality Monolingual Datasets from Web Crawl Data"): train
+a small language model on a trusted reference corpus, score every crawled
+document by its per-token cross-entropy under that model, and keep the
+low-perplexity (reference-like) fraction. This module implements the
+distributed unigram form:
+
+- **Train** (`lm_train_unigram`): one map-side-combined token count over
+  the reference corpus, add-one smoothing over the kept vocabulary plus a
+  single OOV outcome. Tokens rarer than `min_count` fold into the OOV
+  mass — at 100 TB the hapax tail IS most of the raw vocabulary, and
+  folding it is what keeps the model table sublinear in the corpus.
+- **Score** (`lm_score`): explode tokens, join the model (broadcast by
+  default — the model is vocabulary-sized, not corpus-sized), and sum
+  per-token log-probabilities per document. The groupBy's map-side
+  combine collapses each document's token rows locally, so the shuffle
+  carries ONE narrow row per document.
+
+Determinism contract (the repo-wide exact-arithmetic rule, the DSIR
+device from operators/selection.py): each token's log-probability is
+rounded ONCE to an integer micro-nat (`round(ln(p) * 1e6)` as BIGINT)
+inside the model table. Document totals are then pure integer sums —
+order-independent regardless of how either engine schedules the
+aggregation — and the per-token cross-entropy is an exact integer
+division (`DIV`), so the Spark plan and the DuckDB oracle hash-match
+bit-for-bit. Floats never survive past the model-sized table.
+
+Smoothing: with V kept vocabulary tokens, total reference token count T
+(including dropped tokens) and dropped mass D = sum of counts below
+`min_count`,
+
+    P(w)   = (n_w + 1) / (T + V + 1)      for kept tokens
+    P(oov) = (D + 1)   / (T + V + 1)
+
+which normalizes exactly: sum over kept (n+1) + (D+1) = T + V + 1. The
+OOV row is stored in the model table under the sentinel token '' (the
+tokenizer never emits an empty token — scoring strips them — so the
+sentinel cannot collide).
+
+No reference analog (jcjones/ct-mapreduce has no corpus-quality concept);
+extends the LLM-pipeline suite alongside selection.py / text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ct_mapreduce_spark.operators.text import tokens
+
+OOV_TOKEN = ""
+
+
+def lm_train_unigram(
+    corpus: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Train the unigram model: one row per kept vocabulary token
+    (token, n, logp_micro) plus the OOV sentinel row (token='',
+    n=dropped-mass, logp_micro=OOV log-probability).
+
+    Plan shape: explode -> ONE map-side-combined groupBy(token) shuffle,
+    then the vocabulary frame is localCheckpointed — training is an
+    eager step by contract, and the checkpoint is what guarantees the
+    corpus is scanned ONCE even though three downstream branches (kept
+    rows, totals, OOV row) read the counts. The T/V/D totals are a
+    single-row aggregate cross-joined back (broadcast — one row). No
+    window anywhere, nothing corpus-sized leaves the executors."""
+    toks = (
+        corpus.select(
+            F.explode(F.array_remove(tokens(text_col), "")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    mc = int(min_count)
+    tot = toks.agg(
+        F.sum("n").cast("long").alias("t_all"),
+        F.count(F.when(F.col("n") >= mc, 1)).cast("long").alias("v"),
+        F.coalesce(F.sum(F.when(F.col("n") < mc, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("d"),
+    )
+
+    def _logp_micro(num_count):
+        denom = (
+            F.col("t_all").cast("double")
+            + F.col("v").cast("double")
+            + F.lit(1.0)
+        )
+        p = (num_count.cast("double") + F.lit(1.0)) / denom
+        return F.round(F.log(p) * F.lit(1_000_000.0)).cast("long")
+
+    kept = (
+        toks.where(F.col("n") >= mc)
+        .crossJoin(F.broadcast(tot))
+        .select("token", "n", _logp_micro(F.col("n")).alias("logp_micro"))
+    )
+    oov = tot.select(
+        F.lit(OOV_TOKEN).alias("token"),
+        F.col("d").alias("n"),
+        _logp_micro(F.col("d")).alias("logp_micro"),
+    )
+    return kept.unionByName(oov)
+
+
+def lm_score(
+    docs: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Per-document cross-entropy under a trained unigram model:
+    (id, n_tokens, logp_total_micro, xent_micro) where xent_micro is the
+    mean negative log-probability per token in integer micro-nats
+    (exact DIV — both engines floor the positive quotient identically).
+    Documents with no tokens score (0, 0, 0).
+
+    `broadcast_lm=False` switches to a plain shuffle join for models too
+    large to broadcast (e.g. char-ngram models over enormous alphabets);
+    the default broadcast is the 100 TB posture — the model is
+    vocabulary-sized, the corpus side never moves for the join."""
+    vocab = lm.where(F.col("token") != OOV_TOKEN).select("token", "logp_micro")
+    if broadcast_lm:
+        vocab = F.broadcast(vocab)
+    oov = F.broadcast(
+        lm.where(F.col("token") == OOV_TOKEN).select(
+            F.col("logp_micro").alias("oov_micro")
+        )
+    )
+    g = docs.select(
+        F.col(id_col),
+        F.explode_outer(F.array_remove(tokens(text_col), "")).alias("token"),
+    )
+    scored = (
+        g.join(vocab, "token", "left")
+        .crossJoin(oov)
+        .groupBy(id_col)
+        .agg(
+            F.count("token").cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("token").isNotNull(),
+                        F.coalesce("logp_micro", "oov_micro"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("logp_total_micro"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "logp_total_micro",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN (-logp_total_micro) DIV n_tokens "
+            "ELSE CAST(0 AS BIGINT) END"
+        )
+        .cast("long")
+        .alias("xent_micro"),
+    )
+
+
+def lm_filter(
+    docs: DataFrame,
+    lm: DataFrame,
+    max_xent_micro: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """The keep/drop form: documents whose per-token cross-entropy under
+    the model stays at or below `max_xent_micro` (micro-nats/token) —
+    CCNet's head/middle cut with an explicit threshold instead of a
+    corpus-relative percentile, so the decision is per-document and
+    deterministic (no corpus-wide quantile pass on the serve path).
+    Empty documents score 0 and therefore pass; gate on n_tokens
+    upstream if that is not wanted. Returns the input rows plus
+    (n_tokens, xent_micro)."""
+    scores = lm_score(
+        docs, lm, text_col=text_col, id_col=id_col, broadcast_lm=broadcast_lm
+    )
+    return docs.join(
+        scores.where(F.col("xent_micro") <= int(max_xent_micro)),
+        id_col,
+    )

@@ -4070,6 +4070,101 @@ def docs_gopher_rules(spark, sf_dir):
     return text.gopher_quality(_t(spark, sf_dir, "documents"))
 
 
+# --- Unigram LM perplexity filter (operators/lm.py, CCNet-style) -----
+# Shared oracle fragments: reference = the lang='en' slice (the selection
+# module's target-distribution device), min_count=2 so the hapax tail
+# folds into the OOV mass. Determinism: per-token log-probabilities are
+# rounded ONCE to integer micro-nats inside the model table; document
+# totals are exact integer sums and the per-token mean is an exact
+# integral division — the DSIR discipline.
+
+_LM_CTES = r"""toksr AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents WHERE lang = 'en'
+    ), counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n FROM toksr GROUP BY token
+    ), tot AS (
+      SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS t_all,
+             CAST(COUNT(CASE WHEN n >= 2 THEN 1 END) AS BIGINT) AS v,
+             CAST(COALESCE(SUM(CASE WHEN n < 2 THEN n END), 0) AS BIGINT)
+               AS d
+      FROM counts
+    ), lm AS (
+      SELECT token, n,
+             CAST(round(ln((CAST(n AS DOUBLE) + 1.0)
+                  / (CAST(t_all AS DOUBLE) + CAST(v AS DOUBLE) + 1.0))
+                  * 1000000.0) AS BIGINT) AS logp_micro
+      FROM counts, tot WHERE n >= 2
+      UNION ALL
+      SELECT '' AS token, d AS n,
+             CAST(round(ln((CAST(d AS DOUBLE) + 1.0)
+                  / (CAST(t_all AS DOUBLE) + CAST(v AS DOUBLE) + 1.0))
+                  * 1000000.0) AS BIGINT) AS logp_micro
+      FROM tot
+    )"""
+
+
+@q(
+    "docs_lm_unigram",
+    "WITH " + _LM_CTES + "\n    SELECT token, n, logp_micro FROM lm",
+    "lm",
+)
+def docs_lm_unigram(spark, sf_dir):
+    """The trained unigram quality model (operators/lm.py:
+    lm_train_unigram): add-one-smoothed token log-probabilities over the
+    lang='en' reference slice, min_count=2 (rarer tokens fold into the
+    '' OOV row — the sublinear-vocabulary contract a 100 TB reference
+    needs). One map-side-combined count shuffle; the T/V/D totals are a
+    single-row aggregate cross-joined back. Full oracle."""
+    from ct_mapreduce_spark.operators.lm import lm_train_unigram
+
+    d = _t(spark, sf_dir, "documents")
+    return lm_train_unigram(d.where(F.col("lang") == "en"), min_count=2)
+
+
+@q(
+    "docs_lm_ppl",
+    "WITH " + _LM_CTES + r""", dt AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), sc AS (
+      SELECT dt.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(COALESCE(lmk.logp_micro,
+                  (SELECT logp_micro FROM lm WHERE token = ''))) AS BIGINT)
+               AS logp_total_micro
+      FROM dt LEFT JOIN (SELECT token, logp_micro FROM lm
+                         WHERE token <> '') lmk USING (token)
+      GROUP BY dt.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(sc.logp_total_micro, 0) AS BIGINT)
+             AS logp_total_micro,
+           CAST(CASE WHEN COALESCE(sc.n_tokens, 0) > 0
+                THEN (-sc.logp_total_micro) // sc.n_tokens
+                ELSE 0 END AS BIGINT) AS xent_micro
+    FROM documents d LEFT JOIN sc USING (doc_id)""",
+    "lm",
+)
+def docs_lm_ppl(spark, sf_dir):
+    """CCNet-style perplexity scoring (operators/lm.py:lm_score): every
+    document's per-token cross-entropy in integer micro-nats under the
+    lang='en' unigram model — the published quality gate (Wenzek et al.
+    2020) restated Spark-first. Explode -> broadcast model join ->
+    map-side-combined groupBy(doc): the shuffle carries one narrow row
+    per document, and the integer-sum discipline makes the result
+    bit-identical across engines. Full oracle."""
+    from ct_mapreduce_spark.operators.lm import lm_score, lm_train_unigram
+
+    d = _t(spark, sf_dir, "documents")
+    model = lm_train_unigram(d.where(F.col("lang") == "en"), min_count=2)
+    return lm_score(d, model)
+
+
 @q(
     "docs_hash_split",
     """

@@ -75,6 +75,9 @@ def curate_crawl(
     boilerplate_min_docs: int = 8,
     bpe_model: str | None = None,
     bpe_merges: int = 512,
+    lm_max_xent: int | None = None,
+    lm_reference: str | None = None,
+    lm_model: str | None = None,
     token_budget: int | None = None,
     dsir_target: str | None = None,
     dsir_model: str | None = None,
@@ -100,6 +103,17 @@ def curate_crawl(
     tokenizer (offsets stay comparable across the corpus), exactly like
     mh_index persists across drops. The export rows gain a per-doc
     `n_bpe_tokens` field; stats gain `bpe_merges`.
+
+    lm_max_xent: activate the CCNet-style perplexity gate (operators/
+    lm.py) right after the heuristic quality gate: drop documents whose
+    per-token cross-entropy under a unigram reference model exceeds this
+    many micro-nats/token. The model is the artifact: loaded from
+    `lm_model` when present, else trained on `lm_reference` (a JSONL dir
+    of trusted reference documents) — or, reference-free, on this drop's
+    own quality survivors (self-perplexity: drops the statistically
+    weird tail) — and saved to `lm_model` if a path was given, so
+    successive drops score under the SAME model, exactly like
+    mh_index/bpe_model/dsir_model. Stats gain `after_lm`.
 
     token_budget: cap the drop's exported corpus at this many tokens
     (BPE units when bpe_model is active, whitespace words otherwise),
@@ -176,6 +190,37 @@ def curate_crawl(
         .localCheckpoint(eager=True)
     )
     n_good = good.count()
+
+    n_lm = None
+    if lm_max_xent is not None:
+        # Optional stage 2b: perplexity gate. One broadcast-join scoring
+        # pass over the checkpointed survivors; the model is
+        # vocabulary-sized (min_count=2 folds the hapax tail into OOV).
+        from ct_mapreduce_spark.operators.lm import lm_score, lm_train_unigram
+
+        if lm_model is not None and os.path.exists(
+            os.path.join(lm_model, "_SUCCESS")
+        ):
+            model = spark.read.parquet(lm_model)
+        else:
+            ref = (
+                text_source.read_jsonl(spark, lm_reference).where(
+                    F.col("text").isNotNull()
+                )
+                if lm_reference is not None
+                else good
+            )
+            model = lm_train_unigram(ref, min_count=2)
+            if lm_model is not None:
+                model.coalesce(1).write.mode("overwrite").parquet(lm_model)
+                model = spark.read.parquet(lm_model)
+        passing = lm_score(good, model).where(
+            F.col("xent_micro") <= int(lm_max_xent)
+        )
+        good = good.join(
+            passing.select("doc_id"), "doc_id", "left_semi"
+        ).localCheckpoint(eager=True)
+        n_lm = good.count()
 
     # The quality survivors are SIGNED ONCE; the probe tier, the
     # within-batch tier, and the index fold all take subset views of
@@ -358,6 +403,8 @@ def curate_crawl(
     }
     if n_boiler_tokens is not None:
         stats["boiler_tokens_removed"] = int(n_boiler_tokens)
+    if n_lm is not None:
+        stats["after_lm"] = n_lm
     if n_bpe_merges is not None:
         stats["bpe_merges"] = n_bpe_merges
     if n_selected is not None:

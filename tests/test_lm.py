@@ -1,0 +1,93 @@
+"""Unigram LM perplexity filter (operators/lm.py): training math against
+a hand-computed model, OOV folding, scoring exactness, and the
+pure-codegen / broadcast plan contract."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ct_mapreduce_spark.operators.lm import (
+    lm_filter,
+    lm_score,
+    lm_train_unigram,
+)
+
+
+def _micro(p: float) -> int:
+    return int(round(math.log(p) * 1_000_000.0))
+
+
+def test_lm_train_matches_hand_model(spark):
+    """corpus: 'a a a b b c' -> counts a=3 b=2 c=1; min_count=2 keeps
+    {a, b} (V=2), folds c into OOV (D=1), T=6, denom=T+V+1=9."""
+    df = spark.createDataFrame([Row(doc_id=1, text="a a a b b c")])
+    lm = {r.token: r for r in lm_train_unigram(df, min_count=2).collect()}
+    assert set(lm) == {"a", "b", ""}
+    assert lm["a"].n == 3 and lm["b"].n == 2 and lm[""].n == 1
+    assert lm["a"].logp_micro == _micro(4 / 9)
+    assert lm["b"].logp_micro == _micro(3 / 9)
+    assert lm[""].logp_micro == _micro(2 / 9)
+    # smoothed distribution normalizes exactly: (3+1)+(2+1)+(1+1) == 9
+    total_mass = (4 + 3 + 2) / 9
+    assert abs(total_mass - 1.0) < 1e-12
+
+
+def test_lm_score_exact_integer_sums(spark):
+    train = spark.createDataFrame([Row(doc_id=1, text="a a a b b c")])
+    model = lm_train_unigram(train, min_count=2)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="a b"),        # in-vocab only
+            Row(doc_id=11, text="a zzz"),      # one OOV hit
+            Row(doc_id=12, text=""),           # empty -> (0, 0, 0)
+        ]
+    )
+    got = {r.doc_id: r for r in lm_score(docs, model).collect()}
+    la, lb, loov = _micro(4 / 9), _micro(3 / 9), _micro(2 / 9)
+    assert got[10].n_tokens == 2
+    assert got[10].logp_total_micro == la + lb
+    assert got[10].xent_micro == (-(la + lb)) // 2
+    assert got[11].logp_total_micro == la + loov
+    assert got[12].n_tokens == 0
+    assert got[12].logp_total_micro == 0 and got[12].xent_micro == 0
+
+
+def test_lm_filter_keeps_reference_like_docs(spark):
+    """Docs made of reference tokens must score lower xent than docs of
+    unseen tokens, and the threshold separates them."""
+    ref_text = "the cat sat on the mat and the dog ran off"
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text=ref_text) for i in range(5)]
+    )
+    model = lm_train_unigram(train, min_count=1)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the dog"),
+            Row(doc_id=2, text="zyx wvu tsr qpo nml"),
+        ]
+    )
+    scores = {r.doc_id: r.xent_micro for r in lm_score(docs, model).collect()}
+    assert scores[1] < scores[2]
+    cut = (scores[1] + scores[2]) // 2
+    kept = lm_filter(docs, model, max_xent_micro=cut).collect()
+    assert [r.doc_id for r in kept] == [1]
+    assert {"n_tokens", "xent_micro"} <= set(kept[0].asDict())
+
+
+def test_lm_plan_is_codegen_and_broadcast(spark):
+    """The 100 TB contract: no Python evaluation in the scoring plan, and
+    the model join is a broadcast (the corpus side never shuffles for
+    it)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = lm_train_unigram(docs, min_count=2)
+    plan = (
+        lm_score(docs, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan

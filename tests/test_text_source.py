@@ -522,3 +522,47 @@ def test_curate_token_budget(spark, tmp_path):
         curate_crawl(
             spark, crawl, str(tmp_path / "wd3"), token_budget=budget
         )
+
+
+def test_curate_lm_filter(spark, tmp_path):
+    """curate_crawl with the perplexity gate: a permissive threshold
+    keeps every quality survivor while training+saving the model; a
+    median-level threshold (computed by re-scoring the export under the
+    STORED model) actually filters, and the second run loads the stored
+    model instead of retraining."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ct_mapreduce_spark.operators.lm import lm_score
+    from ct_mapreduce_spark.plans.curate import curate_crawl
+    from ct_mapreduce_spark.sources import text_source
+
+    crawl = str(tmp_path / "c")
+    text_source.synthetic_warc_html_fixture(crawl, n=48)
+    model = str(tmp_path / "lm")
+    wd1 = str(tmp_path / "wd1")
+    s1 = curate_crawl(
+        spark, crawl, wd1, lm_max_xent=10**9, lm_model=model
+    )
+    assert s1["after_lm"] == s1["quality_survivors"]
+    assert os.path.exists(os.path.join(model, "_SUCCESS"))
+
+    stored = spark.read.parquet(model)
+    assert {"token", "n", "logp_micro"} <= set(stored.columns)
+    exported = spark.read.option("compression", "gzip").json(
+        wd1 + "/export/drop=drop-0000"
+    )
+    xents = sorted(
+        r.xent_micro
+        for r in lm_score(
+            exported.select("doc_id", "text"), stored
+        ).collect()
+    )
+    cut = xents[len(xents) // 2]  # median keeps roughly half
+    before = sorted(os.listdir(model))
+
+    wd2 = str(tmp_path / "wd2")
+    s2 = curate_crawl(spark, crawl, wd2, lm_max_xent=cut, lm_model=model)
+    assert 0 < s2["after_lm"] < s2["quality_survivors"]
+    assert sorted(os.listdir(model)) == before  # loaded, not retrained

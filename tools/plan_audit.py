@@ -62,6 +62,13 @@ ALLOWED: dict[tuple[str, str], str] = {
     "side streams once",
     ("emb_cosine_near_dup", "bnlj"): "bounded exactness witness (vec_id "
     "< 300 slice, broadcast); the scale path is emb_lsh_near_dup",
+    ("docs_lm_unigram", "bnlj"): "broadcast cross-join of the ONE-row "
+    "T/V/D totals frame onto the vocabulary table (model-sized); the "
+    "corpus-side count is localCheckpointed upstream",
+    ("docs_lm_ppl", "bnlj"): "two one-row broadcasts: the training "
+    "totals onto the vocabulary and the OOV log-probability onto the "
+    "scoring join — both model parameters; the corpus streams once "
+    "through the broadcast hash join",
     ("emb_ann_ivf", "bnlj"): "crossJoin against 16 broadcast centroids",
     ("emb_ann_ivf_refined", "bnlj"): "crossJoin against 16 broadcast "
     "centroids (query-side probe assignment; corpus side is the narrow "
