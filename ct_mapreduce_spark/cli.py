@@ -412,6 +412,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("--bpe-merges", type=int, default=512)
     c.add_argument(
+        "--domain-blocklist",
+        default=None,
+        help="comma-separated registered domains to drop right after "
+        "extraction (operators/web.py), before any per-document work",
+    )
+    c.add_argument(
         "--lm-max-xent",
         type=int,
         default=None,
@@ -652,6 +658,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             lm_max_xent=args.lm_max_xent,
             lm_reference=args.lm_reference,
             lm_model=args.lm_model,
+            domain_blocklist=(
+                [d.strip() for d in args.domain_blocklist.split(",") if d.strip()]
+                if args.domain_blocklist
+                else None
+            ),
             token_budget=args.token_budget,
             dsir_target=args.dsir_target,
             dsir_model=args.dsir_model,

@@ -1,0 +1,102 @@
+"""Web/domain analytics over crawl frames (url-bearing documents).
+
+Every large-scale crawl pipeline runs domain-level bookkeeping before
+document-level curation: per-domain page/token counts (the table that
+surfaces over-crawled template farms), and domain blocklist filtering
+(the first, cheapest gate — drop a whole site before paying per-document
+work). Both are pure codegen here:
+
+- host extraction is Spark's built-in `parse_url(url, 'HOST')`;
+- the registered domain is the last two dot-labels of the host — a
+  deliberate public-suffix-list-free simplification (documented; a real
+  PSL lookup would be a broadcast join against the published list and
+  composes with these operators unchanged);
+- `domain_stats` is ONE map-side-combined groupBy(domain) — the shuffle
+  carries one row per domain, model-sized against any corpus;
+- `filter_domains` stays a literal IN-filter for bounded blocklists and
+  switches to a broadcast anti-join above `isin_cap` — the corpus side
+  never shuffles either way.
+
+No reference analog (jcjones/ct-mapreduce has no crawl concept); extends
+the LLM-pipeline suite alongside text.py's HTML extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ct_mapreduce_spark.operators.text import tokens
+
+
+def url_host(url: Column | str) -> Column:
+    """Hostname of a URL (built-in try_parse_url — codegen; null for
+    unparseable input rather than an ANSI-mode task failure, which is
+    the only viable contract on real crawl data)."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.try_parse_url(c, F.lit("HOST"))
+
+
+def registered_domain(host: Column | str) -> Column:
+    """Last two dot-labels of a hostname ('api.news.example' ->
+    'news.example'). Simplified registrable-domain rule without the
+    public-suffix list; '' for hosts with fewer than two labels."""
+    c = F.col(host) if isinstance(host, str) else host
+    return F.regexp_extract(
+        F.coalesce(c, F.lit("")), r"([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$", 1
+    )
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain crawl rollup: pages, distinct URLs, token and char
+    totals. One groupBy(domain) whose map-side combine collapses each
+    task's pages locally — the exchange carries one row per domain."""
+    dom = registered_domain(url_host(F.col(url_col)))
+    return (
+        df.select(
+            dom.alias("domain"),
+            F.col(url_col).alias("_url"),
+            F.size(F.array_remove(tokens(text_col), "")).cast("long").alias(
+                "_ntok"
+            ),
+            F.length(text_col).cast("long").alias("_nchar"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.count_distinct("_url").cast("long").alias("n_urls"),
+            F.sum("_ntok").cast("long").alias("n_tokens"),
+            F.sum("_nchar").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def filter_domains(
+    df: DataFrame,
+    blocked: list[str],
+    url_col: str = "url",
+    isin_cap: int = 64,
+) -> DataFrame:
+    """Drop rows whose registered domain is on the blocklist. Small
+    lists stay a literal NOT IN (codegen, no join at all); above
+    `isin_cap` the list becomes a broadcast anti-join so a
+    million-domain blocklist never expands into a million-branch
+    expression — the corpus side streams once in both forms."""
+    dom = registered_domain(url_host(F.col(url_col)))
+    if len(blocked) <= isin_cap:
+        return df.where(~dom.isin(list(blocked)))
+    spark = df.sparkSession
+    bl = spark.createDataFrame(
+        [(d,) for d in blocked], "domain string"
+    )
+    return (
+        df.withColumn("_dom", dom)
+        .join(
+            F.broadcast(bl),
+            F.col("_dom") == F.col("domain"),
+            "left_anti",
+        )
+        .drop("_dom")
+    )

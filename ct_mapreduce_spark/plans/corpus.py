@@ -2720,6 +2720,31 @@ def s15_warc_html_pipeline(spark, sf_dir):
     )
 
 
+@q("s16_warc_domain_stats", _pin("s16_warc_domain_stats"), "scan")
+def s16_warc_domain_stats(spark, sf_dir):
+    """Per-domain crawl rollup (operators/web.py:domain_stats): parse a
+    multi-domain WARC fixture, extract each response's registered domain
+    (parse_url host -> last-two-labels rule) and aggregate pages /
+    distinct URLs / token / char totals — the over-crawl bookkeeping
+    table a blocklist pipeline is built on. ONE map-side-combined
+    groupBy(domain); the exchange carries one row per domain. Pin is
+    derived from the record DEFINITIONS (tools/independent_oracle.py),
+    proving the encode->parse->rollup composition."""
+    import os
+
+    from ct_mapreduce_spark.operators.web import domain_stats
+    from ct_mapreduce_spark.sources.text_source import (
+        read_warc,
+        synthetic_warc_multidomain_fixture,
+    )
+
+    fixture = "/tmp/ctspark_warc_multidom_fixture_n60_v1"
+    if not os.path.exists(fixture + "/seg-001.warc.gz"):
+        synthetic_warc_multidomain_fixture(fixture, n=60)
+    df = read_warc(spark, fixture).where(F.col("warc_type") == "response")
+    return domain_stats(df.select("url", F.col("body").alias("text")))
+
+
 @q("s1_ctlog_scan", _pin("s1_ctlog_scan"), "scan")
 def s1_ctlog_scan(spark, sf_dir):
     """S1 (downloadCTRangeToChannel, ct-fetch.go:398-488): ranged scan

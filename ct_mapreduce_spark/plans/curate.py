@@ -78,6 +78,7 @@ def curate_crawl(
     lm_max_xent: int | None = None,
     lm_reference: str | None = None,
     lm_model: str | None = None,
+    domain_blocklist: list[str] | None = None,
     token_budget: int | None = None,
     dsir_target: str | None = None,
     dsir_model: str | None = None,
@@ -103,6 +104,11 @@ def curate_crawl(
     tokenizer (offsets stay comparable across the corpus), exactly like
     mh_index persists across drops. The export rows gain a per-doc
     `n_bpe_tokens` field; stats gain `bpe_merges`.
+
+    domain_blocklist: registered domains to drop right after extraction
+    (operators/web.py:filter_domains) — the cheapest gate runs first, so
+    a blocked site never pays quality scoring, signing, or dedup work.
+    Stats gain `after_blocklist`.
 
     lm_max_xent: activate the CCNet-style perplexity gate (operators/
     lm.py) right after the heuristic quality gate: drop documents whose
@@ -153,6 +159,19 @@ def curate_crawl(
         .localCheckpoint(eager=True)
     )
     n_extracted = docs.count()  # block scan, no recomputation
+
+    n_after_blocklist = None
+    if domain_blocklist:
+        # Optional stage 1a: domain blocklist — a pure codegen filter
+        # over the checkpointed extraction (cheap enough that the extra
+        # checkpoint is a block-scan copy, not recomputation), so blocked
+        # sites never reach quality scoring or the signature pass.
+        from ct_mapreduce_spark.operators.web import filter_domains
+
+        docs = filter_domains(docs, list(domain_blocklist)).localCheckpoint(
+            eager=True
+        )
+        n_after_blocklist = docs.count()
 
     n_boiler_tokens = None
     if strip_boilerplate:
@@ -401,6 +420,8 @@ def curate_crawl(
         "after_mixture": n_balanced,
         "shards": n_shards,
     }
+    if n_after_blocklist is not None:
+        stats["after_blocklist"] = n_after_blocklist
     if n_boiler_tokens is not None:
         stats["boiler_tokens_removed"] = int(n_boiler_tokens)
     if n_lm is not None:

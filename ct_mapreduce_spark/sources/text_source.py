@@ -272,6 +272,41 @@ def synthetic_warc_fixture(path: str, n: int = 64) -> None:
         f.write(gzip.compress(encode_warc(recs[half:])))
 
 
+def synthetic_warc_multidomain_fixture(path: str, n: int = 60) -> None:
+    """Domain-analytics WARC fixture: response records spread across
+    five registered domains x three subdomains, plus every fourth
+    record a `request` so type filtering stays visible. Pure function
+    of n — the golden-pin oracle (tools/independent_oracle.py:
+    s16_warc_domain_stats) regenerates the records independently, so
+    the pin proves the encode->parse->rollup composition."""
+    import os
+
+    doms = ["news", "blog", "shop", "docs", "wiki"]
+    subs = ["www", "m", "api"]
+    recs = [
+        {
+            "warc_type": "request" if i % 4 == 0 else "response",
+            "url": (
+                f"https://{subs[i % 3]}.{doms[i % 5]}.example/p/{i}"
+            ),
+            "date": "2026-01-01T00:00:00Z",
+            "record_id": f"<urn:uuid:{i + 1000:08d}>",
+            "content_type": "text/plain",
+            "body": (
+                f"page text for {doms[i % 5]} item {i * 13 % 17} "
+                * ((i % 6) + 2)
+            ),
+        }
+        for i in range(n)
+    ]
+    os.makedirs(path, exist_ok=True)
+    half = n // 2
+    with open(os.path.join(path, "seg-000.warc"), "wb") as f:
+        f.write(encode_warc(recs[:half]))
+    with open(os.path.join(path, "seg-001.warc.gz"), "wb") as f:
+        f.write(gzip.compress(encode_warc(recs[half:])))
+
+
 def write_jsonl_gz(
     df: DataFrame, path: str, n_shards: int | None = None
 ) -> None:

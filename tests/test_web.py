@@ -1,0 +1,108 @@
+"""Domain analytics (operators/web.py): host/domain extraction edges,
+the rollup, and both blocklist-filter forms."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ct_mapreduce_spark.operators import web
+
+
+def test_url_host_and_registered_domain(spark):
+    cases = [
+        ("https://api.news.example/p/1", "api.news.example", "news.example"),
+        ("https://news.example/p/2", "news.example", "news.example"),
+        ("http://localhost/x", "localhost", ""),
+        ("https://a.b.c.d.example.org/", "a.b.c.d.example.org", "example.org"),
+        ("not a url", None, ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r.i: (r.h, r.d)
+        for r in df.select(
+            "i",
+            web.url_host("url").alias("h"),
+            web.registered_domain(web.url_host("url")).alias("d"),
+        ).collect()
+    }
+    for i, (_, want_h, want_d) in enumerate(cases):
+        assert got[i] == (want_h, want_d), (i, got[i])
+
+
+def test_domain_stats_rollup(spark):
+    df = spark.createDataFrame(
+        [
+            Row(url="https://www.a.example/1", text="one two three"),
+            Row(url="https://m.a.example/2", text="four five"),
+            Row(url="https://www.b.example/1", text="six"),
+        ]
+    )
+    got = {r.domain: r for r in web.domain_stats(df).collect()}
+    assert got["a.example"].n_pages == 2
+    assert got["a.example"].n_urls == 2
+    assert got["a.example"].n_tokens == 5
+    assert got["b.example"].n_pages == 1 and got["b.example"].n_tokens == 1
+
+
+def test_filter_domains_small_and_large_forms(spark):
+    rows = [
+        Row(doc_id=i, url=f"https://www.d{i % 5}.example/p/{i}", text="t")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows)
+    blocked = ["d0.example", "d3.example"]
+    small = web.filter_domains(df, blocked)  # literal NOT IN path
+    assert small.count() == 30
+    assert {r.doc_id % 5 for r in small.collect()} == {1, 2, 4}
+    # force the anti-join path with a cap below the list size; results
+    # must be identical
+    large = web.filter_domains(df, blocked, isin_cap=1)
+    assert sorted(r.doc_id for r in large.collect()) == sorted(
+        r.doc_id for r in small.collect()
+    )
+    assert large.columns == df.columns  # helper column dropped
+    # plan shape: anti-join path broadcasts the blocklist
+    plan = large._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_domain_stats_is_pure_codegen(spark):
+    df = spark.createDataFrame(
+        [Row(url="https://www.a.example/1", text="x y")]
+    )
+    plan = (
+        web.domain_stats(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+
+
+def test_curate_domain_blocklist(spark, tmp_path):
+    """curate_crawl with a domain blocklist: blocked sites drop right
+    after extraction (cheapest gate first), with the count matching the
+    fixture's record arithmetic."""
+    from ct_mapreduce_spark.plans.curate import curate_crawl
+    from ct_mapreduce_spark.sources import text_source
+
+    crawl = str(tmp_path / "c")
+    text_source.synthetic_warc_multidomain_fixture(crawl, n=60)
+    blocked = {"news.example", "shop.example"}  # doms[0], doms[2]
+    doms = ["news", "blog", "shop", "docs", "wiki"]
+    want_extracted = sum(1 for i in range(60) if i % 4 != 0)
+    want_kept = sum(
+        1
+        for i in range(60)
+        if i % 4 != 0 and f"{doms[i % 5]}.example" not in blocked
+    )
+    stats = curate_crawl(
+        spark,
+        crawl,
+        str(tmp_path / "wd"),
+        domain_blocklist=sorted(blocked),
+    )
+    assert stats["extracted"] == want_extracted
+    assert stats["after_blocklist"] == want_kept
+    assert 0 < stats["after_blocklist"] < stats["extracted"]
+    assert stats["quality_survivors"] <= stats["after_blocklist"]

@@ -881,11 +881,39 @@ def s15_warc_html_pipeline(sf_dir: str, n: int = 32) -> list[tuple]:
     return sorted(rows)
 
 
+def s16_warc_domain_stats(sf_dir: str, n: int = 60) -> list[tuple]:
+    """Replay the multi-domain fixture's record DEFINITIONS (the same
+    arithmetic synthetic_warc_multidomain_fixture uses) and roll up per
+    registered domain — never touching the engine's encoder, parser, or
+    URL functions."""
+    from collections import defaultdict
+
+    doms = ["news", "blog", "shop", "docs", "wiki"]
+    agg = defaultdict(lambda: [0, set(), 0, 0])
+    for i in range(n):
+        if i % 4 == 0:  # request records are filtered out
+            continue
+        dom = f"{doms[i % 5]}.example"
+        url = f"https://{['www', 'm', 'api'][i % 3]}.{dom}/p/{i}"
+        body = f"page text for {doms[i % 5]} item {i * 13 % 17} " * (
+            (i % 6) + 2
+        )
+        a = agg[dom]
+        a[0] += 1
+        a[1].add(url)
+        a[2] += len(body.strip().split())
+        a[3] += len(body)
+    return sorted(
+        (dom, a[0], len(a[1]), a[2], a[3]) for dom, a in agg.items()
+    )
+
+
 DERIVATIONS = {
     "emb_semdedup": emb_semdedup,
     "docs_incremental_dedup": docs_incremental_dedup,
     "s14_warc_scan": s14_warc_scan,
     "s15_warc_html_pipeline": s15_warc_html_pipeline,
+    "s16_warc_domain_stats": s16_warc_domain_stats,
     "emb_pq_topk": emb_pq_topk,
     "emb_pq_rerank_topk": emb_pq_rerank_topk,
     "docs_minhash_lsh_dedup": docs_minhash_lsh_dedup,
