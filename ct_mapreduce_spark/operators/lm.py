@@ -169,6 +169,65 @@ def lm_score(
     )
 
 
+def token_drift(
+    docs: DataFrame,
+    target,
+    text_col: str = "text",
+    top_k: int = 25,
+) -> DataFrame:
+    """Token-distribution drift report: the per-token KL(P||Q)
+    contributions between the `target` slice (boolean Column) and the
+    rest of the corpus — the monitoring table that answers "what changed
+    between this crawl drop and the last one" / "how does my mixture
+    differ from the reference". Top `top_k` tokens by contribution.
+
+    With add-one smoothing over the shared vocabulary V:
+        p = (n_a + 1) / (T_a + V),  q = (n_b + 1) / (T_b + V)
+        contribution = p * ln(p / q)
+    rounded ONCE to integer nano-units (`round(... * 1e9)` as BIGINT),
+    ranked (kl_nano DESC, token ASC) — deterministic across engines:
+    the log ratio is one product-over-product division (the DSIR
+    device) so both sides evaluate the identical IEEE tree.
+
+    Plan: ONE explode + conditional-count groupBy(token) pass (the
+    target is a flag, not a second frame), localCheckpointed so the
+    totals aggregate and the final projection read the vocabulary frame
+    without re-scanning the corpus; totals are a one-row broadcast. The
+    ranking input is vocabulary-sized."""
+    flag = target
+    counts = (
+        docs.select(
+            flag.alias("_is_a"),
+            F.explode(F.array_remove(tokens(text_col), "")).alias("token"),
+        )
+        .groupBy("token")
+        .agg(
+            F.count(F.when(F.col("_is_a"), 1)).cast("long").alias("n_a"),
+            F.count(F.when(~F.col("_is_a"), 1)).cast("long").alias("n_b"),
+        )
+        .localCheckpoint()
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("long").alias("t_a"),
+        F.sum("n_b").cast("long").alias("t_b"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    na1 = F.col("n_a").cast("double") + F.lit(1.0)
+    nb1 = F.col("n_b").cast("double") + F.lit(1.0)
+    ta_v = F.col("t_a").cast("double") + F.col("v").cast("double")
+    tb_v = F.col("t_b").cast("double") + F.col("v").cast("double")
+    p = na1 / ta_v
+    kl_nano = F.round(
+        p * F.log((na1 * tb_v) / (nb1 * ta_v)) * F.lit(1_000_000_000.0)
+    ).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select("token", "n_a", "n_b", kl_nano.alias("kl_nano"))
+        .orderBy(F.col("kl_nano").desc(), "token")
+        .limit(int(top_k))
+    )
+
+
 def lm_filter(
     docs: DataFrame,
     lm: DataFrame,

@@ -4191,6 +4191,54 @@ def docs_lm_ppl(spark, sf_dir):
 
 
 @q(
+    "docs_token_drift",
+    r"""
+    WITH toks AS (
+      SELECT lang = 'en' AS is_a,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token,
+             CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_a,
+             CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS n_b
+      FROM toks GROUP BY token
+    ), tot AS (
+      SELECT CAST(SUM(n_a) AS BIGINT) AS t_a,
+             CAST(SUM(n_b) AS BIGINT) AS t_b,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM counts
+    )
+    SELECT token, n_a, n_b,
+           CAST(round(
+             ((CAST(n_a AS DOUBLE) + 1.0)
+              / (CAST(t_a AS DOUBLE) + CAST(v AS DOUBLE)))
+             * ln(((CAST(n_a AS DOUBLE) + 1.0)
+                   * (CAST(t_b AS DOUBLE) + CAST(v AS DOUBLE)))
+                  / ((CAST(n_b AS DOUBLE) + 1.0)
+                     * (CAST(t_a AS DOUBLE) + CAST(v AS DOUBLE))))
+             * 1000000000.0) AS BIGINT) AS kl_nano
+    FROM counts, tot
+    ORDER BY kl_nano DESC, token
+    LIMIT 25
+    """,
+    "lm",
+)
+def docs_token_drift(spark, sf_dir):
+    """Token-distribution drift (operators/lm.py:token_drift): top-25
+    per-token KL contributions between the lang='en' slice and the rest
+    of the corpus — the "what changed in this drop" monitoring table.
+    ONE conditional-count pass over the exploded corpus; the ranking
+    input is vocabulary-sized and the contribution is rounded once to
+    integer nano-units, so the oracle matches bit-for-bit. Full
+    oracle."""
+    from ct_mapreduce_spark.operators.lm import token_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return token_drift(d, F.col("lang") == "en", top_k=25)
+
+
+@q(
     "docs_hash_split",
     """
     WITH b AS (

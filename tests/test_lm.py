@@ -91,3 +91,23 @@ def test_lm_plan_is_codegen_and_broadcast(spark):
     )
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_token_drift_ranks_planted_shift(spark):
+    """A token exclusive to the target slice dominates the KL report; a
+    token with identical usage on both sides contributes ~zero."""
+    rows = [Row(doc_id=i, text="common words here " + ("targetonly " * 5 if i < 5 else "restonly "), lang=("en" if i < 5 else "de")) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    from ct_mapreduce_spark.operators.lm import token_drift
+
+    rep = token_drift(df, F.col("lang") == "en", top_k=10).collect()
+    assert rep[0].token == "targetonly"
+    assert rep[0].n_a > 0 and rep[0].n_b == 0
+    by_tok = {r.token: r.kl_nano for r in rep}
+    # balanced tokens drift less than the planted one by orders of magnitude
+    for tok in ("common", "words", "here"):
+        if tok in by_tok:
+            assert by_tok[tok] < rep[0].kl_nano / 10
+    # deterministic tie-break: re-run produces the identical frame
+    rep2 = token_drift(df, F.col("lang") == "en", top_k=10).collect()
+    assert rep == rep2

@@ -62,6 +62,10 @@ ALLOWED: dict[tuple[str, str], str] = {
     "side streams once",
     ("emb_cosine_near_dup", "bnlj"): "bounded exactness witness (vec_id "
     "< 300 slice, broadcast); the scale path is emb_lsh_near_dup",
+    ("docs_token_drift", "bnlj"): "broadcast cross-join of the ONE-row "
+    "T_a/T_b/V totals frame onto the vocabulary-sized counts (model "
+    "parameters); the corpus-side conditional count is "
+    "localCheckpointed upstream",
     ("docs_lm_unigram", "bnlj"): "broadcast cross-join of the ONE-row "
     "T/V/D totals frame onto the vocabulary table (model-sized); the "
     "corpus-side count is localCheckpointed upstream",
