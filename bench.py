@@ -68,6 +68,13 @@ HEADLINE = [
     # budget prefix sum) — the selection-path headliner covers all three
     # new operators in one number.
     "docs_token_budget",
+    # round-7 late additions (first recorded run = their baseline).
+    # docs_lm_ppl trains the unigram model AND scores the corpus each
+    # iteration (train localCheckpoints its one count pass); the min is
+    # the steady-state train+score wall — the quality-gate path cost.
+    "docs_lm_ppl",
+    "docs_gopher_rules",
+    "docs_token_drift",
 ]
 
 # min-of-3: the first run pays JIT/codegen warmup and local-mode timings

@@ -141,6 +141,31 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # --- Unigram LM train+score (r7): training is one map-side-combined
+    # token count (vocabulary-sized result, localCheckpointed); scoring
+    # is explode -> broadcast model join -> one narrow row per doc
+    # through the shuffle. Both walls must track corpus size (exponent
+    # ~<= 1); a superlinear rung would mean the model table stopped
+    # broadcasting or the score shuffle stopped collapsing map-side. ---
+    from ct_mapreduce_spark.operators.lm import lm_score, lm_train_unigram
+
+    for mult in DOC_MULTS:
+        docs = _docs_at(mult)
+        ref = docs.where(F.col("doc_id") % 5 == 0)
+        times = []
+        n_scored = None
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            model = lm_train_unigram(ref, min_count=2)
+            n_scored = lm_score(docs, model).count()
+            times.append(round(time.perf_counter() - t0, 2))
+        results[f"lm_ppl_x{mult}"] = {
+            "iterations": times,
+            "min": min(times),
+            "n_scored": n_scored,
+        }
+        print(f"lm_ppl x{mult}: {times} scored={n_scored}", file=sys.stderr)
+
     # --- DSIR token-budget selection (r7): the full selection pipeline
     # (weight training vs a 1/5 pseudo-target slice, integer scoring,
     # budget prefix sum keeping ~half the tokens). Every stage is a
@@ -724,6 +749,7 @@ def main() -> None:
         "dsir_select_1x_to_10x": expo(
             "dsir_select_x1", "dsir_select_x10", 10
         ),
+        "lm_ppl_1x_to_10x": expo("lm_ppl_x1", "lm_ppl_x10", 10),
         "bpe_encode_1x_to_10x": expo("bpe_x1", "bpe_x10", 10),
         "curate_drop1_1x_to_10x": expo("curate_x1", "curate_x10", 10, "drop1_s"),
         "curate_drop2_1x_to_10x": expo("curate_x1", "curate_x10", 10, "drop2_s"),
