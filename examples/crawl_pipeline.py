@@ -31,14 +31,36 @@ def run(spark, workdir: str):
 
     crawl = f"{workdir}/crawl_drop1"
     text_source.synthetic_warc_html_fixture(crawl, n=48)
-    stats1 = curate_crawl(spark, crawl, workdir)
+    # drop 1 also exercises the two quality gates a production pipeline
+    # fronts the dedup with: a domain blocklist (cheapest gate, runs
+    # first — a blocked site never pays per-document work) and the
+    # CCNet-style perplexity gate, whose unigram model persists at
+    # lm_model so later drops score under the SAME model. The blocked
+    # domain here isn't in the fixture, so the stage is a no-op pass
+    # (after_blocklist == extracted) — swap in "crawl.example" to watch
+    # it empty the drop.
+    stats1 = curate_crawl(
+        spark,
+        crawl,
+        workdir,
+        domain_blocklist=["spam-farm.example"],
+        lm_max_xent=10**9,  # permissive cut; tighten to actually filter
+        lm_model=f"{workdir}/lm_model",
+    )
     print("drop 1:", stats1)
 
     # drop 2 re-crawls the same pages (same record ids -> same content):
     # the persistent index recognizes every document
     crawl2 = f"{workdir}/crawl_drop2"
     text_source.synthetic_warc_html_fixture(crawl2, n=48)
-    stats2 = curate_crawl(spark, crawl2, workdir)
+    stats2 = curate_crawl(
+        spark,
+        crawl2,
+        workdir,
+        domain_blocklist=["spam-farm.example"],
+        lm_max_xent=10**9,
+        lm_model=f"{workdir}/lm_model",  # loaded, not retrained
+    )
     print("drop 2:", stats2)
 
     # lifecycle: after many drops the index accumulates small posting
