@@ -260,6 +260,81 @@ def remove_dup_spans(
     )
 
 
+def remove_dup_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    join_sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact paragraph-level dedup — the cheap unit-boundary complement
+    to remove_dup_spans (the shape Dolma ships as its paragraph dedup):
+    delete every paragraph whose trimmed text occurs in >= min_docs
+    distinct documents (nav bars, footers, cookie banners — boilerplate
+    that aligns on paragraph boundaries needs no k-gram coverage
+    machinery to find). `sep` is a Java-regex/RE2-shared separator
+    pattern; surviving paragraphs re-join in order with `join_sep`.
+    Whitespace-only paragraphs are formatting, not content: they never
+    flag and are never removed. Output: (doc_id, clean_text, n_paras,
+    n_removed), every input doc present.
+
+    Plan (no windows, no k-fold explosion — the paragraph stream is
+    ~line-sized, not gram-x-k-sized): paragraphs keyed by md5 of their
+    trimmed text (the shuffle carries a 32-char key, not the paragraph);
+    the distinct-doc count is two-phase (partial dedup of (key, doc) per
+    task, so the hottest boilerplate paragraph's state is one entry per
+    task — the dup_span_stats skew posture); removal is one
+    AQE-skew-eligible anti-join on the key; reassembly is a
+    per-document aggregate whose state is the document itself."""
+    paras = docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), sep)).alias(
+            "pos", "para"
+        )
+    )
+    key = F.md5(F.trim(F.col("para")))
+    flagged = (
+        paras.where(F.trim(F.col("para")) != "")
+        .select(key.alias("key"), "doc_id")
+        .distinct()
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= int(min_docs))
+        .select("key")
+    )
+    # flagged holds only non-blank keys, so a plain anti-join preserves
+    # whitespace-only paragraphs by construction
+    kept = (
+        paras.withColumn("key", key).join(flagged, "key", "left_anti")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            join_sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("_kept"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col(text_col), sep)).cast("long").alias(
+                "n_paras"
+            ),
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_paras",
+            (F.col("n_paras") - F.coalesce("_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -1454,6 +1454,69 @@ def docs_remove_dup_spans(spark, sf_dir):
 
 
 @q(
+    "docs_remove_dup_paragraphs",
+    r"""
+    WITH d2 AS (
+      SELECT doc_id,
+             text || chr(10) || 'subscribe to the ' || lang
+                  || ' newsletter today'
+                  || chr(10) || 'visit example dot com' AS text
+      FROM documents
+    ), sp AS (
+      SELECT doc_id, string_split_regex(text, chr(10)) AS parts FROM d2
+    ), pp AS (
+      SELECT doc_id, i - 1 AS pos, parts[i] AS para
+      FROM sp, UNNEST(generate_series(1, len(parts))) AS t(i)
+    ), fd AS (
+      SELECT DISTINCT md5(trim(para)) AS key, doc_id
+      FROM pp WHERE trim(para) <> ''
+    ), f AS (
+      SELECT key FROM fd GROUP BY key HAVING count(*) >= 3
+    ), kept AS (
+      SELECT doc_id, pos, para FROM pp
+      WHERE md5(trim(para)) NOT IN (SELECT key FROM f)
+    ), rebuilt AS (
+      SELECT doc_id,
+             string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+             CAST(count(*) AS BIGINT) AS kept_n
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d2.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(len(sp.parts) AS BIGINT) AS n_paras,
+           CAST(len(sp.parts) - COALESCE(r.kept_n, 0) AS BIGINT)
+             AS n_removed
+    FROM d2 JOIN sp USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    "dedup",
+)
+def docs_remove_dup_paragraphs(spark, sf_dir):
+    """Exact paragraph-level dedup (operators/dedup_fuzzy.py:
+    remove_dup_paragraphs, the Dolma-style unit-boundary complement to
+    span removal) on a derived multi-paragraph frame: each document
+    gains a per-language newsletter line (repeats across that language's
+    docs) and a global footer line (repeats everywhere); min_docs=3
+    strips both while the document's own text survives. String-exact
+    end to end — the oracle agrees byte-for-byte on clean_text. Full
+    oracle."""
+    d = _t(spark, sf_dir, "documents")
+    docs2 = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(
+                F.lit("subscribe to the "),
+                F.col("lang"),
+                F.lit(" newsletter today"),
+            ),
+            F.lit("visit example dot com"),
+        ).alias("text"),
+    )
+    return dedup_fuzzy.remove_dup_paragraphs(docs2, min_docs=3)
+
+
+@q(
     "docs_dedup_clusters",
     r"""
     WITH RECURSIVE words AS (

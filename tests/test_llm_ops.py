@@ -1649,3 +1649,42 @@ def test_gopher_quality_is_pure_codegen(spark, docs):
     node."""
     plan = text.gopher_quality(docs)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan
+
+
+def test_remove_dup_paragraphs_strips_shared_lines(spark):
+    """Shared paragraphs (>= min_docs docs) vanish from every document;
+    unique paragraphs and blank separator lines survive in order."""
+    footer = "subscribe to our newsletter"
+    rows = [
+        Row(doc_id=1, text=f"alpha unique one\n\n{footer}"),
+        Row(doc_id=2, text=f"beta unique two\n{footer}"),
+        Row(doc_id=3, text=f"gamma unique three\n{footer}\ntail three"),
+        Row(doc_id=4, text="delta stands alone"),
+    ]
+    got = {
+        r.doc_id: r
+        for r in dedup_fuzzy.remove_dup_paragraphs(
+            spark.createDataFrame(rows), min_docs=3
+        ).collect()
+    }
+    assert got[1].clean_text == "alpha unique one\n"  # blank line kept
+    assert got[1].n_paras == 3 and got[1].n_removed == 1
+    assert got[2].clean_text == "beta unique two"
+    assert got[3].clean_text == "gamma unique three\ntail three"
+    assert got[4].clean_text == "delta stands alone"
+    assert got[4].n_removed == 0
+
+
+def test_remove_dup_paragraphs_whitespace_only_never_flags(spark):
+    """Blank paragraphs appear in every doc but are formatting, not
+    content: they must survive even at min_docs=2."""
+    rows = [
+        Row(doc_id=i, text=f"unique body {i}\n\nunique tail {i}")
+        for i in range(5)
+    ]
+    out = dedup_fuzzy.remove_dup_paragraphs(
+        spark.createDataFrame(rows), min_docs=2
+    ).collect()
+    for r in out:
+        assert r.n_removed == 0
+        assert "\n\n" in r.clean_text
