@@ -169,6 +169,54 @@ def lm_score(
     )
 
 
+def lm_terciles(
+    scores: DataFrame,
+    xent_col: str = "xent_micro",
+    id_col: str = "doc_id",
+    exact: bool = False,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket every document by where
+    its cross-entropy falls against the corpus's terciles (head = most
+    reference-like third). Returns (id, xent, ppl_bucket).
+
+    Default tier is approx_percentile — a bounded-memory mergeable
+    sketch, the only viable cut estimator at 100 TB. `exact=True`
+    switches to the exact interpolated percentile (single aggregation
+    buffer — fine up to memory, and bit-identical to DuckDB's
+    quantile_cont, which is what the registry oracle compares). Both
+    tiers compute the two cuts as a ONE-ROW aggregate broadcast back
+    over the corpus — no global sort, no window; empty-document scores
+    (xent 0) land in 'head' by construction (documented: gate on
+    n_tokens upstream if unwanted).
+
+    The scores frame has two consumers (the cuts aggregate and the
+    labeling pass), so it is localCheckpointed here — without that an
+    upstream scoring pipeline would execute twice."""
+    scores = scores.localCheckpoint()
+    x = F.col(xent_col)
+    if exact:
+        cuts = scores.agg(
+            F.expr(
+                f"percentile({xent_col}, array(1.0D/3.0D, 2.0D/3.0D))"
+            ).alias("_c")
+        )
+    else:
+        cuts = scores.agg(
+            F.percentile_approx(
+                x, F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0)), F.lit(10000)
+            ).alias("_c")
+        )
+    bucket = (
+        F.when(x.cast("double") <= F.col("_c")[0], F.lit("head"))
+        .when(x.cast("double") <= F.col("_c")[1], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scores.crossJoin(F.broadcast(cuts))
+        .select(id_col, xent_col, bucket.alias("ppl_bucket"))
+    )
+
+
 def token_drift(
     docs: DataFrame,
     target,

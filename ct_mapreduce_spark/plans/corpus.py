@@ -4302,6 +4302,59 @@ def docs_token_drift(spark, sf_dir):
 
 
 @q(
+    "docs_lm_terciles",
+    "WITH " + _LM_CTES + r""", dt AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), sc AS (
+      SELECT dt.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(COALESCE(lmk.logp_micro,
+                  (SELECT logp_micro FROM lm WHERE token = ''))) AS BIGINT)
+               AS logp_total_micro
+      FROM dt LEFT JOIN (SELECT token, logp_micro FROM lm
+                         WHERE token <> '') lmk USING (token)
+      GROUP BY dt.doc_id
+    ), xe AS (
+      SELECT d.doc_id,
+             CAST(CASE WHEN COALESCE(sc.n_tokens, 0) > 0
+                  THEN (-sc.logp_total_micro) // sc.n_tokens
+                  ELSE 0 END AS BIGINT) AS xent_micro
+      FROM documents d LEFT JOIN sc USING (doc_id)
+    ), cuts AS (
+      SELECT quantile_cont(xent_micro, 1.0/3.0) AS c1,
+             quantile_cont(xent_micro, 2.0/3.0) AS c2
+      FROM xe
+    )
+    SELECT doc_id, xent_micro,
+           CASE WHEN CAST(xent_micro AS DOUBLE) <= c1 THEN 'head'
+                WHEN CAST(xent_micro AS DOUBLE) <= c2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM xe, cuts""",
+    "lm",
+)
+def docs_lm_terciles(spark, sf_dir):
+    """CCNet's head/middle/tail corpus split (operators/lm.py:
+    lm_terciles): every document bucketed by its cross-entropy tercile
+    under the lang='en' unigram model. Exact-percentile tier here (the
+    one-row cuts aggregate is bit-identical to DuckDB's quantile_cont —
+    the a8_quantiles precedent); the default approx_percentile tier is
+    the bounded-memory 100 TB path, recall-tested in pytest. Full
+    oracle."""
+    from ct_mapreduce_spark.operators.lm import (
+        lm_score,
+        lm_terciles,
+        lm_train_unigram,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    model = lm_train_unigram(d.where(F.col("lang") == "en"), min_count=2)
+    return lm_terciles(lm_score(d, model), exact=True)
+
+
+@q(
     "docs_hash_split",
     """
     WITH b AS (

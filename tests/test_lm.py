@@ -111,3 +111,26 @@ def test_token_drift_ranks_planted_shift(spark):
     # deterministic tie-break: re-run produces the identical frame
     rep2 = token_drift(df, F.col("lang") == "en", top_k=10).collect()
     assert rep == rep2
+
+
+def test_lm_terciles_split_and_approx_tier(spark):
+    """Exact tier splits the corpus into ~equal thirds; the
+    approx-sketch tier (the 100 TB path) agrees with it on nearly every
+    document."""
+    from ct_mapreduce_spark.operators.lm import (
+        lm_score,
+        lm_terciles,
+        lm_train_unigram,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = lm_train_unigram(docs.where(F.col("lang") == "en"), min_count=2)
+    scores = lm_score(docs, model).localCheckpoint()
+    n = scores.count()
+    exact = {r.doc_id: r.ppl_bucket for r in lm_terciles(scores, exact=True).collect()}
+    sizes = {b: list(exact.values()).count(b) for b in ("head", "middle", "tail")}
+    for b, c in sizes.items():
+        assert abs(c - n / 3) <= n * 0.1, (b, sizes)
+    approx = {r.doc_id: r.ppl_bucket for r in lm_terciles(scores).collect()}
+    agree = sum(1 for k in exact if approx[k] == exact[k]) / n
+    assert agree >= 0.9, agree

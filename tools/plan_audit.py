@@ -66,6 +66,10 @@ ALLOWED: dict[tuple[str, str], str] = {
     "T_a/T_b/V totals frame onto the vocabulary-sized counts (model "
     "parameters); the corpus-side conditional count is "
     "localCheckpointed upstream",
+    ("docs_lm_terciles", "bnlj"): "broadcast cross-join of the ONE-row "
+    "tercile-cuts aggregate onto the checkpointed scores frame (plus "
+    "the training totals one-row broadcast inside the checkpoint "
+    "boundary)",
     ("docs_lm_unigram", "bnlj"): "broadcast cross-join of the ONE-row "
     "T/V/D totals frame onto the vocabulary table (model-sized); the "
     "corpus-side count is localCheckpointed upstream",
