@@ -205,8 +205,20 @@ def start_dedup_stream(
     est_threshold: float = 0.9,
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    quality_min: float | None = None,
+    lm_model_path: str | None = None,
+    lm_max_xent: int | None = None,
 ) -> StreamingQuery:
     """File-source document stream -> per-micro-batch incremental dedup.
+
+    Optional quality gates run FIRST each trigger, in increasing-cost
+    order (the curate pipeline's rule): `quality_min` applies the
+    composite heuristic score as a codegen filter; `lm_model_path` +
+    `lm_max_xent` apply the CCNet perplexity gate under a PERSISTED
+    unigram model (train once with operators/lm.py and save to parquet
+    — the daemon never retrains, so every batch scores under the same
+    model and the vocabulary-sized table re-reads cheaply per trigger).
+    Gated-out documents never pay the signature pass or index work.
 
     Each trigger: probe + within-batch dedup (dedup_batch), write the
     keep-list partitioned by ingest_batch, fold the survivors' postings
@@ -237,9 +249,24 @@ def start_dedup_stream(
         # batch's partition. (write_postings already keys off its input's
         # session for the same reason.)
         session = batch_df.sparkSession
+        gated = batch_df
+        if quality_min is not None:
+            from ct_mapreduce_spark.operators.text import quality_expr
+
+            gated = gated.where(quality_expr("text") >= float(quality_min))
         # sign the micro-batch ONCE; probe, within-batch tier, and the
         # postings fold all share this frame
-        batch_c = batch_df.localCheckpoint(eager=True)
+        batch_c = gated.localCheckpoint(eager=True)
+        if lm_model_path is not None and lm_max_xent is not None:
+            from ct_mapreduce_spark.operators.lm import lm_score
+
+            model = session.read.parquet(lm_model_path)
+            passing = lm_score(batch_c, model).where(
+                F.col("xent_micro") <= int(lm_max_xent)
+            )
+            batch_c = batch_c.join(
+                passing.select("doc_id"), "doc_id", "left_semi"
+            ).localCheckpoint(eager=True)
         sigs = minhash_signatures(fan_out(batch_c)).localCheckpoint(
             eager=True
         )

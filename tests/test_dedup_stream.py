@@ -218,3 +218,51 @@ def test_dedup_batch_exact_copy_dropped(spark, tmp_path):
     )
     kept = dedup_batch(spark, idx, batch).select("doc_id").collect()
     assert {r["doc_id"] for r in kept} == {101}
+
+
+def test_stream_quality_and_lm_gates(spark, tmp_path):
+    """Optional per-trigger gates: the heuristic quality filter and the
+    persisted-model perplexity gate drop junk BEFORE any signature or
+    index work; clean reference-like docs flow through to the keep-list."""
+    from ct_mapreduce_spark.operators.lm import lm_score, lm_train_unigram
+
+    good = "the data table holds many rows and each row has the value we need here today"
+    rows = [(i, f"{good} item {i}") for i in range(8)]
+    junk_quality = [(100, "zzz !!!! ....")]  # fails the composite score
+    junk_lm = [(200, "qqqx wwwy eeez rrrt yyyu iiio pppa sssd " * 3)]
+    docs = spark.createDataFrame(
+        rows + junk_quality + junk_lm, "doc_id long, text string"
+    )
+
+    # persist a reference model trained on the clean docs only
+    ref = spark.createDataFrame(rows, "doc_id long, text string")
+    model_path = str(tmp_path / "lm_model")
+    lm_train_unigram(ref, min_count=1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(model_path)
+    model = spark.read.parquet(model_path)
+    xents = {
+        r.doc_id: r.xent_micro for r in lm_score(docs, model).collect()
+    }
+    # a cut between the clean docs' scores and the unseen-token doc's
+    cut = (max(xents[i] for i, _ in rows) + xents[200]) // 2
+    assert max(xents[i] for i, _ in rows) < cut < xents[200]
+
+    src = str(tmp_path / "src")
+    _one_file(docs, src, "b0", 1_000_000.0)
+    keep = f"{tmp_path}/keep_gated"
+    q = start_dedup_stream(
+        spark,
+        source_path=src,
+        index_path=str(tmp_path / "idx_gated"),
+        keep_path=keep,
+        checkpoint=f"{tmp_path}/ckpt_gated",
+        quality_min=0.2,
+        lm_model_path=model_path,
+        lm_max_xent=int(cut),
+    )
+    q.awaitTermination(180)
+    kept_ids = {r.doc_id for r in spark.read.parquet(keep).collect()}
+    assert 100 not in kept_ids  # quality gate
+    assert 200 not in kept_ids  # perplexity gate
+    assert kept_ids & {i for i, _ in rows}  # clean docs survive
