@@ -45,12 +45,19 @@ extends the LLM-pipeline suite alongside selection.py / text.py.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ct_mapreduce_spark.operators.text import tokens
 
 OOV_TOKEN = ""
+
+#: Stupid-backoff penalty (Brants et al. 2007 use alpha = 0.4), rounded
+#: ONCE to integer micro-nats so backed-off token scores stay exact
+#: integer sums: score = ALPHA_MICRO + unigram logp_micro.
+BACKOFF_ALPHA_MICRO = round(math.log(0.4) * 1_000_000)
 
 
 def lm_train_unigram(
@@ -273,6 +280,151 @@ def token_drift(
         .select("token", "n_a", "n_b", kl_nano.alias("kl_nano"))
         .orderBy(F.col("kl_nano").desc(), "token")
         .limit(int(top_k))
+    )
+
+
+def _token_pairs(text_col: str):
+    """(prev, cur) stream over a document's tokens as an array of
+    2-field structs: one element per token POSITION, with prev NULL for
+    the first token. Built by zipping the token array against a
+    NULL-prefixed shifted copy — the gram_stream device (arrays_zip of
+    shifted slices; the slice-inside-lambda form re-traverses the array
+    per element and measured 4.5x slower). Empty documents produce a
+    [(' prev'=NULL, cur=NULL)]-shaped degenerate element or an
+    explode_outer NULL; both are filtered by `cur IS NOT NULL`
+    downstream, so no special-casing here."""
+    t = F.array_remove(tokens(text_col), "")
+    n = F.size(t)
+    prevs = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+    )
+    return F.arrays_zip(prevs.alias("prev"), t.alias("cur"))
+
+
+def lm_train_bigram(
+    corpus: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Train the stupid-backoff bigram table (Brants et al. 2007, "Large
+    Language Models in Machine Translation"): one row per kept bigram
+    (w1, w2, n, logs_micro) where
+
+        logs_micro = round(ln(n / n_ctx) * 1e6)   as BIGINT
+
+    and n_ctx is w1's total count as a bigram context (summed over ALL
+    pairs, BEFORE the min_count filter — so kept scores are true
+    relative frequencies, not renormalized over survivors). Stupid
+    backoff is the published web-scale choice precisely because it needs
+    no normalization pass: the score is a relative frequency, pairs
+    rarer than `min_count` simply fall back to alpha * unigram at
+    scoring time, and the KEPT table stays bounded (the bigram hapax
+    tail dominates the raw pair vocabulary at 100 TB exactly as the
+    unigram tail does).
+
+    Plan shape: one explode of the zipped pair stream -> map-side-
+    combined groupBy(w1, w2) shuffle, localCheckpointed (two consumers:
+    the context totals and the kept rows — the corpus is scanned once);
+    context totals are a second vocabulary-sized groupBy on the
+    CHECKPOINTED counts, joined back on w1. Nothing corpus-sized ever
+    reaches the driver; only the kept (post-min_count) table needs to
+    broadcast at scoring time."""
+    pc = (
+        corpus.select(F.explode(_token_pairs(text_col)).alias("s"))
+        .select(F.col("s.prev").alias("w1"), F.col("s.cur").alias("w2"))
+        .where(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    ctx = pc.groupBy("w1").agg(F.sum("n").cast("long").alias("n_ctx"))
+    logs = F.round(
+        F.log(F.col("n").cast("double") / F.col("n_ctx").cast("double"))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return (
+        pc.where(F.col("n") >= int(min_count))
+        .join(ctx, "w1")
+        .select("w1", "w2", "n", logs.alias("logs_micro"))
+    )
+
+
+def lm_score_backoff(
+    docs: DataFrame,
+    lm_uni: DataFrame,
+    lm_bi: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha_micro: int = BACKOFF_ALPHA_MICRO,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Per-document cross-entropy under the stupid-backoff bigram model:
+    each token position scores
+
+        bigram logs_micro                      if (prev, cur) is in lm_bi
+        alpha_micro + unigram logp_micro(cur)  otherwise (backoff)
+        unigram logp_micro(cur)                for the first token
+
+    with unigram logp falling back to the OOV sentinel row exactly as
+    `lm_score`. Output schema matches lm_score: (id, n_tokens,
+    logp_total_micro, xent_micro), empty documents scoring (0, 0, 0).
+    All per-token scores are integers rounded once inside the model
+    tables, so document totals are order-independent exact sums and the
+    DuckDB oracle hash-matches.
+
+    Plan: ONE explode of the (prev, cur) pair stream -> two broadcast
+    joins (the bigram table on (w1, w2), the unigram vocabulary on cur)
+    -> map-side-combined groupBy(doc): the shuffle carries one narrow
+    row per document. `broadcast_lm=False` is the escape hatch when the
+    kept bigram table outgrows broadcast range (train with a higher
+    min_count first — that is the published posture)."""
+    vocab = lm_uni.where(F.col("token") != OOV_TOKEN).select(
+        F.col("token").alias("cur"), F.col("logp_micro").alias("uni_micro")
+    )
+    bi = lm_bi.select(
+        F.col("w1").alias("prev"),
+        F.col("w2").alias("cur"),
+        F.col("logs_micro").alias("bi_micro"),
+    )
+    if broadcast_lm:
+        vocab, bi = F.broadcast(vocab), F.broadcast(bi)
+    oov = F.broadcast(
+        lm_uni.where(F.col("token") == OOV_TOKEN).select(
+            F.col("logp_micro").alias("oov_micro")
+        )
+    )
+    g = docs.select(
+        F.col(id_col), F.explode_outer(_token_pairs(text_col)).alias("s")
+    ).select(id_col, F.col("s.prev").alias("prev"), F.col("s.cur").alias("cur"))
+    uni_cur = F.coalesce("uni_micro", "oov_micro")
+    score = F.when(F.col("prev").isNull(), uni_cur).otherwise(
+        F.coalesce("bi_micro", F.lit(int(alpha_micro)) + uni_cur)
+    )
+    scored = (
+        g.join(bi, ["prev", "cur"], "left")
+        .join(vocab, "cur", "left")
+        .crossJoin(oov)
+        .groupBy(id_col)
+        .agg(
+            F.count("cur").cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("cur").isNotNull(), score)), F.lit(0)
+            )
+            .cast("long")
+            .alias("logp_total_micro"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "logp_total_micro",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN (-logp_total_micro) DIV n_tokens "
+            "ELSE CAST(0 AS BIGINT) END"
+        )
+        .cast("long")
+        .alias("xent_micro"),
     )
 
 

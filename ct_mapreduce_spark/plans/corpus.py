@@ -4354,6 +4354,117 @@ def docs_lm_terciles(spark, sf_dir):
     return lm_terciles(lm_score(d, model), exact=True)
 
 
+# --- Stupid-backoff bigram LM (operators/lm.py, Brants et al. 2007) --
+# Bigram CTEs over the same lang='en' reference slice, min_count=2.
+# logs_micro = round(ln(n_pair / n_ctx) * 1e6) with n_ctx summed over
+# ALL pairs before the min_count filter (true relative frequency, no
+# renormalization over survivors — that is what makes stupid backoff
+# normalization-free and therefore one-pass at 100 TB).
+
+_BLM_CTES = r"""dr AS (
+      SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents WHERE lang = 'en'
+    ), pr AS (
+      SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM dr
+    ), pairsr AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM pr
+    ), bcounts AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+      FROM pairsr GROUP BY w1, w2
+    ), bctx AS (
+      SELECT w1, CAST(SUM(n) AS BIGINT) AS n_ctx FROM bcounts GROUP BY w1
+    ), blm AS (
+      SELECT b.w1, b.w2, b.n,
+             CAST(round(ln(CAST(b.n AS DOUBLE) / CAST(c.n_ctx AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS logs_micro
+      FROM bcounts b JOIN bctx c USING (w1) WHERE b.n >= 2
+    )"""
+
+from ct_mapreduce_spark.operators.lm import (  # noqa: E402
+    BACKOFF_ALPHA_MICRO as _ALPHA_MICRO,
+)
+
+
+@q(
+    "docs_lm_bigram",
+    "WITH " + _BLM_CTES + "\n    SELECT w1, w2, n, logs_micro FROM blm",
+    "lm",
+)
+def docs_lm_bigram(spark, sf_dir):
+    """The trained stupid-backoff bigram table (operators/lm.py:
+    lm_train_bigram): relative-frequency bigram scores over the
+    lang='en' reference slice, min_count=2 (rarer pairs back off to
+    alpha * unigram at scoring time — the normalization-free web-scale
+    scheme of Brants et al. 2007). One explode -> map-side-combined
+    groupBy(w1, w2); context totals are a vocabulary-sized second
+    groupBy on the checkpointed counts. Full oracle."""
+    from ct_mapreduce_spark.operators.lm import lm_train_bigram
+
+    d = _t(spark, sf_dir, "documents")
+    return lm_train_bigram(d.where(F.col("lang") == "en"), min_count=2)
+
+
+@q(
+    "docs_lm_ppl_backoff",
+    "WITH " + _LM_CTES + ", " + _BLM_CTES + rf""", da AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS tk
+      FROM documents
+    ), dp AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM da
+    ), toks2 AS (
+      SELECT doc_id,
+             CASE WHEN i = 1 THEN NULL ELSE tk[i - 1] END AS prev,
+             tk[i] AS cur
+      FROM dp
+    ), sc AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN t.prev IS NULL THEN
+                        COALESCE(lmk.logp_micro,
+                          (SELECT logp_micro FROM lm WHERE token = ''))
+                      ELSE COALESCE(blm.logs_micro,
+                        {_ALPHA_MICRO} + COALESCE(lmk.logp_micro,
+                          (SELECT logp_micro FROM lm WHERE token = '')))
+                      END) AS BIGINT) AS logp_total_micro
+      FROM toks2 t
+      LEFT JOIN blm ON blm.w1 = t.prev AND blm.w2 = t.cur
+      LEFT JOIN (SELECT token, logp_micro FROM lm WHERE token <> '') lmk
+        ON lmk.token = t.cur
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(sc.logp_total_micro, 0) AS BIGINT)
+             AS logp_total_micro,
+           CAST(CASE WHEN COALESCE(sc.n_tokens, 0) > 0
+                THEN (-sc.logp_total_micro) // sc.n_tokens
+                ELSE 0 END AS BIGINT) AS xent_micro
+    FROM documents d LEFT JOIN sc USING (doc_id)""",
+    "lm",
+)
+def docs_lm_ppl_backoff(spark, sf_dir):
+    """Stupid-backoff perplexity scoring (operators/lm.py:
+    lm_score_backoff): every document's per-token cross-entropy under
+    the bigram-with-unigram-backoff model — the KenLM-shaped upgrade of
+    the CCNet gate, restated Spark-first. ONE explode of the (prev,
+    cur) pair stream, two broadcast model joins, map-side-combined
+    groupBy(doc); integer micro-nat scores make the result bit-identical
+    across engines. Full oracle."""
+    from ct_mapreduce_spark.operators.lm import (
+        lm_score_backoff,
+        lm_train_bigram,
+        lm_train_unigram,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where(F.col("lang") == "en")
+    uni = lm_train_unigram(ref, min_count=2)
+    bi = lm_train_bigram(ref, min_count=2)
+    return lm_score_backoff(d, uni, bi)
+
+
 @q(
     "docs_hash_split",
     """

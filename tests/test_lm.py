@@ -93,6 +93,82 @@ def test_lm_plan_is_codegen_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_bigram_train_matches_hand_model(spark):
+    """corpus: 'a b a b c' -> pairs (a,b)=2 (b,a)=1 (b,c)=1; contexts
+    a=2 b=2. min_count=2 keeps only (a,b); logs = ln(2/2) = 0. Context
+    totals use ALL pairs (pre-filter), so kept scores are true relative
+    frequencies, never renormalized over survivors."""
+    from ct_mapreduce_spark.operators.lm import lm_train_bigram
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b a b c")])
+    full = {
+        (r.w1, r.w2): r for r in lm_train_bigram(df, min_count=1).collect()
+    }
+    assert set(full) == {("a", "b"), ("b", "a"), ("b", "c")}
+    assert full[("a", "b")].n == 2 and full[("a", "b")].logs_micro == _micro(1.0)
+    assert full[("b", "a")].logs_micro == _micro(1 / 2)
+    assert full[("b", "c")].logs_micro == _micro(1 / 2)
+    kept = {
+        (r.w1, r.w2): r for r in lm_train_bigram(df, min_count=2).collect()
+    }
+    assert set(kept) == {("a", "b")}
+    assert kept[("a", "b")].logs_micro == 0
+
+
+def test_backoff_score_exact_integer_sums(spark):
+    """Every token position hits exactly one of the three scoring arms:
+    first token -> unigram; known pair -> bigram relative frequency;
+    unknown pair -> alpha + unigram (OOV folds into the unigram arm)."""
+    from ct_mapreduce_spark.operators.lm import (
+        BACKOFF_ALPHA_MICRO,
+        lm_score_backoff,
+        lm_train_bigram,
+        lm_train_unigram,
+    )
+
+    train = spark.createDataFrame([Row(doc_id=1, text="a b a b c")])
+    uni = lm_train_unigram(train, min_count=1)
+    bi = lm_train_bigram(train, min_count=1)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="a b"),    # first=uni(a), then bigram hit
+            Row(doc_id=11, text="b b"),    # (b,b) unseen -> backoff
+            Row(doc_id=12, text="c zzz"),  # backoff into the OOV row
+            Row(doc_id=13, text=""),       # empty -> (0, 0, 0)
+        ]
+    )
+    got = {r.doc_id: r for r in lm_score_backoff(docs, uni, bi).collect()}
+    # unigram: T=5, counts a=2 b=2 c=1 (all kept), V=3, denom=9, D=0
+    ua, ub, uc, uoov = _micro(3 / 9), _micro(3 / 9), _micro(2 / 9), _micro(1 / 9)
+    assert got[10].logp_total_micro == ua + _micro(1.0)
+    assert got[11].logp_total_micro == ub + BACKOFF_ALPHA_MICRO + ub
+    assert got[12].logp_total_micro == uc + BACKOFF_ALPHA_MICRO + uoov
+    assert got[13].n_tokens == 0 and got[13].xent_micro == 0
+    assert got[10].xent_micro == (-(ua + _micro(1.0))) // 2
+
+
+def test_backoff_plan_is_codegen_and_broadcast(spark):
+    """Both model joins broadcast; no Python evaluation anywhere in the
+    scoring plan — the corpus side never shuffles for the models."""
+    from ct_mapreduce_spark.operators.lm import (
+        lm_score_backoff,
+        lm_train_bigram,
+        lm_train_unigram,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    uni = lm_train_unigram(docs, min_count=2)
+    bi = lm_train_bigram(docs, min_count=2)
+    plan = (
+        lm_score_backoff(docs, uni, bi)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
 def test_token_drift_ranks_planted_shift(spark):
     """A token exclusive to the target slice dominates the KL report; a
     token with identical usage on both sides contributes ~zero."""
