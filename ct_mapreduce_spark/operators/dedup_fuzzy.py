@@ -121,6 +121,70 @@ def contamination_hits(
     )
 
 
+def eval_containment(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    dirty_threshold: float = 0.8,
+) -> DataFrame:
+    """The eval-side contamination measurement (the GPT-3 appendix-C /
+    PaLM protocol, mirrored by contamination_hits' corpus-side flagging):
+    for each BENCHMARK document, the fraction of its distinct word
+    k-grams that appear anywhere in the training corpus, plus the
+    `dirty` verdict (containment >= `dirty_threshold`) used to split an
+    eval suite into clean/dirty halves when reporting scores.
+
+    Plan — the direction of the join is what scales: the benchmark gram
+    dictionary (bounded: eval suites are ~1e5 examples) broadcasts INTO
+    the corpus shingle stream as a left-semi join, so the corpus is one
+    filtered scan that never shuffles; only the MATCHED grams (bounded
+    by the dictionary size) reach the distinct-grams shuffle, and
+    everything after is benchmark-sized. Zero-gram benchmark docs
+    (shorter than k tokens) report containment 0.0, not a 0-divisor.
+
+    Returns one row per benchmark doc:
+    (doc_id, n_grams, n_hit, containment, dirty)."""
+    bench_sh = _shingle_table(bench_docs, text_col, k).localCheckpoint()
+    bench_dict = bench_sh.select("shingle").distinct()
+    hit_grams = (
+        _shingle_table(docs, text_col, k)
+        .select("shingle")
+        .join(F.broadcast(bench_dict), "shingle", "left_semi")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        bench_sh.join(F.broadcast(hit_grams), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count("_hit").cast("long").alias("n_hit"),
+        )
+    )
+    frac = F.col("n_hit").cast("double") / F.greatest(
+        F.col("n_grams"), F.lit(1)
+    ).cast("double")
+    # docs shorter than k tokens have no shingle rows: rejoin onto the
+    # full benchmark id set so they report (0, 0, 0.0, false)
+    return (
+        bench_docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.round(frac, 6).alias("containment"),
+            (F.round(frac, 6) >= float(dirty_threshold)).alias("dirty"),
+        )
+    )
+
+
 def dup_span_stats(
     docs: DataFrame,
     text_col: str = "text",

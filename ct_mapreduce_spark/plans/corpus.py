@@ -1369,6 +1369,57 @@ def docs_decontaminate(spark, sf_dir):
 
 
 @q(
+    "docs_eval_containment",
+    r"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS s
+      FROM words, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+    ), bench_sh AS (
+      SELECT doc_id, s FROM sh WHERE doc_id % 50 = 0
+    ), corpus_grams AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % 50 <> 0
+    ), hit AS (
+      SELECT DISTINCT b.s FROM (SELECT DISTINCT s FROM bench_sh) b
+      JOIN corpus_grams c ON c.s = b.s
+    ), per_doc AS (
+      SELECT bench_sh.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(h.s) AS BIGINT) AS n_hit
+      FROM bench_sh LEFT JOIN hit h ON h.s = bench_sh.s
+      GROUP BY bench_sh.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+           round(CAST(COALESCE(n_hit, 0) AS DOUBLE)
+                 / GREATEST(COALESCE(n_grams, 0), 1), 6) AS containment,
+           (round(CAST(COALESCE(n_hit, 0) AS DOUBLE)
+                  / GREATEST(COALESCE(n_grams, 0), 1), 6) >= 0.8) AS dirty
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) d
+    LEFT JOIN per_doc USING (doc_id)
+    """,
+    "dedup",
+    "text",
+)
+def docs_eval_containment(spark, sf_dir):
+    """Eval-side contamination measurement (operators/dedup_fuzzy.py:
+    eval_containment): per-benchmark-document fraction of distinct word
+    4-grams present anywhere in the training corpus, plus the
+    clean/dirty verdict at 0.8 — the GPT-3/PaLM reporting protocol,
+    complementing docs_decontaminate's corpus-side flagging. The
+    benchmark dictionary broadcasts into the corpus shingle stream as a
+    left-semi join, so the corpus is one filtered scan that never
+    shuffles and everything downstream is benchmark-sized. Full
+    oracle."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    corpus = d.where(F.col("doc_id") % 50 != 0)
+    return dedup_fuzzy.eval_containment(corpus, bench, k=4)
+
+
+@q(
     "docs_dup_spans",
     r"""
     WITH words AS (

@@ -1387,6 +1387,55 @@ def test_contamination_hits_flags_only_leaked_docs(spark):
     assert hits == {10: 1, 12: 1}, hits
 
 
+def test_eval_containment_fractions_and_verdict(spark):
+    """Fully-leaked bench doc -> containment 1.0 / dirty; partially
+    leaked -> exact fraction; disjoint -> 0.0; shorter-than-k -> the
+    (0, 0, 0.0, false) degenerate row, present in the output."""
+    mk = lambda i, t: Row(doc_id=i, text=t)
+    bench = spark.createDataFrame(
+        [
+            mk(1, "the quick brown fox jumps"),   # 2 grams, both leaked
+            mk(2, "alpha beta gamma delta epsilon zeta"),  # 3 grams, 1 leaked
+            mk(3, "totally novel eval question here"),     # 2 grams, 0 leaked
+            mk(4, "too short"),                            # < k tokens
+        ]
+    )
+    corpus = spark.createDataFrame(
+        [
+            mk(10, "prefix the quick brown fox jumps suffix"),
+            mk(11, "noise alpha beta gamma delta noise"),
+        ]
+    )
+    got = {
+        r.doc_id: r
+        for r in dedup_fuzzy.eval_containment(corpus, bench, k=4).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1].n_grams, got[1].n_hit, got[1].dirty) == (2, 2, True)
+    assert got[1].containment == 1.0
+    assert (got[2].n_grams, got[2].n_hit, got[2].dirty) == (3, 1, False)
+    assert got[2].containment == round(1 / 3, 6)
+    assert (got[3].n_hit, got[3].containment, got[3].dirty) == (0, 0.0, False)
+    assert (got[4].n_grams, got[4].n_hit, got[4].containment) == (0, 0, 0.0)
+
+
+def test_eval_containment_corpus_side_never_shuffles_for_dict(spark):
+    """The 100 TB contract: the benchmark dictionary reaches the corpus
+    scan as a broadcast left-semi join — no sort-merge/shuffled join of
+    the corpus gram stream against the dictionary."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    plan = (
+        dedup_fuzzy.eval_containment(corpus, bench, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_dup_span_stats_fractions(spark):
     """Two docs sharing one 4-gram passage + one unique doc: the shared
     occurrences count as duplicated spans, the unique doc scores 0."""
