@@ -149,6 +149,59 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def adaptive_quality_filter(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    keep_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact: bool = False,
+) -> DataFrame:
+    """Corpus-relative quality gate: keep each stratum's top `keep_frac`
+    of documents by composite quality score — the per-language adaptive
+    threshold a multilingual pipeline needs (a fixed global cut like
+    curate's `quality_min` systematically over-prunes languages whose
+    stopword table is thinner; a per-stratum quantile self-calibrates).
+
+    Two tiers, the lm_terciles discipline: default approx_percentile (a
+    bounded-memory mergeable sketch — the only viable per-group quantile
+    at 100 TB), `exact=True` for the interpolated exact percentile that
+    bit-matches DuckDB's quantile_cont (the registry oracle). Either
+    way the cuts table is STRATA-sized (one row per language), broadcast
+    back over the scored frame — no window, no global sort; the scored
+    frame is localCheckpointed because the cuts aggregate and the filter
+    both read it. A corpus-relative gate is inherently a batch decision:
+    on the streaming path use a threshold learned here and serve it via
+    lm-style fixed cuts.
+
+    Returns (id, stratum, quality, cut) for kept rows."""
+    scored = (
+        fan_out(docs)
+        .select(
+            id_col,
+            stratum_col,
+            quality_expr(text_col).alias("quality"),
+        )
+        .localCheckpoint()
+    )
+    p = F.lit(1.0 - float(keep_frac))
+    if exact:
+        cut = F.percentile(F.col("quality"), p)
+    else:
+        cut = F.percentile_approx(F.col("quality"), p, F.lit(10000))
+    cuts = scored.groupBy(stratum_col).agg(cut.alias("cut"))
+    return (
+        scored.join(F.broadcast(cuts), stratum_col)
+        .where(F.col("quality") >= F.col("cut"))
+        .select(
+            id_col,
+            stratum_col,
+            "quality",
+            F.round("cut", 6).alias("cut"),
+        )
+    )
+
+
 # PII patterns kept deliberately in the common subset of Java regex and
 # RE2 (no lookarounds, no backrefs) so Spark and the DuckDB oracle match
 # byte-for-byte.

@@ -4133,6 +4133,37 @@ def docs_quality(spark, sf_dir):
     return text.quality_score(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "docs_adaptive_quality",
+    rf"""
+    WITH qres AS ({_quality_sql()}),
+    ql AS (
+      SELECT q.doc_id, d.lang, q.quality
+      FROM qres q JOIN documents d USING (doc_id)
+    ), cuts AS (
+      SELECT lang, quantile_cont(quality, 0.5) AS cut FROM ql GROUP BY lang
+    )
+    SELECT ql.doc_id, ql.lang, ql.quality, round(cuts.cut, 6) AS cut
+    FROM ql JOIN cuts USING (lang)
+    WHERE ql.quality >= cuts.cut
+    """,
+    "text",
+)
+def docs_adaptive_quality(spark, sf_dir):
+    """Per-language adaptive quality gate (operators/text.py:
+    adaptive_quality_filter): keep each language's top half by composite
+    quality score — the corpus-relative threshold that self-calibrates
+    across languages instead of over-pruning the ones with thinner
+    stopword tables. Exact-percentile tier here (bit-matches DuckDB's
+    quantile_cont, the lm_terciles precedent); the default
+    approx-sketch tier is the bounded-memory 100 TB path, agreement-
+    tested in pytest. The cuts table is strata-sized and broadcast —
+    no window, no global sort. Full oracle."""
+    return text.adaptive_quality_filter(
+        _t(spark, sf_dir, "documents"), keep_frac=0.5, exact=True
+    )
+
+
 def _gopher_sql() -> str:
     from ct_mapreduce_spark.operators.text import GOPHER_REQUIRED_STOPWORDS
 

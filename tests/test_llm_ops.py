@@ -1656,6 +1656,48 @@ def test_semdedup_drops_planted_duplicates(spark):
     assert {0, 1, 2} <= kept
 
 
+def test_adaptive_quality_per_stratum_halves(spark):
+    """Each language keeps ~half its docs at keep_frac=0.5, cuts differ
+    per language, and every kept row clears its own stratum's cut — the
+    whole point over a single global threshold."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = text.adaptive_quality_filter(docs, keep_frac=0.5, exact=True)
+    rows = kept.collect()
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+        assert r.quality >= r.cut
+    for lang, rs in by_lang.items():
+        frac = len(rs) / totals[lang]
+        # >= median keeps at least half; ties can push it above
+        assert 0.5 <= frac <= 0.75, (lang, frac)
+    assert len({round(rs[0].cut, 6) for rs in by_lang.values()}) > 1
+
+
+def test_adaptive_quality_approx_tier_agrees(spark):
+    """The sketch tier (the 100 TB path) keeps nearly the same set as
+    the exact tier, and its plan has no window and broadcasts the
+    strata-sized cuts."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        r.doc_id
+        for r in text.adaptive_quality_filter(
+            docs, keep_frac=0.5, exact=True
+        ).collect()
+    }
+    approx_df = text.adaptive_quality_filter(docs, keep_frac=0.5)
+    approx = {r.doc_id for r in approx_df.collect()}
+    overlap = len(exact & approx) / max(len(exact), 1)
+    assert overlap >= 0.95, overlap
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_gopher_quality_planted_rules(spark):
     """Each Gopher rule trips on a purpose-built document and the clean
     document passes the full battery."""
