@@ -1147,6 +1147,72 @@ def semdedup_keep(
     return corpus.join(drops, id_col, "left_anti")
 
 
+def prototype_prune(
+    corpus: DataFrame,
+    keep_frac: float = 0.5,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    keep_hard: bool = True,
+    target_cell_size: int = 128,
+) -> DataFrame:
+    """Prototype-based data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws"): assign every embedding to its nearest cluster
+    prototype, score it by cosine similarity to that prototype, and keep
+    each cluster's `keep_frac` HARDEST examples (lowest prototype
+    cosine) — the published self-supervised metric that beats random
+    pruning when data is abundant. `keep_hard=False` flips the
+    direction (keep the most prototypical — the right call in the
+    scarce-data regime, per the same paper).
+
+    Plan — everything before the ranking is NARROW: seeded centroids
+    (the IVF pick, model-sized), literal-array assignment plus the
+    prototype-cosine projection via element_at on the same literal (no
+    join, no shuffle for scoring); then per-cell counts come from a
+    map-side-combined groupBy broadcast back (the dup_span_stats
+    de-skew discipline — never count().over a data-sized window
+    partition), and the only data shuffle is the per-cell rank window.
+    Cell sizes are bounded by construction: n_cells=None auto-scales as
+    max(16, rows // target_cell_size) (the SemDeDup contract), so the
+    rank window's partitions stay ~target_cell_size at any corpus size.
+
+    Returns (id, cell, proto_cos) for kept rows; proto_cos rounded to 6
+    after all comparisons. The score uses the same IEEE fold order as
+    cosine(), so results are bit-stable and pinned against the no-Spark
+    independent oracle."""
+    if n_cells is None:
+        n_cells = max(16, corpus.count() // target_cell_size)
+    cents = _ivf_centroid_frame(corpus, n_cells, id_col, vec_col, seed)
+    cent_rows = cents.collect()
+    ca = _assign_nearest(corpus, cent_rows, id_col, vec_col, "m")
+    s = F.element_at(_centroid_literal(cent_rows), F.col("cell") + 1)
+    scored = ca.select(
+        F.col("m_id").alias(id_col),
+        "cell",
+        (
+            _dot(F.col("m_vec"), s["centroid"])
+            / (F.col("m_norm") * s["norm"])
+        ).alias("_pc"),
+    ).localCheckpoint()  # two consumers: the counts agg and the ranking
+    counts = scored.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("cell_n")
+    )
+    order = (
+        [F.col("_pc").asc(), F.col(id_col).asc()]
+        if keep_hard
+        else [F.col("_pc").desc(), F.col(id_col).asc()]
+    )
+    w = W.partitionBy("cell").orderBy(*order)
+    n_keep = F.ceil(F.lit(float(keep_frac)) * F.col("cell_n"))
+    return (
+        scored.join(F.broadcast(counts), "cell")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_keep)
+        .select(id_col, "cell", F.round("_pc", 6).alias("proto_cos"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): m_sub subspace codebooks, uint8 codes, ADC scan
 # ---------------------------------------------------------------------------

@@ -5117,6 +5117,25 @@ def emb_semdedup(spark, sf_dir):
     return semdedup_pairs(_t(spark, sf_dir, "embeddings"), n_cells=16)
 
 
+@q("emb_prototype_prune", _pin("emb_prototype_prune"), "dedup")
+def emb_prototype_prune(spark, sf_dir):
+    """Prototype-based pruning (operators/similarity.py:prototype_prune
+    — Sorscher et al. 2022): keep each cluster's hardest half by cosine
+    distance to its prototype, the published abundant-data selection
+    metric. Scoring is fully narrow (literal centroids + element_at —
+    no join, no shuffle); per-cell counts broadcast back and the only
+    shuffle is the bounded-cell rank window. Seeded xxhash64 centroid
+    pick is not SQL-recomputable => golden-literal oracle, independently
+    re-derived by tools/independent_oracle.py. n_cells pinned at 16;
+    production callers use the auto default (cell size stays constant
+    as the corpus grows)."""
+    from ct_mapreduce_spark.operators.similarity import prototype_prune
+
+    return prototype_prune(
+        _t(spark, sf_dir, "embeddings"), keep_frac=0.5, n_cells=16
+    )
+
+
 @q("emb_pq_topk", _pin("emb_pq_topk"), "similarity")
 def emb_pq_topk(spark, sf_dir):
     """Product-quantization ADC search (operators/similarity.py:pq_topk):

@@ -549,6 +549,52 @@ def test_semdedup_auto_cells_scale_with_corpus(spark):
     assert max(pcells) <= 15
 
 
+def test_prototype_prune_per_cell_keep_counts(spark, emb):
+    """Every cell keeps exactly ceil(keep_frac * cell_n) rows; kept rows
+    are that cell's LOWEST prototype cosines (hardest examples), and
+    keep_hard=False flips to the highest."""
+    import math
+
+    full = similarity.prototype_prune(emb, keep_frac=1.0, n_cells=16)
+    all_rows = full.collect()
+    by_cell = {}
+    for r in all_rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    kept = similarity.prototype_prune(emb, keep_frac=0.5, n_cells=16).collect()
+    kept_by_cell = {}
+    for r in kept:
+        kept_by_cell.setdefault(r.cell, []).append(r)
+    for cell, rows in by_cell.items():
+        want = math.ceil(0.5 * len(rows))
+        got = kept_by_cell.get(cell, [])
+        assert len(got) == want, (cell, len(got), want)
+        hardest = sorted(rows, key=lambda r: (r.proto_cos, r.vec_id))[:want]
+        assert {r.vec_id for r in got} == {r.vec_id for r in hardest}
+    easy = similarity.prototype_prune(
+        emb, keep_frac=0.5, n_cells=16, keep_hard=False
+    ).collect()
+    some_cell = max(by_cell, key=lambda c: len(by_cell[c]))
+    if len(by_cell[some_cell]) >= 4:
+        hard_ids = {r.vec_id for r in kept if r.cell == some_cell}
+        easy_ids = {r.vec_id for r in easy if r.cell == some_cell}
+        assert hard_ids != easy_ids
+
+
+def test_prototype_prune_scoring_is_narrow(spark, emb):
+    """The 100 TB contract: no join and no exchange before the ranking —
+    assignment + prototype cosine are one literal-array projection; the
+    only data shuffle is the bounded-cell rank window."""
+    plan = (
+        similarity.prototype_prune(emb, keep_frac=0.5, n_cells=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # the counts join only
+
+
 def test_pq_index_serves_identically(spark, emb, tmp_path):
     """The materialized PQ serve path: pq_build_index + pq_topk_indexed
     must be bit-identical to inline pq_topk (shared ADC expressions,

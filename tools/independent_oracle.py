@@ -665,6 +665,42 @@ def emb_semdedup(
     return sorted(rows)
 
 
+def emb_prototype_prune(
+    sf_dir: str,
+    keep_frac: float = 0.5,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> list[tuple]:
+    # mirrors operators/similarity.py:prototype_prune — seeded centroid
+    # pick (lowest xxhash64), nearest-cell assignment (min on
+    # (-cosine, cell)), per-cell rank by (proto_cos asc, id) keeping
+    # ceil(keep_frac * cell_n) hardest rows, proto_cos rounded to 6
+    # only at output.
+    import math
+
+    ids, vecs = _load_embeddings(sf_dir)
+    hs = [(spark_xxhash64(str(vid), Int32(seed)), vid, i) for i, vid in enumerate(ids)]
+    hs.sort()
+    centroids = [vecs[i] for _, _, i in hs[:n_cells]]
+    cnorms = [_fold_norm(c) for c in centroids]
+
+    members: dict[int, list[tuple[float, int]]] = {}
+    for i, v in enumerate(vecs):
+        vn = _fold_norm(v)
+        neg_cos, cell = min(
+            (-(_fold_dot(v, c) / (vn * cn)), cell)
+            for cell, (c, cn) in enumerate(zip(centroids, cnorms))
+        )
+        members.setdefault(cell, []).append((-neg_cos, ids[i]))
+    rows = []
+    for cell, scored in members.items():
+        scored.sort()  # (proto_cos asc, id asc) — hardest first
+        n_keep = math.ceil(keep_frac * len(scored))
+        for pc, vid in scored[:n_keep]:
+            rows.append((vid, cell, _round6(pc)))
+    return sorted(rows)
+
+
 def emb_pq_topk(
     sf_dir: str,
     k: int = 5,
@@ -910,6 +946,7 @@ def s16_warc_domain_stats(sf_dir: str, n: int = 60) -> list[tuple]:
 
 DERIVATIONS = {
     "emb_semdedup": emb_semdedup,
+    "emb_prototype_prune": emb_prototype_prune,
     "docs_incremental_dedup": docs_incremental_dedup,
     "s14_warc_scan": s14_warc_scan,
     "s15_warc_html_pipeline": s15_warc_html_pipeline,
