@@ -75,6 +75,16 @@ HEADLINE = [
     "docs_lm_ppl",
     "docs_gopher_rules",
     "docs_token_drift",
+    # round-7 final additions (first recorded run = their baseline).
+    # docs_lm_ppl_backoff trains BOTH models (unigram + bigram pair
+    # counts) and scores the corpus each iteration — the bigram-quality-
+    # gate path cost, the step up from docs_lm_ppl.
+    "docs_lm_ppl_backoff",
+    # per-language quantile cut + filter (approx tier is the scale path;
+    # the registry entry benches the exact tier it oracles against).
+    "docs_adaptive_quality",
+    # narrow prototype scoring + bounded-cell rank window.
+    "emb_prototype_prune",
 ]
 
 # min-of-3: the first run pays JIT/codegen warmup and local-mode timings
