@@ -439,6 +439,14 @@ def build_parser() -> argparse.ArgumentParser:
         "model)",
     )
     c.add_argument(
+        "--lm-order",
+        type=int,
+        default=1,
+        choices=(1, 2),
+        help="perplexity-gate model order: 1 = unigram, 2 = stupid-"
+        "backoff bigram (second artifact persisted at <lm-model>_bi)",
+    )
+    c.add_argument(
         "--token-budget",
         type=int,
         default=None,
@@ -658,6 +666,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             lm_max_xent=args.lm_max_xent,
             lm_reference=args.lm_reference,
             lm_model=args.lm_model,
+            lm_order=args.lm_order,
             domain_blocklist=(
                 [d.strip() for d in args.domain_blocklist.split(",") if d.strip()]
                 if args.domain_blocklist

@@ -78,6 +78,7 @@ def curate_crawl(
     lm_max_xent: int | None = None,
     lm_reference: str | None = None,
     lm_model: str | None = None,
+    lm_order: int = 1,
     domain_blocklist: list[str] | None = None,
     token_budget: int | None = None,
     dsir_target: str | None = None,
@@ -119,7 +120,11 @@ def curate_crawl(
     own quality survivors (self-perplexity: drops the statistically
     weird tail) — and saved to `lm_model` if a path was given, so
     successive drops score under the SAME model, exactly like
-    mh_index/bpe_model/dsir_model. Stats gain `after_lm`.
+    mh_index/bpe_model/dsir_model. Stats gain `after_lm`. `lm_order=2`
+    upgrades the scorer to the stupid-backoff bigram tier
+    (lm_score_backoff): a second artifact at `{lm_model}_bi` persists
+    the bigram table under the same lifecycle; a persisted order-1
+    model cannot silently serve an order-2 gate (hard error).
 
     token_budget: cap the drop's exported corpus at this many tokens
     (BPE units when bpe_model is active, whitespace words otherwise),
@@ -215,12 +220,33 @@ def curate_crawl(
         # Optional stage 2b: perplexity gate. One broadcast-join scoring
         # pass over the checkpointed survivors; the model is
         # vocabulary-sized (min_count=2 folds the hapax tail into OOV).
-        from ct_mapreduce_spark.operators.lm import lm_score, lm_train_unigram
+        # lm_order=2 upgrades to the stupid-backoff bigram scorer: the
+        # bigram table is a SECOND artifact persisted at {lm_model}_bi
+        # (a sibling path — a subdirectory would corrupt the unigram
+        # parquet read), trained/loaded under the same
+        # once-per-corpus-history lifecycle.
+        from ct_mapreduce_spark.operators.lm import (
+            lm_score,
+            lm_score_backoff,
+            lm_train_bigram,
+            lm_train_unigram,
+        )
 
+        bi_path = None if lm_model is None else lm_model + "_bi"
         if lm_model is not None and os.path.exists(
             os.path.join(lm_model, "_SUCCESS")
         ):
             model = spark.read.parquet(lm_model)
+            bi = None
+            if lm_order == 2:
+                if not os.path.exists(os.path.join(bi_path, "_SUCCESS")):
+                    raise ValueError(
+                        f"lm_order=2 but {bi_path} has no bigram table: "
+                        "the persisted model was trained at order 1. "
+                        "Delete the lm_model artifact to retrain both, "
+                        "or run with lm_order=1."
+                    )
+                bi = spark.read.parquet(bi_path)
         else:
             ref = (
                 text_source.read_jsonl(spark, lm_reference).where(
@@ -230,12 +256,19 @@ def curate_crawl(
                 else good
             )
             model = lm_train_unigram(ref, min_count=2)
+            bi = lm_train_bigram(ref, min_count=2) if lm_order == 2 else None
             if lm_model is not None:
                 model.coalesce(1).write.mode("overwrite").parquet(lm_model)
                 model = spark.read.parquet(lm_model)
-        passing = lm_score(good, model).where(
-            F.col("xent_micro") <= int(lm_max_xent)
+                if bi is not None:
+                    bi.coalesce(1).write.mode("overwrite").parquet(bi_path)
+                    bi = spark.read.parquet(bi_path)
+        scores = (
+            lm_score_backoff(good, model, bi)
+            if bi is not None
+            else lm_score(good, model)
         )
+        passing = scores.where(F.col("xent_micro") <= int(lm_max_xent))
         good = good.join(
             passing.select("doc_id"), "doc_id", "left_semi"
         ).localCheckpoint(eager=True)

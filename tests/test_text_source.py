@@ -566,3 +566,72 @@ def test_curate_lm_filter(spark, tmp_path):
     s2 = curate_crawl(spark, crawl, wd2, lm_max_xent=cut, lm_model=model)
     assert 0 < s2["after_lm"] < s2["quality_survivors"]
     assert sorted(os.listdir(model)) == before  # loaded, not retrained
+
+
+def test_curate_lm_filter_bigram_order(spark, tmp_path):
+    """lm_order=2: both artifacts (unigram + {model}_bi bigram table)
+    train and persist on the first drop and load on the second; the gate
+    actually scores under stupid backoff (median cut computed with
+    lm_score_backoff filters); an order-2 gate over a persisted order-1
+    model is a hard error, never a silent unigram fallback."""
+    import os
+
+    import pytest as _pytest
+
+    from ct_mapreduce_spark.operators.lm import lm_score_backoff
+    from ct_mapreduce_spark.plans.curate import curate_crawl
+    from ct_mapreduce_spark.sources import text_source
+
+    crawl = str(tmp_path / "c")
+    text_source.synthetic_warc_html_fixture(crawl, n=48)
+    model = str(tmp_path / "lm2")
+    wd1 = str(tmp_path / "wd1")
+    s1 = curate_crawl(
+        spark, crawl, wd1, lm_max_xent=10**9, lm_model=model, lm_order=2
+    )
+    assert s1["after_lm"] == s1["quality_survivors"]
+    assert os.path.exists(os.path.join(model, "_SUCCESS"))
+    assert os.path.exists(os.path.join(model + "_bi", "_SUCCESS"))
+    bi = spark.read.parquet(model + "_bi")
+    assert {"w1", "w2", "n", "logs_micro"} <= set(bi.columns)
+
+    uni = spark.read.parquet(model)
+    exported = spark.read.option("compression", "gzip").json(
+        wd1 + "/export/drop=drop-0000"
+    )
+    xents = sorted(
+        r.xent_micro
+        for r in lm_score_backoff(
+            exported.select("doc_id", "text"), uni, bi
+        ).collect()
+    )
+    cut = xents[len(xents) // 2]
+    before_u = sorted(os.listdir(model))
+    before_b = sorted(os.listdir(model + "_bi"))
+
+    wd2 = str(tmp_path / "wd2")
+    s2 = curate_crawl(
+        spark, crawl, wd2, lm_max_xent=cut, lm_model=model, lm_order=2
+    )
+    assert 0 < s2["after_lm"] < s2["quality_survivors"]
+    assert sorted(os.listdir(model)) == before_u  # loaded, not retrained
+    assert sorted(os.listdir(model + "_bi")) == before_b
+
+    # order-1 artifact + order-2 gate: hard error
+    model1 = str(tmp_path / "lm_order1")
+    curate_crawl(
+        spark,
+        crawl,
+        str(tmp_path / "wd3"),
+        lm_max_xent=10**9,
+        lm_model=model1,
+    )
+    with _pytest.raises(ValueError, match="order 1"):
+        curate_crawl(
+            spark,
+            crawl,
+            str(tmp_path / "wd4"),
+            lm_max_xent=10**9,
+            lm_model=model1,
+            lm_order=2,
+        )

@@ -166,6 +166,38 @@ def main() -> None:
         }
         print(f"lm_ppl x{mult}: {times} scored={n_scored}", file=sys.stderr)
 
+    # --- Bigram stupid-backoff train+score (r7 late): bigram training
+    # adds ONE more map-side-combined pass (pair counts) and a
+    # vocabulary-sized context join; scoring adds one more broadcast
+    # join over the same single explode. The wall must stay within a
+    # small constant of lm_ppl's and track corpus size (exponent ~<= 1);
+    # a superlinear rung would mean the kept bigram table outgrew
+    # broadcast collapse or the pair shuffle stopped combining. ---
+    from ct_mapreduce_spark.operators.lm import (
+        lm_score_backoff,
+        lm_train_bigram,
+    )
+
+    for mult in DOC_MULTS:
+        docs = _docs_at(mult)
+        ref = docs.where(F.col("doc_id") % 5 == 0)
+        times = []
+        n_scored = None
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            uni = lm_train_unigram(ref, min_count=2)
+            bi = lm_train_bigram(ref, min_count=2)
+            n_scored = lm_score_backoff(docs, uni, bi).count()
+            times.append(round(time.perf_counter() - t0, 2))
+        results[f"lm_backoff_x{mult}"] = {
+            "iterations": times,
+            "min": min(times),
+            "n_scored": n_scored,
+        }
+        print(
+            f"lm_backoff x{mult}: {times} scored={n_scored}", file=sys.stderr
+        )
+
     # --- DSIR token-budget selection (r7): the full selection pipeline
     # (weight training vs a 1/5 pseudo-target slice, integer scoring,
     # budget prefix sum keeping ~half the tokens). Every stage is a
@@ -454,6 +486,33 @@ def main() -> None:
             file=sys.stderr,
         )
         shutil.rmtree(idx, ignore_errors=True)
+
+    # --- Prototype pruning (r7 late): scoring is narrow (literal
+    # centroids, no shuffle) and the only data shuffle is the rank
+    # window over cells whose size the auto-n_cells rule holds constant
+    # (~target_cell_size). The wall must track corpus size (exponent
+    # ~<= 1) with auto cells; a superlinear rung would mean cell
+    # partitions grew with the corpus (the fixed-n_cells failure
+    # SemDeDup's soak demonstrates). ---
+    for mult in EMB_MULTS:
+        emb = spark.read.parquet(_emb_path(mult))
+        n_rows = emb.count()
+        times = []
+        n_kept = None
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            n_kept = similarity.prototype_prune(emb, keep_frac=0.5).count()
+            times.append(round(time.perf_counter() - t0, 2))
+        results[f"proto_prune_x{mult}"] = {
+            "rows": n_rows,
+            "iterations": times,
+            "min": min(times),
+            "n_kept": n_kept,
+        }
+        print(
+            f"proto_prune x{mult}: {times} kept={n_kept}/{n_rows}",
+            file=sys.stderr,
+        )
 
     # --- SemDeDup at 10x embeddings: fixed n_cells (cells grow 10x ->
     # in-cell pair work grows ~100x) vs n_cells scaled with the corpus
@@ -750,6 +809,10 @@ def main() -> None:
             "dsir_select_x1", "dsir_select_x10", 10
         ),
         "lm_ppl_1x_to_10x": expo("lm_ppl_x1", "lm_ppl_x10", 10),
+        "lm_backoff_1x_to_10x": expo("lm_backoff_x1", "lm_backoff_x10", 10),
+        "proto_prune_1x_to_100x": expo(
+            "proto_prune_x1", "proto_prune_x100", 100
+        ),
         "bpe_encode_1x_to_10x": expo("bpe_x1", "bpe_x10", 10),
         "curate_drop1_1x_to_10x": expo("curate_x1", "curate_x10", 10, "drop1_s"),
         "curate_drop2_1x_to_10x": expo("curate_x1", "curate_x10", 10, "drop2_s"),
