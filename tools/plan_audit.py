@@ -77,6 +77,17 @@ ALLOWED: dict[tuple[str, str], str] = {
     "totals onto the vocabulary and the OOV log-probability onto the "
     "scoring join — both model parameters; the corpus streams once "
     "through the broadcast hash join",
+    ("docs_lm_ppl_backoff", "bnlj"): "docs_lm_ppl's adjudicated one-row "
+    "model-parameter broadcasts (training totals onto the vocabulary, "
+    "OOV log-probability onto the scoring join), appearing three times "
+    "because both models' training totals sit in the same plan; the "
+    "corpus streams once through the two broadcast hash model joins",
+    ("docs_lm_ppl_backoff", "exchanges"): "train BOTH models + score in "
+    "one composition: unigram token count, bigram pair count, the "
+    "vocabulary-sized context groupBy + join, and the one-narrow-row-"
+    "per-doc score groupBy — every exchange map-side-combined, every "
+    "frame past the explodes vocabulary- or doc-count-sized "
+    "(lm_backoff_x{1,10} soak: exponent 0.068)",
     ("emb_ann_ivf", "bnlj"): "crossJoin against 16 broadcast centroids",
     ("emb_ann_ivf_refined", "bnlj"): "crossJoin against 16 broadcast "
     "centroids (query-side probe assignment; corpus side is the narrow "
