@@ -162,6 +162,87 @@ def recompute_leaf_counts(spark, agg_path: str, store: DataFrame) -> DataFrame:
     return _write_leaf_counts(spark, agg_path, full)
 
 
+def rate_anomaly(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    trailing: int = 24,
+    warmup: int = 12,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Event-rate anomaly detection: per-key time-bucket counts scored
+    by z-score against a trailing rolling baseline — the monitoring
+    query that answers "did this log/event type suddenly spike or go
+    quiet" (the reference's operators watch fetch rates the same way;
+    health checks in streaming/telemetry.py are the streaming cousin).
+
+    Semantics: the baseline for bucket t is the previous `trailing`
+    OBSERVED buckets of the same key (ROWS frame, gaps skipped — a
+    quiet-period gap shortens history rather than zero-filling, the
+    usual monitoring choice). Buckets with fewer than `warmup` prior
+    observations score 0 (never anomalous) so cold starts don't page.
+    The variance gets a floor of 1.0 (count data: a PERFECTLY flat
+    baseline must still flag a spike — guarding var=0 to z=0 would
+    silence the most obvious anomaly; the floor also bounds z for
+    near-constant baselines instead of exploding on 1-event jitter).
+
+    Determinism contract: the rolling frame aggregates exact BIGINT
+    moments (sum n, sum n^2, count) and mean/variance/z are ONE fixed
+    double expression over those integers, rounded once at the edge —
+    bit-identical across engines (the quality-formula discipline).
+    Built-in stddev would NOT hash-match (Welford merge order differs).
+
+    Scale shape: ONE map-side-combined groupBy collapses the corpus to
+    the (key, bucket) frame — everything after, including the window,
+    runs on a frame sized |keys| x |time buckets|, independent of event
+    volume; the window partitions by key over that model-sized frame.
+
+    Returns (key, bucket_ts, n, z_score, is_anomaly)."""
+    from pyspark.sql import Window as W
+
+    counts = events.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        W.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(-int(trailing), -1)
+    )
+    s1 = F.sum("n").over(w).cast("long")
+    s2 = F.sum(F.col("n") * F.col("n")).over(w).cast("long")
+    c = F.count("n").over(w).cast("long")
+    scored = counts.select(
+        "key",
+        "bucket_ts",
+        "n",
+        s1.alias("_s1"),
+        s2.alias("_s2"),
+        c.alias("_c"),
+    )
+    mean = F.col("_s1").cast("double") / F.col("_c")
+    var = (
+        F.col("_s2").cast("double")
+        - F.col("_s1").cast("double") * F.col("_s1").cast("double") / F.col("_c")
+    ) / (F.col("_c") - 1)
+    z = F.when(
+        F.col("_c") >= int(warmup),
+        F.round(
+            (F.col("n").cast("double") - mean)
+            / F.sqrt(F.greatest(var, F.lit(1.0))),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return scored.select(
+        "key",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "n",
+        z.alias("z_score"),
+        (F.abs(z) >= float(z_threshold)).alias("is_anomaly"),
+    )
+
+
 def full_report(certs_deduped: DataFrame, metadata: DataFrame) -> DataFrame:
     """Per-issuer report line: serial totals joined with metadata-set sizes
     (storage-statistics.go:36-79). metadata is the issuer_metadata() result

@@ -3118,6 +3118,51 @@ def ev_retention(spark, sf_dir):
 
 
 @q(
+    "ev_rate_anomaly",
+    """
+    WITH counts AS (
+      SELECT event_type AS key, date_trunc('hour', ts) AS bt,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT key, bt, n,
+             CAST(SUM(n) OVER w AS BIGINT) AS s1,
+             CAST(SUM(n * n) OVER w AS BIGINT) AS s2,
+             CAST(COUNT(n) OVER w AS BIGINT) AS c
+      FROM counts
+      WINDOW w AS (PARTITION BY key ORDER BY bt
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ), z AS (
+      SELECT key, bt, n,
+             CASE WHEN c >= 12
+                  THEN round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / c)
+                       / sqrt(greatest(
+                           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                            * CAST(s1 AS DOUBLE) / c) / (c - 1), 1.0)), 6)
+                  ELSE 0.0 END AS z_score
+      FROM scored
+    )
+    SELECT key, strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts, n, z_score,
+           (abs(z_score) >= 3.0) AS is_anomaly
+    FROM z
+    """,
+    "analytics",
+)
+def ev_rate_anomaly(spark, sf_dir):
+    """Event-rate anomaly detection (operators/statistics.py:
+    rate_anomaly): per-type hourly counts z-scored against a trailing
+    24-bucket rolling baseline, cold-start buckets (<12 observations)
+    never anomalous. The rolling frame aggregates exact BIGINT moments
+    and the z expression is one fixed double tree over them — built-in
+    stddev would not hash-match (Welford merge order). One map-side-
+    combined groupBy collapses the corpus; the window runs on the
+    |keys| x |hours| model-sized frame. Full oracle."""
+    from ct_mapreduce_spark.operators.statistics import rate_anomaly
+
+    return rate_anomaly(_t(spark, sf_dir, "events"))
+
+
+@q(
     "t6_stream_stream_join",
     """
     SELECT v.user_id,

@@ -189,3 +189,57 @@ def test_incremental_leaf_counts_match_full_recompute(spark, certs, tmp_path):
         for r in full.collect()
     }
     assert got == want
+
+def test_rate_anomaly_planted_spike(spark):
+    """A steady 10-events/hour series with ONE 100-event hour: the spike
+    is the only anomalous bucket (flat baseline -> variance floor 1.0,
+    z = 90), warmup buckets score exactly 0, and the post-spike bucket's
+    z matches the hand-computed moment formula (spike now inside its
+    trailing window)."""
+    import datetime as dt
+    import math
+
+    from pyspark.sql import Row
+
+    from ct_mapreduce_spark.operators.statistics import rate_anomaly
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    for h in range(40):
+        n = 100 if h == 30 else 10
+        for i in range(n):
+            rows.append(
+                Row(
+                    event_id=eid,
+                    ts=base + dt.timedelta(hours=h, minutes=i % 60),
+                    event_type="click",
+                )
+            )
+            eid += 1
+    ev = spark.createDataFrame(rows)
+    got = {
+        r.bucket_ts: r
+        for r in rate_anomaly(ev, trailing=24, warmup=12).collect()
+    }
+    assert len(got) == 40
+
+    def at(h):
+        return got[(base + dt.timedelta(hours=h)).strftime("%Y-%m-%d %H:%M:%S")]
+
+    for h in range(12):  # cold start: never anomalous, exactly 0
+        assert at(h).z_score == 0.0 and not at(h).is_anomaly
+    # the spike: 24 trailing buckets all n=10 -> mean 10, var 0 floored
+    # to 1.0 -> z = (100-10)/1 = 90
+    assert at(30).z_score == 90.0 and at(30).is_anomaly
+    # one bucket later the spike sits INSIDE the trailing window:
+    # s1 = 23*10+100, s2 = 23*100+10000, and n=10 is unremarkable
+    c, s1, s2 = 24, 23 * 10 + 100, 23 * 100 + 10000
+    mean = s1 / c
+    var = (s2 - s1 * s1 / c) / (c - 1)
+    want = round((10 - mean) / math.sqrt(max(var, 1.0)), 6)
+    assert abs(at(31).z_score - want) < 1e-9
+    assert not at(31).is_anomaly
+    assert [k for k, r in got.items() if r.is_anomaly] == [
+        (base + dt.timedelta(hours=30)).strftime("%Y-%m-%d %H:%M:%S")
+    ]
