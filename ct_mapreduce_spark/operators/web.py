@@ -73,6 +73,60 @@ def domain_stats(
     )
 
 
+def domain_quality(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    low_cut: float = 0.4,
+    mean_min: float = 0.5,
+    lowq_max: float = 0.5,
+) -> DataFrame:
+    """Domain-level quality triage (the RefinedWeb move: decide per
+    SITE before spending per-document work): per registered domain, the
+    mean composite quality score, the fraction of pages below `low_cut`,
+    and the keep verdict (mean >= `mean_min` AND low-quality fraction
+    <= `lowq_max`). The output feeds filter_domains as a learned
+    blocklist — domain_stats tells you who is over-crawled, this table
+    tells you who is worth crawling at all.
+
+    Determinism: each page's quality is already rounded to 6 decimals
+    (text.py:quality_expr), so summing it as DECIMAL(16,6) is EXACT and
+    partial-aggregation order cannot change the mean (the repo's
+    decimal-staged-sum discipline); the mean divides once as a fixed
+    double tree and rounds at the edge. One map-side-combined
+    groupBy(domain) — the exchange carries one row per domain."""
+    from ct_mapreduce_spark.operators.text import quality_expr
+
+    dom = registered_domain(url_host(F.col(url_col)))
+    q = quality_expr(text_col)
+    staged = df.select(
+        dom.alias("domain"),
+        q.cast("decimal(16,6)").alias("_q"),
+        (q < float(low_cut)).cast("int").alias("_lowq"),
+    )
+    per = staged.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum("_q").alias("_sq"),
+        F.sum("_lowq").cast("long").alias("n_lowq"),
+    )
+    mean_q = F.round(
+        F.col("_sq").cast("double") / F.col("n_pages"), 6
+    )
+    lowq_frac = F.round(
+        F.col("n_lowq").cast("double") / F.col("n_pages"), 6
+    )
+    return per.select(
+        "domain",
+        "n_pages",
+        mean_q.alias("mean_quality"),
+        "n_lowq",
+        lowq_frac.alias("lowq_frac"),
+        (
+            (mean_q >= float(mean_min)) & (lowq_frac <= float(lowq_max))
+        ).alias("keep"),
+    )
+
+
 def filter_domains(
     df: DataFrame,
     blocked: list[str],

@@ -2859,6 +2859,32 @@ def s16_warc_domain_stats(spark, sf_dir):
     return domain_stats(df.select("url", F.col("body").alias("text")))
 
 
+@q("s17_warc_domain_quality", _pin("s17_warc_domain_quality"), "scan")
+def s17_warc_domain_quality(spark, sf_dir):
+    """Domain-level quality triage (operators/web.py:domain_quality —
+    the RefinedWeb move): per registered domain, mean composite quality,
+    low-quality page fraction, and the keep verdict that feeds
+    filter_domains as a LEARNED blocklist. Page scores are pre-rounded
+    to 6 decimals so the per-domain sum stages through exact
+    DECIMAL(16,6) (partial-agg order cannot move the mean); ONE
+    map-side-combined groupBy(domain). Pin derived from the fixture's
+    record definitions plus a pure-python replica of the declared
+    quality formula (tools/independent_oracle.py)."""
+    import os
+
+    from ct_mapreduce_spark.operators.web import domain_quality
+    from ct_mapreduce_spark.sources.text_source import (
+        read_warc,
+        synthetic_warc_multidomain_fixture,
+    )
+
+    fixture = "/tmp/ctspark_warc_multidom_fixture_n60_v1"
+    if not os.path.exists(fixture + "/seg-001.warc.gz"):
+        synthetic_warc_multidomain_fixture(fixture, n=60)
+    df = read_warc(spark, fixture).where(F.col("warc_type") == "response")
+    return domain_quality(df.select("url", F.col("body").alias("text")))
+
+
 @q("s1_ctlog_scan", _pin("s1_ctlog_scan"), "scan")
 def s1_ctlog_scan(spark, sf_dir):
     """S1 (downloadCTRangeToChannel, ct-fetch.go:398-488): ranged scan

@@ -106,3 +106,45 @@ def test_curate_domain_blocklist(spark, tmp_path):
     assert stats["after_blocklist"] == want_kept
     assert 0 < stats["after_blocklist"] < stats["extracted"]
     assert stats["quality_survivors"] <= stats["after_blocklist"]
+
+
+def test_domain_quality_triage(spark):
+    """A natural-text domain keeps; a junk domain (repetitive, symbol-
+    noisy, stopword-free pages) drops on BOTH rules (low mean, high
+    low-quality fraction); per-domain aggregates match hand counts."""
+    good_page = (
+        "the quick brown fox jumps over the lazy dog and runs to the "
+        "river in the morning light while a bird is singing that song "
+        "of dawn and the day begins to warm in a gentle way for all"
+    )
+    junk_page = "buy!! buy!! buy!! " * 10
+    rows = [
+        (f"https://good.example/p/{i}", good_page + f" page {i}")
+        for i in range(4)
+    ] + [(f"https://spam.example/p/{i}", junk_page) for i in range(4)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {r.domain: r for r in web.domain_quality(df).collect()}
+    assert set(got) == {"good.example", "spam.example"}
+    g, s = got["good.example"], got["spam.example"]
+    assert g.n_pages == 4 and s.n_pages == 4
+    assert g.keep and not s.keep
+    assert g.mean_quality >= 0.5 and g.n_lowq == 0
+    assert s.mean_quality < 0.5 and s.n_lowq == 4 and s.lowq_frac == 1.0
+
+
+def test_domain_quality_is_one_exchange(spark):
+    """The 100 TB contract: page scoring is inline codegen and the plan
+    has exactly the one groupBy(domain) exchange — no join, no window,
+    no Python."""
+    df = spark.createDataFrame(
+        [(f"https://d{i % 3}.example/p/{i}", f"some text {i}") for i in range(30)],
+        "url string, text string",
+    )
+    plan = (
+        web.domain_quality(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan and "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # shuffle + AQE read marker

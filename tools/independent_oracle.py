@@ -944,9 +944,71 @@ def s16_warc_domain_stats(sf_dir: str, n: int = 60) -> list[tuple]:
     )
 
 
+def s17_warc_domain_quality(sf_dir: str, n: int = 60) -> list[tuple]:
+    """Replay the multi-domain fixture's record definitions, score each
+    page with a pure-python replica of the DECLARED quality formula
+    (text.py:quality_score docstring: fixed op order, one HALF_UP round
+    at 6), and triage per registered domain. Quality sums accumulate as
+    exact integer micro-units (the rounded score has exactly 6
+    decimals), mirroring the engine's DECIMAL(16,6) staged sum."""
+    import math
+    import re
+    from collections import defaultdict
+
+    # the declared stopword union (text.py STOPWORDS — inlined, no
+    # engine import so this stays a no-Spark derivation)
+    stop = {
+        "the", "and", "of", "to", "a", "in", "is", "that",
+        "der", "die", "das", "und", "ist", "nicht", "ein", "zu",
+        "el", "la", "de", "que", "y", "en", "un", "es",
+        "le", "et", "les", "des", "une", "est",
+        "的", "是", "了", "在", "和", "有", "我", "不",
+    }
+
+    def quality_micro(text: str) -> int:
+        toks = re.split(r"\s+", text.strip())
+        n_tok = max(len(toks), 1)
+        n_stop = sum(1 for t in toks if t in stop)
+        punct = sum(1 for ch in text if ch in ".,;:!?")
+        s_len = min(1.0, len(toks) / 50.0)
+        s_stop = min(1.0, (n_stop / n_tok) * 4.0)
+        s_rep = len(set(toks)) / n_tok
+        s_punct = 1.0 - min(1.0, (punct / max(len(text), 1)) * 10.0)
+        x = (s_len + s_stop + s_rep + s_punct) / 4.0
+        return int(math.floor(x * 1e6 + 0.5))  # HALF_UP at 6, non-negative
+
+    doms = ["news", "blog", "shop", "docs", "wiki"]
+    agg = defaultdict(lambda: [0, 0, 0])  # n_pages, sum_micro, n_lowq
+    for i in range(n):
+        if i % 4 == 0:
+            continue
+        dom = f"{doms[i % 5]}.example"
+        body = f"page text for {doms[i % 5]} item {i * 13 % 17} " * (
+            (i % 6) + 2
+        )
+        qm = quality_micro(body)
+        a = agg[dom]
+        a[0] += 1
+        a[1] += qm
+        a[2] += 1 if (qm / 1e6) < 0.4 else 0
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    rows = []
+    for dom, (np_, sm, lowq) in agg.items():
+        mean_q = r6((float(sm) / 1e6) / np_)
+        lf = r6(lowq / np_)
+        rows.append(
+            (dom, np_, mean_q, lowq, lf, mean_q >= 0.5 and lf <= 0.5)
+        )
+    return sorted(rows)
+
+
 DERIVATIONS = {
     "emb_semdedup": emb_semdedup,
     "emb_prototype_prune": emb_prototype_prune,
+    "s17_warc_domain_quality": s17_warc_domain_quality,
     "docs_incremental_dedup": docs_incremental_dedup,
     "s14_warc_scan": s14_warc_scan,
     "s15_warc_html_pipeline": s15_warc_html_pipeline,
