@@ -85,6 +85,9 @@ HEADLINE = [
     "docs_adaptive_quality",
     # narrow prototype scoring + bounded-cell rank window.
     "emb_prototype_prune",
+    # monitoring pillar: corpus collapses to the keys-x-hours frame in
+    # one map-side-combined groupBy; the z-window runs on that.
+    "ev_rate_anomaly",
 ]
 
 # min-of-3: the first run pays JIT/codegen warmup and local-mode timings
