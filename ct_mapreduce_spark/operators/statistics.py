@@ -199,12 +199,27 @@ def rate_anomaly(
     volume; the window partitions by key over that model-sized frame.
 
     Returns (key, bucket_ts, n, z_score, is_anomaly)."""
-    from pyspark.sql import Window as W
-
     counts = events.groupBy(
         F.col(key_col).alias("key"),
         F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return zscore_counts(counts, trailing, warmup, z_threshold)
+
+
+def zscore_counts(
+    counts: DataFrame,
+    trailing: int = 24,
+    warmup: int = 12,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """The scoring stage of rate_anomaly over an already-aggregated
+    (key, bucket_ts, n) frame — shared by the batch operator and the
+    streaming monitor (streaming/rate_stream.py), which maintains the
+    counts frame incrementally and re-scores the model-sized history
+    each trigger. Semantics and the determinism contract are documented
+    on rate_anomaly."""
+    from pyspark.sql import Window as W
+
     w = (
         W.partitionBy("key")
         .orderBy("bucket_ts")
