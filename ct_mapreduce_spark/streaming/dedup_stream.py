@@ -208,6 +208,7 @@ def start_dedup_stream(
     quality_min: float | None = None,
     lm_model_path: str | None = None,
     lm_max_xent: int | None = None,
+    lm_order: int = 1,
 ) -> StreamingQuery:
     """File-source document stream -> per-micro-batch incremental dedup.
 
@@ -218,7 +219,12 @@ def start_dedup_stream(
     unigram model (train once with operators/lm.py and save to parquet
     — the daemon never retrains, so every batch scores under the same
     model and the vocabulary-sized table re-reads cheaply per trigger).
-    Gated-out documents never pay the signature pass or index work.
+    `lm_order=2` scores under stupid backoff instead, reading the
+    bigram table from the `{lm_model_path}_bi` sibling artifact (the
+    curate_crawl layout — train both with lm_order=2 there, or persist
+    lm_train_bigram yourself); a missing bigram sibling is a hard error
+    at scoring time, never a silent unigram fallback. Gated-out
+    documents never pay the signature pass or index work.
 
     Each trigger: probe + within-batch dedup (dedup_batch), write the
     keep-list partitioned by ingest_batch, fold the survivors' postings
@@ -258,10 +264,22 @@ def start_dedup_stream(
         # postings fold all share this frame
         batch_c = gated.localCheckpoint(eager=True)
         if lm_model_path is not None and lm_max_xent is not None:
-            from ct_mapreduce_spark.operators.lm import lm_score
+            from ct_mapreduce_spark.operators.lm import (
+                lm_score,
+                lm_score_backoff,
+            )
 
             model = session.read.parquet(lm_model_path)
-            passing = lm_score(batch_c, model).where(
+            scores = (
+                lm_score_backoff(
+                    batch_c,
+                    model,
+                    session.read.parquet(lm_model_path + "_bi"),
+                )
+                if lm_order == 2
+                else lm_score(batch_c, model)
+            )
+            passing = scores.where(
                 F.col("xent_micro") <= int(lm_max_xent)
             )
             batch_c = batch_c.join(

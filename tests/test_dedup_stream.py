@@ -266,3 +266,55 @@ def test_stream_quality_and_lm_gates(spark, tmp_path):
     assert 100 not in kept_ids  # quality gate
     assert 200 not in kept_ids  # perplexity gate
     assert kept_ids & {i for i, _ in rows}  # clean docs survive
+
+
+def test_stream_lm_gate_bigram_order(spark, tmp_path):
+    """lm_order=2: the daemon scores under stupid backoff from the
+    persisted {model}_bi sibling. A doc whose UNIGRAMS are all
+    reference-like but whose word ORDER is scrambled scores worse than
+    the in-order docs — the bigram tier's whole point — and a cut
+    between them gates it out while in-order docs flow through."""
+    from ct_mapreduce_spark.operators.lm import (
+        lm_score_backoff,
+        lm_train_bigram,
+        lm_train_unigram,
+    )
+
+    good = "the data table holds many rows and each row has the value we need"
+    rows = [(i, good) for i in range(8)]
+    # same vocabulary, scrambled order -> bigram misses pay alpha
+    scrambled = [(300, "value the rows holds data we table each and has the need")]
+    docs = spark.createDataFrame(rows + scrambled, "doc_id long, text string")
+
+    ref = spark.createDataFrame(rows, "doc_id long, text string")
+    model_path = str(tmp_path / "lm2")
+    lm_train_unigram(ref, min_count=1).coalesce(1).write.parquet(model_path)
+    lm_train_bigram(ref, min_count=1).coalesce(1).write.parquet(
+        model_path + "_bi"
+    )
+    uni = spark.read.parquet(model_path)
+    bi = spark.read.parquet(model_path + "_bi")
+    xents = {
+        r.doc_id: r.xent_micro
+        for r in lm_score_backoff(docs, uni, bi).collect()
+    }
+    assert max(xents[i] for i, _ in rows) < xents[300]
+    cut = (max(xents[i] for i, _ in rows) + xents[300]) // 2
+
+    src = str(tmp_path / "src")
+    _one_file(docs, src, "b0", 1_000_000.0)
+    keep = f"{tmp_path}/keep_bi"
+    q = start_dedup_stream(
+        spark,
+        source_path=src,
+        index_path=str(tmp_path / "idx_bi"),
+        keep_path=keep,
+        checkpoint=f"{tmp_path}/ckpt_bi",
+        lm_model_path=model_path,
+        lm_max_xent=int(cut),
+        lm_order=2,
+    )
+    q.awaitTermination(180)
+    kept_ids = {r.doc_id for r in spark.read.parquet(keep).collect()}
+    assert 300 not in kept_ids  # scrambled doc gated by the bigram tier
+    assert kept_ids & {i for i, _ in rows}
