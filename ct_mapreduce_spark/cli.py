@@ -527,7 +527,85 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="encode: write per-doc n_bpe_tokens instead of token arrays",
     )
+
+    m = sub.add_parser(
+        "monitor",
+        help="event-rate anomaly monitoring: one-shot batch report or "
+        "the streaming daemon (operators/statistics.py:rate_anomaly + "
+        "streaming/rate_stream.py)",
+    )
+    m.add_argument("action", choices=["report", "stream"])
+    m.add_argument(
+        "--input",
+        required=True,
+        help="events parquet (report) or file-stream dir (stream)",
+    )
+    m.add_argument("--key-col", default="event_type")
+    m.add_argument("--ts-col", default="ts")
+    m.add_argument("--bucket", default="hour")
+    m.add_argument("--trailing", type=int, default=24)
+    m.add_argument("--warmup", type=int, default=12)
+    m.add_argument("--z-threshold", type=float, default=3.0)
+    m.add_argument(
+        "--out", help="report: output parquet (omit => print anomalies)"
+    )
+    m.add_argument("--history", help="stream: per-batch delta/history dir")
+    m.add_argument("--alerts", help="stream: alerts dir")
+    m.add_argument("--checkpoint", help="stream: checkpoint dir")
     return p
+
+
+def cmd_monitor(spark: SparkSession, args) -> int:
+    """Rate-anomaly dispatcher: `report` scores a parquet table once
+    with the batch operator; `stream` runs the daemon (availableNow
+    drain of the source dir, batch-keyed idempotent history)."""
+    from pyspark.sql import functions as F
+
+    from ct_mapreduce_spark.operators.statistics import rate_anomaly
+
+    if args.action == "report":
+        scored = rate_anomaly(
+            spark.read.parquet(args.input),
+            key_col=args.key_col,
+            ts_col=args.ts_col,
+            bucket=args.bucket,
+            trailing=args.trailing,
+            warmup=args.warmup,
+            z_threshold=args.z_threshold,
+        )
+        if args.out:
+            scored.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            hits = scored.where(F.col("is_anomaly")).orderBy(
+                "key", "bucket_ts"
+            )
+            for r in hits.collect():
+                print(f"{r.key}\t{r.bucket_ts}\tn={r.n}\tz={r.z_score}")
+        return 0
+    for req in ("history", "alerts", "checkpoint"):
+        if getattr(args, req) is None:
+            print(f"monitor stream requires --{req}", file=sys.stderr)
+            return 2
+    from ct_mapreduce_spark.streaming.rate_stream import start_rate_monitor
+
+    q = start_rate_monitor(
+        spark,
+        source_path=args.input,
+        history_path=args.history,
+        alerts_path=args.alerts,
+        checkpoint=args.checkpoint,
+        key_col=args.key_col,
+        ts_col=args.ts_col,
+        bucket=args.bucket,
+        trailing=args.trailing,
+        warmup=args.warmup,
+        z_threshold=args.z_threshold,
+    )
+    q.awaitTermination()
+    n = spark.read.parquet(args.alerts).count()
+    print(f"alerts: {n}")
+    return 0
 
 
 def cmd_ann(spark: SparkSession, args) -> int:
@@ -647,6 +725,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     if args.cmd == "tokenize":  # no cert-source config; dispatch immediately
         spark = spark or get_spark("ct_mapreduce_spark-cli")
         return cmd_tokenize(spark, args)
+    if args.cmd == "monitor":  # no cert-source config; dispatch immediately
+        spark = spark or get_spark("ct_mapreduce_spark-cli")
+        return cmd_monitor(spark, args)
     if args.cmd == "curate":  # no cert-source config; dispatch immediately
         from ct_mapreduce_spark.plans.curate import curate_crawl
 

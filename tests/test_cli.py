@@ -329,3 +329,67 @@ def test_cli_tokenize_lifecycle(spark, tmp_path, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "total_tokens" in out and "chars_per_token" in out
+
+
+def test_cli_monitor_report_and_stream(spark, tmp_path, capsys):
+    """The monitor subcommand: `report` prints the planted spike from a
+    parquet table; `stream` drains the source dir and writes the same
+    alert to the alerts table."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Row
+
+    from ct_mapreduce_spark.cli import main
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows, eid = [], 0
+    for h in range(32):
+        n = 80 if h == 30 else 10
+        for i in range(n):
+            rows.append(
+                Row(
+                    event_id=eid,
+                    ts=base + dt.timedelta(hours=h, minutes=i % 60),
+                    event_type="click",
+                )
+            )
+            eid += 1
+    ev = spark.createDataFrame(rows)
+    events_path = str(tmp_path / "events")
+    ev.write.parquet(events_path)
+
+    assert main(
+        ["monitor", "report", "--input", events_path], spark=spark
+    ) == 0
+    out = capsys.readouterr().out
+    assert "2024-01-02 06:00:00" in out and "n=80" in out
+
+    # stream form: stage the same rows as one source file
+    src = str(tmp_path / "src")
+    tmpdir = str(tmp_path / "stage")
+    ev.coalesce(1).write.parquet(tmpdir)
+    os.makedirs(src, exist_ok=True)
+    shutil.copyfile(
+        glob.glob(tmpdir + "/part-*.parquet")[0], src + "/b0.parquet"
+    )
+    assert main(
+        [
+            "monitor", "stream",
+            "--input", src,
+            "--history", str(tmp_path / "hist"),
+            "--alerts", str(tmp_path / "alerts"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+        ],
+        spark=spark,
+    ) == 0
+    assert "alerts: 1" in capsys.readouterr().out
+    got = spark.read.parquet(str(tmp_path / "alerts")).collect()
+    assert len(got) == 1 and got[0].n == 80 and got[0].is_anomaly
+
+    # stream without required dirs is a usage error, not a crash
+    assert main(
+        ["monitor", "stream", "--input", src], spark=spark
+    ) == 2
