@@ -127,6 +127,59 @@ def domain_quality(
     )
 
 
+def canonical_url(url: Column | str) -> Column:
+    """Declared URL canonicalization for recrawl dedup: strip the
+    fragment, then a trailing slash (unless the path IS the slash).
+    Deliberately minimal — scheme/host case and query-param reordering
+    are left alone (both regexes sit in the Java-regex ∩ RE2 subset so
+    the DuckDB oracle replays them; the trailing-slash rule uses a
+    capture group, not lookbehind, because RE2 has no lookbehind)."""
+    c = F.col(url) if isinstance(url, str) else url
+    no_frag = F.regexp_replace(c, r"#.*$", "")
+    # strip a trailing slash only when a path SEGMENT precedes it: the
+    # pattern anchors on '://host/' plus at least one non-slash path
+    # char, so the root form 'scheme://host/' keeps its slash (a naive
+    # ([^/])/$ would match the HOST's last letter and strip the root).
+    return F.regexp_replace(no_frag, r"(://[^/]+/.*[^/])/$", r"$1")
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Recrawl dedup: one row per canonical URL, keeping the NEWEST
+    capture (ties break to the lowest id — deterministic). The crawl
+    counterpart of exact_dedup_by_priority: a page fetched on every
+    crawl pass must contribute one document, and the freshest copy is
+    the one worth training on.
+
+    One map-side-combined groupBy(canonical url) carrying a single
+    max(struct) — never a window over the capture stream, so the
+    shuffle holds one row per URL per task regardless of recrawl
+    depth. Returns (canon_url, kept_doc_id, n_captures, latest_ts)."""
+    key = canonical_url(F.col(url_col))
+    best = F.max(
+        F.struct(
+            F.col(ts_col).alias("ts"), (-F.col(id_col)).alias("negid")
+        )
+    )
+    return (
+        df.select(
+            key.alias("canon_url"), F.col(ts_col), F.col(id_col)
+        )
+        .groupBy("canon_url")
+        .agg(
+            (-best["negid"]).cast("long").alias("kept_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_captures"),
+            F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias(
+                "latest_ts"
+            ),
+        )
+    )
+
+
 def filter_domains(
     df: DataFrame,
     blocked: list[str],

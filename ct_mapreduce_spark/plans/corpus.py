@@ -2885,6 +2885,70 @@ def s17_warc_domain_quality(spark, sf_dir):
     return domain_quality(df.select("url", F.col("body").alias("text")))
 
 
+_URL_RECRAWL_VALUES = """(VALUES
+      (1, 'https://a.example/page',     TIMESTAMP '2024-01-01 00:00:00'),
+      (2, 'https://a.example/page#top', TIMESTAMP '2024-01-02 00:00:00'),
+      (3, 'https://a.example/page/',    TIMESTAMP '2024-01-01 12:00:00'),
+      (4, 'https://a.example/',         TIMESTAMP '2024-01-01 00:00:00'),
+      (5, 'https://b.example/x?q=1',    TIMESTAMP '2024-01-03 00:00:00'),
+      (6, 'https://b.example/x?q=1',    TIMESTAMP '2024-01-03 00:00:00'),
+      (7, 'https://b.example/x?q=2',    TIMESTAMP '2024-01-01 00:00:00')
+    ) AS t(doc_id, url, fetch_ts)"""
+
+
+@q(
+    "s18_url_recrawl_dedup",
+    rf"""
+    WITH c AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(url, '#.*$', ''),
+                            '(://[^/]+/.*[^/])/$', '\1') AS canon_url,
+             fetch_ts
+      FROM {_URL_RECRAWL_VALUES}
+    ), r AS (
+      SELECT canon_url, doc_id, fetch_ts,
+             row_number() OVER (PARTITION BY canon_url
+                                ORDER BY fetch_ts DESC, doc_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT)
+               AS n_captures,
+             max(fetch_ts) OVER (PARTITION BY canon_url) AS latest
+      FROM c
+    )
+    SELECT canon_url, CAST(doc_id AS BIGINT) AS kept_doc_id, n_captures,
+           strftime(latest, '%Y-%m-%d %H:%M:%S') AS latest_ts
+    FROM r WHERE rn = 1
+    """,
+    "dedup",
+)
+def s18_url_recrawl_dedup(spark, sf_dir):
+    """Recrawl dedup (operators/web.py:url_dedup — the RefinedWeb URL
+    pass): one document per canonical URL, newest capture wins, ties to
+    the lowest id. Canonicalization strips fragments and non-root
+    trailing slashes with RE2-subset regexes (capture group, no
+    lookbehind) so the oracle replays them. The operator is one
+    map-side-combined groupBy carrying a max(struct) — never a window
+    over the capture stream (the oracle USES a window because VALUES
+    fixtures are tiny; the engine plan must scale). Inline-literal
+    fixture, full oracle (the p4_parse_cert precedent)."""
+    import datetime as dtm
+
+    from ct_mapreduce_spark.operators.web import url_dedup
+
+    rows = [
+        (1, "https://a.example/page", dtm.datetime(2024, 1, 1, 0, 0, 0)),
+        (2, "https://a.example/page#top", dtm.datetime(2024, 1, 2, 0, 0, 0)),
+        (3, "https://a.example/page/", dtm.datetime(2024, 1, 1, 12, 0, 0)),
+        (4, "https://a.example/", dtm.datetime(2024, 1, 1, 0, 0, 0)),
+        (5, "https://b.example/x?q=1", dtm.datetime(2024, 1, 3, 0, 0, 0)),
+        (6, "https://b.example/x?q=1", dtm.datetime(2024, 1, 3, 0, 0, 0)),
+        (7, "https://b.example/x?q=2", dtm.datetime(2024, 1, 1, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, fetch_ts timestamp"
+    )
+    return url_dedup(df)
+
+
 @q("s1_ctlog_scan", _pin("s1_ctlog_scan"), "scan")
 def s1_ctlog_scan(spark, sf_dir):
     """S1 (downloadCTRangeToChannel, ct-fetch.go:398-488): ranged scan

@@ -148,3 +148,38 @@ def test_domain_quality_is_one_exchange(spark):
     )
     assert "EvalPython" not in plan and "Join" not in plan, plan
     assert plan.count("Exchange") <= 2, plan  # shuffle + AQE read marker
+
+
+def test_url_dedup_newest_wins_and_canonicalization(spark):
+    """Fragment and non-root-trailing-slash variants collapse to one
+    canonical URL; the newest capture wins with ties to the lowest id;
+    the root URL keeps its slash; and the plan is one aggregation with
+    no window over the capture stream."""
+    import datetime as dt
+
+    rows = [
+        (1, "https://a.example/page", dt.datetime(2024, 1, 1)),
+        (2, "https://a.example/page#top", dt.datetime(2024, 1, 2)),
+        (3, "https://a.example/page/", dt.datetime(2024, 1, 1, 12)),
+        (4, "https://a.example/", dt.datetime(2024, 1, 1)),
+        (5, "https://b.example/x?q=1", dt.datetime(2024, 1, 3)),
+        (6, "https://b.example/x?q=1", dt.datetime(2024, 1, 3)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, fetch_ts timestamp"
+    )
+    out = web.url_dedup(df)
+    got = {r.canon_url: r for r in out.collect()}
+    assert set(got) == {
+        "https://a.example/page",
+        "https://a.example/",
+        "https://b.example/x?q=1",
+    }
+    page = got["https://a.example/page"]
+    assert page.kept_doc_id == 2 and page.n_captures == 3
+    assert page.latest_ts == "2024-01-02 00:00:00"
+    assert got["https://a.example/"].kept_doc_id == 4
+    tie = got["https://b.example/x?q=1"]
+    assert tie.kept_doc_id == 5 and tie.n_captures == 2  # tie -> lowest id
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan, plan
