@@ -16,6 +16,16 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+# Python UDF workers don't inherit the driver's sys.path — propagate the
+# repo root through the environment so mapInPandas stages import cleanly
+# when this script runs from any cwd (local mode spawns workers with the
+# driver's env).
+import os  # noqa: E402
+
+_root = str(Path(__file__).resolve().parent.parent)
+os.environ["PYTHONPATH"] = _root + (
+    os.pathsep + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""
+)
 
 from pyspark.sql import functions as F
 

@@ -27,6 +27,14 @@ import tempfile
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+# Python UDF workers don't inherit the driver's sys.path — propagate the
+# repo root through the environment so mapInPandas stages import cleanly
+# when this script runs from any cwd (local mode spawns workers with the
+# driver's env).
+_root = str(Path(__file__).resolve().parent.parent)
+os.environ["PYTHONPATH"] = _root + (
+    os.pathsep + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""
+)
 
 
 def _events(spark, h0: int, h1: int, spike_at: int, quiet_at: int):
