@@ -4161,6 +4161,67 @@ def a12_hll_rollup(spark, sf_dir):
 
 
 @q(
+    "a14_cms_heavy_hitters",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), exact AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+      FROM toks GROUP BY token ORDER BY n_exact DESC, token LIMIT 25
+    ), ii AS (
+      SELECT unnest(generate_series(0, 3)) AS i
+    ), cells AS (
+      SELECT i, CAST(('0x' || substr(md5(token || '#'
+               || CAST(i AS VARCHAR) || '#42'), 1, 8)) AS BIGINT) % 256
+               AS col
+      FROM toks CROSS JOIN ii
+    ), cms AS (
+      SELECT i, col, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY i, col
+    ), est AS (
+      SELECT e.token, CAST(min(COALESCE(c.n, 0)) AS BIGINT) AS n_cms
+      FROM exact e CROSS JOIN ii
+      LEFT JOIN cms c ON c.i = ii.i AND c.col =
+        CAST(('0x' || substr(md5(e.token || '#'
+             || CAST(ii.i AS VARCHAR) || '#42'), 1, 8)) AS BIGINT) % 256
+      GROUP BY e.token
+    )
+    SELECT e.token, e.n_exact, est.n_cms
+    FROM exact e JOIN est USING (token)
+    """,
+    "agg",
+)
+def a14_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch point estimates (operators/sketches.py:
+    cms_build/cms_estimate — Cormode & Muthukrishnan 2005), the
+    frequency sibling of the HLL tier: the token stream collapses to a
+    (4 x 256) cell table in ONE map-side-combined groupBy (model-sized
+    shuffle, mergeable cell-wise like hll_rollup), and the exact top-25
+    tokens probe it via a broadcast lookup. md5-based cell hashing by
+    design — DuckDB recomputes it, so this sketch gets a FULL oracle
+    where the xxhash64 families need pins. CMS never undercounts;
+    the overestimate bound is pytest-asserted."""
+    from ct_mapreduce_spark.operators.sketches import cms_build, cms_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.array_remove(F.split(F.trim("text"), r"\s+"), "")).alias(
+            "token"
+        )
+    ).localCheckpoint()  # two consumers: the exact counts and the sketch
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "token")
+        .limit(25)
+    )
+    cms = cms_build(toks, "token")
+    est = cms_estimate(cms, exact.select("token"), "token")
+    return exact.join(est, "token").select("token", "n_exact", "n_cms")
+
+
+@q(
     "scalar_glob",
     """
     SELECT doc_id, source, lang

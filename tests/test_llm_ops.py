@@ -1825,3 +1825,46 @@ def test_remove_dup_paragraphs_whitespace_only_never_flags(spark):
     for r in out:
         assert r.n_removed == 0
         assert "\n\n" in r.clean_text
+
+
+def test_cms_never_undercounts_and_merges(spark, docs):
+    """The CMS contract: estimates >= exact for EVERY key (not just
+    heavy hitters); cell-wise addition of two halves' sketches equals
+    the sketch of the union (mergeability — the streaming/rollup
+    property); and the model-sized sketch broadcasts in the probe
+    plan."""
+    from ct_mapreduce_spark.operators.sketches import cms_build, cms_estimate
+
+    toks = docs.select(
+        F.explode(F.array_remove(F.split(F.trim("text"), r"\s+"), "")).alias(
+            "token"
+        )
+    ).localCheckpoint()
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    cms = cms_build(toks, "token")
+    est = cms_estimate(cms, exact.select("token"), "token")
+    joined = exact.join(est, "token").collect()
+    assert len(joined) > 20  # the synthetic corpus's full vocabulary
+    assert all(r.n_cms >= r.n_exact for r in joined)
+    # error bound sanity: depth=4, width=256 -> gross overestimates rare
+    total = toks.count()
+    bad = [r for r in joined if r.n_cms - r.n_exact > total * 0.05]
+    assert len(bad) / len(joined) < 0.05, len(bad)
+
+    # mergeability: sketch(union) == cell-wise sum of the halves
+    h1 = toks.where(F.crc32("token") % 2 == 0)
+    h2 = toks.where(F.crc32("token") % 2 == 1)
+    merged = (
+        cms_build(h1, "token")
+        .unionByName(cms_build(h2, "token"))
+        .groupBy("row_i", "col")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    a = sorted(tuple(r) for r in cms.collect())
+    b = sorted(tuple(r) for r in merged.collect())
+    assert a == b
+
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "EvalPython" not in plan, plan
