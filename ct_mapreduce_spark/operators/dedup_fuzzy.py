@@ -91,9 +91,10 @@ def _shingle_table(docs: DataFrame, text_col: str, k: int) -> DataFrame:
 
 def contamination_hits(
     docs: DataFrame,
-    bench_docs: DataFrame,
+    bench_docs: DataFrame | None = None,
     text_col: str = "text",
     k: int = 4,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: for each corpus document, count the
     distinct benchmark word k-grams it contains (n_hits > 0 => the
@@ -109,10 +110,21 @@ def contamination_hits(
 
     Returns (doc_id, n_hits) for contaminated documents only; the clean
     keep-list is `docs.join(result, 'doc_id', 'left_anti')`.
+
+    `bench_grams` supplies the gram dictionary pre-built (a one-column
+    `shingle` frame, e.g. the persisted {workdir}/eval_grams artifact
+    plans/curate.py keeps across drops) — the benchmark suite is then
+    shingled once per suite, not once per drop. Exactly one of
+    bench_docs / bench_grams must be given; the k used to BUILD a
+    persisted dictionary is part of its definition, so pass the same k.
     """
+    if (bench_docs is None) == (bench_grams is None):
+        raise ValueError("pass exactly one of bench_docs / bench_grams")
     corpus_sh = _shingle_table(docs, text_col, k)
     bench_sh = (
-        _shingle_table(bench_docs, text_col, k).select("shingle").distinct()
+        bench_grams.select("shingle").distinct()
+        if bench_grams is not None
+        else _shingle_table(bench_docs, text_col, k).select("shingle").distinct()
     )
     return (
         corpus_sh.join(F.broadcast(bench_sh), "shingle")

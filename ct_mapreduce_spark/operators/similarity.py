@@ -1294,6 +1294,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorize: bool = True,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector to m_sub uint8-range codes: per subspace, the
     argmin-L2 codebook entry (sequential fold, lowest code on ties).
@@ -1315,6 +1316,10 @@ def pq_encode(
       (no Python workers needed); the verification tier the golden pins
       were first derived on — the pin gate re-verifies the vectorized
       default bit-matches it via the independent oracle.
+
+    `keep` names extra input columns to carry through unchanged (the
+    IVF-PQ build threads the pre-assigned `cell` partition key through
+    the encode this way — both passes stay narrow, no join-back).
     """
     m_sub = len(books)
     d = len(books[0][0])
@@ -1338,7 +1343,10 @@ def pq_encode(
             return pd.Series(list(out))
 
         return corpus.select(
-            F.col(id_col), F.col(vec_col), _enc(F.col(vec_col)).alias("codes")
+            F.col(id_col),
+            F.col(vec_col),
+            _enc(F.col(vec_col)).alias("codes"),
+            *[F.col(c) for c in keep],
         )
     code_cols = []
     for j, book in enumerate(books):
@@ -1366,6 +1374,7 @@ def pq_encode(
         F.col(id_col),
         F.col(vec_col),
         F.array(*code_cols).alias("codes"),
+        *[F.col(c) for c in keep],
     )
 
 
@@ -1419,13 +1428,22 @@ def _pq_adc_rank(
     vec_col: str,
     rerank_corpus: DataFrame | None = None,
     rerank_factor: int = 0,
+    probe_pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """The ADC scan + rank shared by the inline (pq_topk) and
-    materialized (pq_topk_indexed) serve paths: per-query LUT broadcast,
-    narrow scored map over the codes frame, WindowGroupLimit top-k,
-    optional exact-cosine re-rank of the shortlist against
-    `rerank_corpus`. Expression-for-expression the original pq_topk
-    body, so both callers stay bit-identical to the golden pin."""
+    """The ADC scan + rank shared by the inline (pq_topk), materialized
+    (pq_topk_indexed), and cell-pruned (pq_ivf_topk_indexed) serve
+    paths: per-query LUT broadcast, narrow scored map over the codes
+    frame, WindowGroupLimit top-k, optional exact-cosine re-rank of the
+    shortlist against `rerank_corpus`. Expression-for-expression the
+    original pq_topk body, so all callers stay bit-identical to the
+    golden pin on the candidates they admit.
+
+    probe_pairs (query_id, cell — the IVF probe assignment, n_queries x
+    n_probe rows) switches the query join from all-pairs to an
+    equi-join on `cell`: the codes frame must then carry a `cell`
+    column, and each candidate is scored only for the queries probing
+    its cell. The LUT rows duplicate per probed cell on the BROADCAST
+    side (model-sized), never the corpus side."""
     d = len(books[0][0])
     lut_cols = []
     for j, book in enumerate(books):
@@ -1449,8 +1467,15 @@ def _pq_adc_rank(
     qlut = queries.select(
         F.col(id_col).alias("query_id"), F.array(*lut_cols).alias("lut")
     )
+    if probe_pairs is not None:
+        # tiny x tiny join (both model-sized) BEFORE the broadcast, so
+        # the corpus-side join is a plain equi-join on the partition key
+        qlut = qlut.join(probe_pairs, "query_id")
+        paired = codes.join(F.broadcast(qlut), "cell")
+    else:
+        paired = codes.join(F.broadcast(qlut))
     scored = (
-        codes.join(F.broadcast(qlut))
+        paired
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "score",
@@ -1630,4 +1655,164 @@ def pq_topk_indexed(
     return _pq_adc_rank(
         codes, queries, books, k, id_col, vec_col,
         rerank_corpus=rerank_corpus, rerank_factor=rerank_factor,
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: cell-pruned ADC serving (Jégou, Douze, Schmid 2011 — "Product
+# Quantization for Nearest Neighbor Search", the IVFADC architecture).
+# Composition of the two stores above: the PQ codes table is PARTITIONED by
+# IVF cell, so a probe reads n_probe/n_cells of the codes instead of all of
+# them — the serve path that survives 100 TB, where pq_topk_indexed's
+# exhaustive ADC scan (correct, but full-corpus per query batch) does not.
+# ---------------------------------------------------------------------------
+
+
+def pq_ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Materialize the IVF-PQ index: PQ codes partitioned by nearest IVF
+    cell ({path}/codes/cell=<n>/ — the ivf_build_index layout carrying
+    8-byte code rows instead of full vectors), with BOTH model sidecars
+    ({path}/_centroids like the IVF store, {path}/_codebooks like the PQ
+    store). Build is two narrow passes fused into one write: nearest-cell
+    assignment (_assign_nearest) threads `cell` through the encode
+    (pq_encode keep=), then one cell-clustered partitioned write. No
+    corpus join, no extra shuffle beyond the partition clustering —
+    the same one-pass discipline as ivf_build_index."""
+    cents = _ivf_centroid_frame(corpus, n_cells, id_col, vec_col, seed)
+    cent_rows = cents.collect()
+    books = pq_codebooks(corpus, m_sub, n_codes, id_col, vec_col, seed)
+    assigned = _assign_nearest(corpus, cent_rows, id_col, vec_col, "v").select(
+        F.col("v_id").alias(id_col), F.col("v_vec").alias(vec_col), "cell"
+    )
+    enc = pq_encode(assigned, books, id_col, vec_col, keep=("cell",))
+    (
+        enc.select(id_col, "codes", "cell")
+        .repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path + "/codes")
+    )
+    spark = corpus.sparkSession
+    cents.write.mode("overwrite").parquet(path + "/_centroids")
+    book_rows = [
+        (j, c, [float(x) for x in vec])
+        for j, book in enumerate(books)
+        for c, vec in enumerate(book)
+    ]
+    spark.createDataFrame(
+        book_rows, "j int, code int, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_codebooks")
+
+
+def pq_ivf_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold new vectors into an IVF-PQ index under its STORED model
+    (centroids define the cells, codebooks define the codes — the same
+    consistency rule as ivf_index_append / pq_index_append). Cost is
+    O(batch); the append is cell-clustered before the partitioned write
+    so a long history grows by one file per touched cell per batch.
+    Model drift policy is rebuild-on-recall-degradation, as for the
+    parent stores."""
+    spark = new_vectors.sparkSession
+    cent_rows = spark.read.parquet(path + "/_centroids").collect()
+    books = _pq_read_books(spark, path)
+    assigned = _assign_nearest(
+        new_vectors, cent_rows, id_col, vec_col, "v"
+    ).select(F.col("v_id").alias(id_col), F.col("v_vec").alias(vec_col), "cell")
+    enc = pq_encode(assigned, books, id_col, vec_col, keep=("cell",))
+    (
+        enc.select(id_col, "codes", "cell")
+        .repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(path + "/codes")
+    )
+
+
+def pq_ivf_index_compact(spark, path: str) -> tuple[int, int]:
+    """Fold an IVF-PQ index's append history back to one right-sized
+    file per cell — unlike pq_index_compact (flat fold: the exhaustive
+    scan has no partition level), this keeps the cell partitioning that
+    makes probes cheap. Same crash-safe temp-write + rename-aside swap
+    as ivf_index_compact; the _centroids/_codebooks sidecars live beside
+    /codes, not inside it, so they ride through untouched. Returns
+    (files_before, files_after)."""
+    from ct_mapreduce_spark.fsutil import (
+        TMP_SUFFIX,
+        count_parquet_files,
+        recover_swap,
+        swap_into_place,
+    )
+
+    codes_p = path + "/codes"
+    recover_swap(spark, codes_p)
+    before = count_parquet_files(spark, codes_p)
+    df = spark.read.parquet(codes_p)
+    (
+        df.repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(codes_p + TMP_SUFFIX)
+    )
+    swap_into_place(spark, codes_p + TMP_SUFFIX, codes_p)
+    return before, count_parquet_files(spark, codes_p)
+
+
+def pq_ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank_corpus: DataFrame | None = None,
+    rerank_factor: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve ANN queries from a materialized pq_ivf_build_index: assign
+    each query its n_probe nearest cells from the stored centroids
+    (broadcast-centroid crossJoin — ivf_topk_indexed's probe shape),
+    partition-prune the codes table to the probed cells (the cell
+    IN-list lands in PartitionFilters, asserted in tests), then run the
+    shared _pq_adc_rank expressions restricted to (query, probed-cell)
+    pairs. Probe cost tracks n_probe/n_cells of the CODES table — 8
+    bytes/row of the probed fraction of the corpus, the two prunings
+    (IVF cell + PQ compression) multiplied. ADC scores are bit-identical
+    to pq_topk on the candidates both admit (same expressions, same
+    stored-model parameters); candidates outside the probed cells are
+    the IVF recall trade, gated by recall tests like ivf_topk's.
+    rerank_factor > 0 requires rerank_corpus (full vectors are not in
+    the index): exact-cosine re-rank reads only the shortlist sliver."""
+    if rerank_factor and rerank_corpus is None:
+        raise ValueError("rerank_factor > 0 requires rerank_corpus")
+    books = _pq_read_books(spark, path)
+    cents = spark.read.parquet(path + "/_centroids")
+    qa = _assign_probes(queries, cents, id_col, vec_col, "query", n_probe)
+    probe_pairs = qa.select(F.col("query_id"), "cell")
+    # literal IN-list so the parquet source prunes cell directories
+    probe_cells = sorted(
+        {r["cell"] for r in qa.select("cell").distinct().collect()}
+    )
+    codes = (
+        spark.read.parquet(path + "/codes")
+        .where(F.col("cell").isin(probe_cells))
+        .select(F.col(id_col).alias("neighbor_id"), "codes", "cell")
+    )
+    return _pq_adc_rank(
+        codes, queries, books, k, id_col, vec_col,
+        rerank_corpus=rerank_corpus, rerank_factor=rerank_factor,
+        probe_pairs=probe_pairs,
     )

@@ -237,6 +237,27 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def redact_pii_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """redact_pii's in-place form for pipeline composition (the
+    `pii_redact` stage of plans/curate.py): same pattern battery and
+    replacement order, but returns the INPUT row shape with `text_col`
+    replaced by the redacted text plus one `n_pii` total-matches column
+    — the form an export stage consumes directly. Counts are taken on
+    the original text per pattern, exactly as redact_pii counts them, so
+    the two forms always agree on n_pii = sum of the per-pattern
+    counts. Pure codegen (regexp battery), narrow — no shuffle."""
+    t = F.col(text_col)
+    red = t
+    n = F.lit(0)
+    for name, pat in PII_PATTERNS.items():
+        n = n + F.size(F.regexp_extract_all(t, F.lit(f"({pat})"), 1))
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    others = [c for c in docs.columns if c != text_col]
+    return docs.select(
+        *others, red.alias(text_col), n.cast("long").alias("n_pii")
+    )
+
+
 # The eight "required stop words" of the published Gopher quality rules
 # (Rae et al. 2021, §A1.1.2) — a document passes the stopword rule when it
 # contains at least two of them.

@@ -5387,6 +5387,35 @@ def emb_pq_indexed_topk(spark, sf_dir):
     )
 
 
+@q("emb_pq_ivf_topk", _pin("emb_pq_ivf_topk"), "similarity")
+def emb_pq_ivf_topk(spark, sf_dir):
+    """IVF-PQ serving (Jégou et al. 2011 IVFADC — the 100 TB shape of
+    emb_pq_indexed_topk): the PQ codes table partitioned by IVF cell,
+    probes partition-pruned to n_probe/n_cells of the codes
+    (PartitionFilters asserted in tests/test_llm_ops.py), ADC scoring
+    restricted to (query, probed-cell) pairs, exact-cosine re-rank of
+    the shortlist sliver. Two prunings multiply: a probe reads 8
+    bytes/row of a quarter of the corpus instead of full vectors of all
+    of it. Seeded centroid + codebook estimation => golden-literal
+    oracle, independently re-derived (tools/independent_oracle.py)."""
+    import os
+
+    from ct_mapreduce_spark.operators.similarity import (
+        pq_ivf_build_index,
+        pq_ivf_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = f"/tmp/ctspark_pqivf_idx_{_cache_tag(sf_dir, 'embeddings', 'v1')}"
+    if not os.path.exists(idx + "/codes/_SUCCESS"):
+        pq_ivf_build_index(emb, idx)
+    out = pq_ivf_topk_indexed(
+        spark, idx, emb.where(F.col("vec_id") < 8), k=5, n_probe=4,
+        rerank_corpus=emb, rerank_factor=4,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @q(
     "a11_unpivot",
     """

@@ -47,6 +47,17 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def _artifact_exists(spark: SparkSession, path: str, marker: str = "_SUCCESS") -> bool:
+    """Completed-artifact check through the Hadoop FileSystem API, so the
+    train-once lifecycle (lm_model / bpe_model / dsir_model / mh_index /
+    eval_grams) holds on s3a/hdfs workdirs too — os.path.exists is
+    local-only and would silently retrain (and overwrite) the model on
+    every drop of a remote deployment."""
+    from ct_mapreduce_spark.fsutil import path_exists
+
+    return path_exists(spark, os.path.join(path, marker) if marker else path)
+
+
 def _next_drop_tag(export_root: str) -> str:
     """Smallest drop-NNNN not already present under {workdir}/export."""
     taken = set()
@@ -84,6 +95,10 @@ def curate_crawl(
     dsir_target: str | None = None,
     dsir_model: str | None = None,
     dsir_buckets: int = 4096,
+    eval_suite: str | None = None,
+    decontam_k: int = 8,
+    decontam_max_hits: int = 0,
+    pii_redact: bool = False,
 ) -> dict:
     """Run the full curation pass; returns stage-count stats (including
     the resolved drop tag). Writes {workdir}/mh_index (created on first
@@ -136,7 +151,27 @@ def curate_crawl(
     mh_index/bpe_model — trained+saved on the first drop if absent,
     loaded thereafter, so successive drops select under the SAME
     importance model. Stats gain `after_budget` (docs kept) and
-    `budget_tokens` (tokens actually spent, <= token_budget)."""
+    `budget_tokens` (tokens actually spent, <= token_budget).
+
+    eval_suite: activate benchmark decontamination (dedup_fuzzy.
+    contamination_hits) right after the quality/LM gates: drop documents
+    containing more than `decontam_max_hits` distinct benchmark word
+    `decontam_k`-grams, so eval data never reaches the exported corpus.
+    The gram DICTIONARY is the artifact: built from the eval-suite JSONL
+    dir and persisted at {workdir}/eval_grams on the first run, loaded
+    thereafter (the suite is shingled once per suite, not once per drop;
+    delete the artifact to re-shingle an updated suite — the mh_index
+    lifecycle). Stats gain `after_decontam`.
+
+    pii_redact=True inserts the privacy scrub (text.redact_pii_text)
+    right before packing/export: emails, IPv4s and phone shapes in the
+    surviving corpus are replaced with <EMAIL>/<IPV4>/<PHONEISH> tokens
+    in the exported text itself. Runs LAST so it only pays for documents
+    that survived every other gate, and so dedup signatures keep seeing
+    the original byte stream (two documents differing only in the PII
+    they leak still dedup as near-identical, and redaction cannot mask
+    eval contamination). Stats gain `pii_redactions` (total matches
+    replaced across the exported corpus)."""
     from ct_mapreduce_spark.operators import dedup_fuzzy, sampling, text
     from ct_mapreduce_spark.operators.packing import (
         pack_sequences,
@@ -233,13 +268,11 @@ def curate_crawl(
         )
 
         bi_path = None if lm_model is None else lm_model + "_bi"
-        if lm_model is not None and os.path.exists(
-            os.path.join(lm_model, "_SUCCESS")
-        ):
+        if lm_model is not None and _artifact_exists(spark, lm_model):
             model = spark.read.parquet(lm_model)
             bi = None
             if lm_order == 2:
-                if not os.path.exists(os.path.join(bi_path, "_SUCCESS")):
+                if not _artifact_exists(spark, bi_path):
                     raise ValueError(
                         f"lm_order=2 but {bi_path} has no bigram table: "
                         "the persisted model was trained at order 1. "
@@ -274,6 +307,37 @@ def curate_crawl(
         ).localCheckpoint(eager=True)
         n_lm = good.count()
 
+    n_decontam = None
+    if eval_suite is not None:
+        # Optional stage 2c: benchmark decontamination. The eval-gram
+        # dictionary is bounded (suite-sized) and broadcasts into the
+        # corpus shingle stream — one narrow filtered scan of the
+        # checkpointed survivors, no corpus shuffle. Dictionary persists
+        # at {workdir}/eval_grams across drops (built once per suite).
+        grams_path = os.path.join(workdir, "eval_grams")
+        if _artifact_exists(spark, grams_path):
+            bench_grams = spark.read.parquet(grams_path)
+        else:
+            bench = text_source.read_jsonl(spark, eval_suite).where(
+                F.col("text").isNotNull()
+            )
+            (
+                dedup_fuzzy._shingle_table(bench, "text", decontam_k)
+                .select("shingle")
+                .distinct()
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(grams_path)
+            )
+            bench_grams = spark.read.parquet(grams_path)
+        hits = dedup_fuzzy.contamination_hits(
+            good, k=decontam_k, bench_grams=bench_grams
+        ).where(F.col("n_hits") > int(decontam_max_hits))
+        good = good.join(
+            F.broadcast(hits.select("doc_id")), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        n_decontam = good.count()
+
     # The quality survivors are SIGNED ONCE; the probe tier, the
     # within-batch tier, and the index fold all take subset views of
     # this one materialized frame (semi-joins on checkpointed inputs)
@@ -283,7 +347,7 @@ def curate_crawl(
     )
 
     idx = os.path.join(workdir, "mh_index")
-    idx_exists = os.path.exists(os.path.join(idx, "sigs"))
+    idx_exists = _artifact_exists(spark, os.path.join(idx, "sigs"), marker="")
     if idx_exists:  # later drops dedup against everything accepted before
         # two tiers: (1) id-level containment — a re-crawl of a page we
         # already ingested carries the SAME doc_id, which the minhash
@@ -356,7 +420,7 @@ def curate_crawl(
     if bpe_model is not None:
         from ct_mapreduce_spark.operators import tokenizer
 
-        if os.path.exists(os.path.join(bpe_model, "_SUCCESS")):
+        if _artifact_exists(spark, bpe_model):
             merges = tokenizer.load_merges(spark, bpe_model)
         else:
             merges = tokenizer.bpe_train(
@@ -381,9 +445,7 @@ def curate_crawl(
             select_token_budget,
         )
 
-        if dsir_model is not None and os.path.exists(
-            os.path.join(dsir_model, "_SUCCESS")
-        ):
+        if dsir_model is not None and _artifact_exists(spark, dsir_model):
             weights = spark.read.parquet(dsir_model)
             n_buckets = weights.count()  # model-sized frame
         else:
@@ -434,6 +496,18 @@ def curate_crawl(
             picked.select("doc_id"), "doc_id", "left_semi"
         ).localCheckpoint(eager=True)
 
+    n_pii = None
+    if pii_redact:
+        # Optional stage 4d: privacy scrub, LAST gate before export —
+        # narrow regexp battery over only the documents every other
+        # stage kept. Checkpointed: the redaction-count agg, the pack,
+        # the manifest and the export all read the redacted frame.
+        balanced = text.redact_pii_text(balanced).localCheckpoint(
+            eager=True
+        )
+        n_pii = int(balanced.agg(F.sum("n_pii")).collect()[0][0] or 0)
+        balanced = balanced.drop("n_pii")
+
     packed = pack_sequences(
         balanced, seq_len=seq_len, n_buckets=64, count_col=count_col
     )
@@ -459,6 +533,10 @@ def curate_crawl(
         stats["boiler_tokens_removed"] = int(n_boiler_tokens)
     if n_lm is not None:
         stats["after_lm"] = n_lm
+    if n_decontam is not None:
+        stats["after_decontam"] = n_decontam
+    if n_pii is not None:
+        stats["pii_redactions"] = n_pii
     if n_bpe_merges is not None:
         stats["bpe_merges"] = n_bpe_merges
     if n_selected is not None:

@@ -1868,3 +1868,100 @@ def test_cms_never_undercounts_and_merges(spark, docs):
 
     plan = est._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "EvalPython" not in plan, plan
+
+
+def test_pq_ivf_index_lifecycle(spark, emb, tmp_path):
+    """IVF-PQ (Jégou et al. 2011 IVFADC): cell-pruned ADC serving.
+
+    - probing ALL cells admits every candidate, so the serve must be
+      bit-identical to exhaustive pq_topk (same stored model: seeded
+      centroids + codebooks match the inline estimation; shared
+      _pq_adc_rank expressions);
+    - the probe's executed plan must partition-prune the codes scan
+      (PartitionFilters carries the probed-cell IN-list);
+    - append under the STORED model equals encoding the union;
+      compaction folds files and leaves the probe bit-identical.
+    """
+    idx = str(tmp_path / "pqivf")
+    queries = emb.where(F.col("vec_id") < 8)
+    similarity.pq_ivf_build_index(emb, idx, n_cells=16)
+    got_all = sorted(
+        tuple(r)
+        for r in similarity.pq_ivf_topk_indexed(
+            spark, idx, queries, k=5, n_probe=16
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in similarity.pq_topk(emb, queries, k=5).collect()
+    )
+    assert got_all == want and len(got_all) == 40
+    # pruned probe: plan shows the cell IN-list in PartitionFilters
+    pruned = similarity.pq_ivf_topk_indexed(spark, idx, queries, k=5, n_probe=4)
+    pruned.count()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, plan[:2000]
+    # rerank tier requires the vector corpus
+    with pytest.raises(ValueError):
+        similarity.pq_ivf_topk_indexed(spark, idx, queries, rerank_factor=2)
+    # append path: half-built index + appended half == union encode+assign
+    idx2 = str(tmp_path / "pqivf2")
+    similarity.pq_ivf_build_index(emb.where(F.col("vec_id") % 2 == 0), idx2)
+    similarity.pq_ivf_index_append(emb.where(F.col("vec_id") % 2 == 1), idx2)
+    books = similarity._pq_read_books(spark, idx2)
+    cent_rows = spark.read.parquet(idx2 + "/_centroids").collect()
+    appended = {
+        r["vec_id"]: (list(r["codes"]), r["cell"])
+        for r in spark.read.parquet(idx2 + "/codes").collect()
+    }
+    assigned = similarity._assign_nearest(
+        emb, cent_rows, "vec_id", "embedding", "v"
+    ).select(F.col("v_id").alias("vec_id"), F.col("v_vec").alias("embedding"), "cell")
+    direct = {
+        r["vec_id"]: (list(r["codes"]), r["cell"])
+        for r in similarity.pq_encode(
+            assigned, books, keep=("cell",)
+        ).collect()
+    }
+    assert appended == direct
+    # compaction: per-cell fold, probe bit-identical
+    from ct_mapreduce_spark.fsutil import count_parquet_files
+
+    want2 = sorted(
+        tuple(r)
+        for r in similarity.pq_ivf_topk_indexed(
+            spark, idx2, queries, k=5
+        ).collect()
+    )
+    nb, na = similarity.pq_ivf_index_compact(spark, idx2)
+    assert na < nb and na == count_parquet_files(spark, idx2 + "/codes")
+    got2 = sorted(
+        tuple(r)
+        for r in similarity.pq_ivf_topk_indexed(
+            spark, idx2, queries, k=5
+        ).collect()
+    )
+    assert got2 == want2
+
+
+def test_pq_ivf_recall_vs_exact(spark, tmp_path):
+    """Cell-pruned PQ with exact re-rank on the planted-cluster fixture:
+    n_probe=4 of 16 cells + shortlist re-rank must recover >=90% of the
+    exact top-5 (co-cluster members share the query's cell — the IVF
+    property — and the re-rank fixes ADC's in-cluster ties)."""
+    corpus, per = _planted_cluster_corpus(spark)
+    queries = corpus.where(F.col("vec_id") % per < 2)
+    idx = str(tmp_path / "pqivf_clusters")
+    similarity.pq_ivf_build_index(corpus, idx, n_cells=16)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(corpus, queries, k=5).collect()
+    }
+    served = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_ivf_topk_indexed(
+            spark, idx, queries, k=5, n_probe=4,
+            rerank_corpus=corpus, rerank_factor=8,
+        ).collect()
+    }
+    recall = len(exact & served) / len(exact)
+    assert recall >= 0.9, f"IVF-PQ+rerank recall@5 = {recall}"

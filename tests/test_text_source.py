@@ -635,3 +635,124 @@ def test_curate_lm_filter_bigram_order(spark, tmp_path):
             lm_model=model1,
             lm_order=2,
         )
+
+
+def test_curate_decontaminate_and_pii(spark, tmp_path):
+    """curate_crawl with the two r8 composable stages: documents
+    containing a benchmark 8-gram are dropped (eval_suite), the
+    eval-gram dictionary persists at {workdir}/eval_grams across drops,
+    and pii_redact scrubs emails/IPs from the exported text itself
+    (never from dedup's view — redaction runs last). Operator-level
+    correctness is owned by docs_decontaminate / docs_pii_redact; this
+    test owns the pipeline wiring."""
+    import json
+    import os
+
+    from ct_mapreduce_spark.plans.curate import curate_crawl
+    from ct_mapreduce_spark.sources.text_source import encode_warc
+
+    leak = (
+        "the quick brown benchmark answer is exactly forty two "
+        "for every heldout question"
+    )
+    recs = []
+    for i in range(24):
+        uniq = " ".join(f"pg{i}tok{j} word{j} item{j}" for j in range(20))
+        extra = ""
+        if i < 4:  # contaminated pages embed the benchmark passage
+            extra = f"<p>{leak}</p>"
+        if 4 <= i < 8:  # PII pages leak an email and an IP
+            extra = (
+                f"<p>contact agent{i}@mail.example or "
+                f"ping 10.0.0.{i} for details</p>"
+            )
+        html = f"<html><body><p>{uniq}</p>{extra}</body></html>"
+        body = (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n" + html
+        )
+        recs.append(
+            {
+                "warc_type": "response",
+                "url": f"https://t.example/p/{i}",
+                "date": "2026-01-01T00:00:00Z",
+                "record_id": f"<urn:uuid:d{i:07d}>",
+                "content_type": "application/http; msgtype=response",
+                "body": body,
+            }
+        )
+    crawl = str(tmp_path / "c")
+    os.makedirs(crawl, exist_ok=True)
+    with open(os.path.join(crawl, "seg.warc"), "wb") as f:
+        f.write(encode_warc(recs))
+
+    suite = tmp_path / "suite"
+    suite.mkdir()
+    (suite / "bench.jsonl").write_text(
+        json.dumps({"doc_id": 0, "text": leak, "lang": "en"})
+    )
+
+    wd = str(tmp_path / "wd")
+    stats = curate_crawl(
+        spark,
+        crawl,
+        wd,
+        quality_min=0.0,
+        eval_suite=str(suite),
+        pii_redact=True,
+    )
+    # the 4 contaminated pages dropped at the decontam stage
+    assert stats["after_decontam"] == stats.get(
+        "after_lm", stats["quality_survivors"]
+    ) - 4
+    assert stats["pii_redactions"] >= 8  # 4 pages x (1 email + 1 ip)
+    assert os.path.exists(os.path.join(wd, "eval_grams", "_SUCCESS"))
+
+    exported = (
+        spark.read.option("compression", "gzip")
+        .json(wd + f"/export/drop={stats['drop_tag']}")
+        .collect()
+    )
+    assert len(exported) == stats["after_mixture"] > 0
+    joined = " ".join(r["text"] for r in exported)
+    assert "benchmark answer" not in joined  # eval leak gone
+    assert "@mail.example" not in joined  # emails scrubbed...
+    assert "<EMAIL>" in joined  # ...to the placeholder token
+    assert "<IPV4>" in joined
+
+    # second drop: the persisted gram dictionary is REUSED (byte-
+    # identical on disk) and still drops a re-leak of the same passage
+    dict_files = sorted(os.listdir(os.path.join(wd, "eval_grams")))
+    crawl2 = str(tmp_path / "c2")
+    os.makedirs(crawl2, exist_ok=True)
+    recs2 = []
+    for i in range(8):
+        uniq = " ".join(f"r2pg{i}tok{j} fresh{j} again{j}" for j in range(20))
+        extra = f"<p>{leak}</p>" if i == 0 else ""
+        html = f"<html><body><p>{uniq}</p>{extra}</body></html>"
+        body = (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n" + html
+        )
+        recs2.append(
+            {
+                "warc_type": "response",
+                "url": f"https://t2.example/p/{i}",
+                "date": "2026-01-02T00:00:00Z",
+                "record_id": f"<urn:uuid:e{i:07d}>",
+                "content_type": "application/http; msgtype=response",
+                "body": body,
+            }
+        )
+    with open(os.path.join(crawl2, "seg.warc"), "wb") as f:
+        f.write(encode_warc(recs2))
+    stats2 = curate_crawl(
+        spark, crawl2, wd, quality_min=0.0, eval_suite=str(suite)
+    )
+    assert stats2["after_decontam"] == stats2.get(
+        "after_lm", stats2["quality_survivors"]
+    ) - 1
+    assert sorted(os.listdir(os.path.join(wd, "eval_grams"))) == dict_files
+    # control: default run has neither stage nor stats keys
+    stats3 = curate_crawl(spark, crawl, str(tmp_path / "wd3"), quality_min=0.0)
+    assert "after_decontam" not in stats3 and "pii_redactions" not in stats3

@@ -783,6 +783,100 @@ def emb_pq_rerank_topk(sf_dir: str) -> list[tuple]:
     return emb_pq_topk(sf_dir, rerank_factor=4)
 
 
+def emb_pq_ivf_topk(
+    sf_dir: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    rerank_factor: int = 4,
+) -> list[tuple]:
+    """Re-derive IVF-PQ serving (similarity.py:pq_ivf_topk_indexed) by
+    composition: emb_ann_ivf's centroid pick / cell assignment / probe
+    rule + emb_pq_topk's codebooks / encode / ADC LUT, with candidates
+    RESTRICTED to the query's n_probe nearest cells, then the
+    (-adc, nid) shortlist of k*rerank_factor re-scored by exact
+    cosine."""
+    ids, vecs = _load_embeddings(sf_dir)
+    dim = len(vecs[0])
+    d = dim // m_sub
+    # IVF half: seeded centroids (lowest xxhash64(str(id), seed)), cell
+    # = rank order; assignment/probes by (-cosine, cell)
+    hs = [
+        (spark_xxhash64(str(vid), Int32(seed)), vid, i)
+        for i, vid in enumerate(ids)
+    ]
+    hs.sort()
+    centroids = [vecs[i] for _, _, i in hs[:n_cells]]
+
+    def dists(v: np.ndarray) -> list[tuple[float, int]]:
+        return [(-_cosine(v, c), cell) for cell, c in enumerate(centroids)]
+
+    assign = {ids[i]: min(dists(v))[1] for i, v in enumerate(vecs)}
+    # PQ half: per-subspace seeded codebooks + argmin-L2 encode
+    books: list[list[np.ndarray]] = []
+    for j in range(m_sub):
+        hj = [
+            (spark_xxhash64(str(vid), Int32(seed + j)), vid, i)
+            for i, vid in enumerate(ids)
+        ]
+        hj.sort()
+        books.append(
+            [
+                np.asarray(
+                    [float(x) for x in vecs[i][j * d : (j + 1) * d]],
+                    dtype=np.float64,
+                )
+                for _, _, i in hj[:n_codes]
+            ]
+        )
+
+    def encode(v: np.ndarray) -> list[int]:
+        codes = []
+        for j, book in enumerate(books):
+            sub = v[j * d : (j + 1) * d]
+            best = None
+            for code, cvec in enumerate(book):
+                acc = 0.0
+                for x, y in zip(sub.astype(np.float64), cvec):
+                    diff = float(x) - float(y)
+                    acc += diff * diff
+                if best is None or (acc, code) < best:
+                    best = (acc, code)
+            codes.append(best[1])
+        return codes
+
+    codes = {ids[i]: encode(v) for i, v in enumerate(vecs)}
+    by_id = {vid: i for i, vid in enumerate(ids)}
+    scored: dict[int, list[tuple[float, int]]] = {}
+    for qi, qid in enumerate(ids):
+        if qid >= 8:
+            continue
+        probed = {cell for _, cell in sorted(dists(vecs[qi]))[:n_probe]}
+        lut = [
+            [_fold_dot(vecs[qi][j * d : (j + 1) * d], cvec) for cvec in book]
+            for j, book in enumerate(books)
+        ]
+        items = []
+        for nid in ids:
+            if nid == qid or assign[nid] not in probed:
+                continue
+            acc = 0.0
+            for j, code in enumerate(codes[nid]):
+                acc += lut[j][code]
+            items.append((_round6(acc), nid))
+        if rerank_factor:
+            items.sort(key=lambda t: (-t[0], t[1]))
+            items = [
+                (_round6(_cosine(vecs[qi], vecs[by_id[nid]])), nid)
+                for _, nid in items[: k * rerank_factor]
+            ]
+        scored[qid] = items
+    return _rank_topk(scored, k)
+
+
 def docs_incremental_dedup(
     sf_dir: str,
     k: int = 3,
@@ -1015,6 +1109,7 @@ DERIVATIONS = {
     "s16_warc_domain_stats": s16_warc_domain_stats,
     "emb_pq_topk": emb_pq_topk,
     "emb_pq_rerank_topk": emb_pq_rerank_topk,
+    "emb_pq_ivf_topk": emb_pq_ivf_topk,
     "docs_minhash_lsh_dedup": docs_minhash_lsh_dedup,
     "docs_minhash_keep": docs_minhash_keep,
     "docs_simhash_pairs": docs_simhash_pairs,
