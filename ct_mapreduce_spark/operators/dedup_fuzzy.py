@@ -1170,7 +1170,7 @@ def minhash_probe_index(
 
 
 def minhash_index_compact(
-    spark, path: str, tag: str = "base"
+    spark, path: str, tag: str = "base", exclude_tags: set[str] | None = None
 ) -> dict[str, tuple[int, int]]:
     """Index maintenance: rewrite the posting-list store's accumulated
     small files into pfx-clustered right-sized ones — the lifecycle task
@@ -1184,11 +1184,24 @@ def minhash_index_compact(
     rewritten in place; the STREAMING layout — per-batch INCREMENT trees
     ({store}_inc/ingest_batch=T, unclustered; see _read_store) plus an
     optionally pre-existing base — is folded into one pfx-clustered base
-    under ingest_batch=<tag> and the increment trees are deleted. Run it
-    only while the stream is stopped with its checkpoint intact (a
-    replay of a compacted-away batch id would re-insert its postings
-    beside the consolidated copy). Probe results are unchanged either
-    way (pytest-asserted); returns {store: (files_before, files_after)}.
+    under ingest_batch=<tag> and the increment trees are deleted.
+
+    Replay interaction: a checkpointed stream can re-deliver ONLY the
+    in-flight (uncommitted) batch; everything older is committed and
+    never replays. Two safe ways to run this therefore exist:
+    - stream STOPPED, checkpoint intact, exclude_tags=None — the
+      original contract: fold everything (nothing is in flight);
+    - stream LIVE, from inside its own foreachBatch, with
+      `exclude_tags={current batch id}` — the auto-compaction hook
+      (streaming/dedup_stream.py): rows under an excluded tag stay in
+      their original per-tag partitions (increments keep the tag's
+      subtree; the sigs store keeps the tag's partition in the
+      rewritten tree), so a crash-replay's dynamic partition overwrite
+      of that tag replaces exactly its own rows — never a second copy
+      beside a consolidated one.
+
+    Probe results are unchanged either way (pytest-asserted); returns
+    {store: (files_before, files_after)}.
     """
     import os
 
@@ -1208,6 +1221,7 @@ def minhash_index_compact(
         "sigs": None,  # keep whatever signature columns the store carries
         "hashes": ["kind", "hash"],
     }
+    exclude = {str(t) for t in (exclude_tags or ())}
     out: dict[str, tuple[int, int]] = {}
     for store in ("banded", "sigs", "hashes"):
         base_p, inc_p = f"{path}/{store}", f"{path}/{store}_inc"
@@ -1216,7 +1230,8 @@ def minhash_index_compact(
         recover_swap(spark, base_p)
         parts = []
         streaming = False
-        for p in (base_p, inc_p):
+        inc_tags: set[str] = set()
+        for p, is_inc in ((base_p, False), (inc_p, True)):
             t = _try_read_parquet(spark, p)
             if t is None:
                 continue
@@ -1225,18 +1240,48 @@ def minhash_index_compact(
                     F.col("content_hash").alias("hash"),
                     F.lit("content").alias("kind"),
                 )
-            streaming = streaming or "ingest_batch" in t.columns
+            has_tag = "ingest_batch" in t.columns
+            streaming = streaming or has_tag
+            # partition values read back type-inferred (all-numeric tags
+            # come back int): compare and record as strings throughout
+            tag_str = (
+                F.col("ingest_batch").cast("string") if has_tag else None
+            )
+            if is_inc and has_tag and exclude:
+                # the in-flight batch's increment partitions stay on disk
+                # untouched — a crash-replay's dynamic overwrite replaces
+                # exactly them; only committed tags fold into the base
+                inc_tags |= {
+                    str(r["ingest_batch"])
+                    for r in t.select("ingest_batch").distinct().collect()
+                }
+                t = t.where(~tag_str.isin(sorted(exclude)))
             cols = DATA_COLS[store] or [
                 c for c in t.columns if c != "ingest_batch"
             ]
-            parts.append(t.select(*cols))
+            if streaming:
+                # the rewritten base keeps an excluded tag's rows (sigs
+                # store: replay overwrites that PARTITION of this tree)
+                # under their own tag; everything else collapses to `tag`
+                keep = (
+                    F.when(tag_str.isin(sorted(exclude)), tag_str)
+                    .otherwise(F.lit(tag))
+                    if (has_tag and exclude and not is_inc)
+                    else F.lit(tag)
+                )
+                t = t.select(*cols, keep.alias("_keep_tag"))
+            else:
+                t = t.select(*cols)
+            parts.append(t)
         if not parts:  # only empty (_SUCCESS-only) trees: nothing to fold
             continue
         df = parts[0]
         for t in parts[1:]:
-            df = df.unionByName(t)
+            df = df.unionByName(t, allowMissingColumns=True)
         if streaming:
-            df = df.withColumn("ingest_batch", F.lit(tag))
+            df = df.withColumn(
+                "ingest_batch", F.coalesce(F.col("_keep_tag"), F.lit(tag))
+            ).drop("_keep_tag")
         # re-derive prefix columns from their source rather than trusting
         # the partition column read-back (partition values are
         # type-inferred; an all-numeric prefix set would come back int
@@ -1262,8 +1307,14 @@ def minhash_index_compact(
             w = w.partitionBy(*part_cols)
         w.parquet(base_p + TMP_SUFFIX)
         swap_into_place(spark, base_p + TMP_SUFFIX, base_p)
-        delete_path(spark, inc_p)
-        out[store] = (before, _count_files(base_p))
+        if exclude and inc_tags:
+            # fold committed tags only; the excluded (in-flight) tag's
+            # partitions stay for the replay contract
+            for t_ in sorted(inc_tags - exclude):
+                delete_path(spark, f"{inc_p}/ingest_batch={t_}")
+        else:
+            delete_path(spark, inc_p)
+        out[store] = (before, _count_files(base_p) + _count_files(inc_p))
     return out
 
 

@@ -854,7 +854,9 @@ def ivf_index_append(
     )
 
 
-def ivf_index_compact(spark, path: str) -> tuple[int, int]:
+def ivf_index_compact(
+    spark, path: str, exclude_tags: set[str] | None = None
+) -> tuple[int, int]:
     """Index maintenance for a long-lived IVF store: rewrite the
     accumulated per-append cell files into one right-sized file per cell
     — the ANN twin of dedup_fuzzy.minhash_index_compact. Every
@@ -873,7 +875,15 @@ def ivf_index_compact(spark, path: str) -> tuple[int, int]:
     (an index row is (id, vector, norm, cell) — exact duplicates are
     only ever produced by a crash between a completed swap and the
     increment delete), which makes compaction IDEMPOTENT: re-running it
-    over any crash leftover converges to the same store."""
+    over any crash leftover converges to the same store.
+
+    `exclude_tags` (the streaming auto-compaction contract, mirroring
+    minhash_index_compact's): increment partitions under the named
+    ingest_batch tags — only the in-flight batch can ever replay — are
+    NOT folded; they are carried verbatim into the compacted tree's
+    _inc, so a crash-replay's dynamic partition overwrite replaces
+    exactly its own rows and probes never see a folded copy beside a
+    replayed one."""
     from ct_mapreduce_spark.fsutil import (
         TMP_SUFFIX,
         count_parquet_files,
@@ -894,8 +904,15 @@ def ivf_index_compact(spark, path: str) -> tuple[int, int]:
 
     corpus = spark.read.parquet(path)
     inc = _try_read_parquet(spark, inc_p)
+    exclude = {str(t) for t in (exclude_tags or ())}
+    keep_inc = None
     if inc is not None:
-        corpus = corpus.unionByName(inc.select(*corpus.columns)).dropDuplicates()
+        fold = inc
+        if exclude and "ingest_batch" in inc.columns:
+            tag_str = F.col("ingest_batch").cast("string")
+            keep_inc = inc.where(tag_str.isin(sorted(exclude)))
+            fold = inc.where(~tag_str.isin(sorted(exclude)))
+        corpus = corpus.unionByName(fold.select(*corpus.columns)).dropDuplicates()
     cents = spark.read.parquet(path + "/_centroids")
     (
         corpus.repartition(F.col("cell"))
@@ -904,9 +921,19 @@ def ivf_index_compact(spark, path: str) -> tuple[int, int]:
         .parquet(path + TMP_SUFFIX)
     )
     cents.write.mode("overwrite").parquet(path + TMP_SUFFIX + "/_centroids")
+    if keep_inc is not None:
+        # the in-flight batch's increment rides through the swap inside
+        # the new tree (the swap renames the WHOLE index dir, _inc
+        # included); written before the swap, read-side completes first
+        keep_inc.write.mode("overwrite").partitionBy("ingest_batch").parquet(
+            path + TMP_SUFFIX + "/_inc"
+        )
     swap_into_place(spark, path + TMP_SUFFIX, path)
-    delete_path(spark, inc_p)
-    return before, count_parquet_files(spark, path)
+    if keep_inc is None:
+        delete_path(spark, inc_p)
+    return before, count_parquet_files(spark, path) + count_parquet_files(
+        spark, inc_p
+    )
 
 
 def ivf_topk_indexed(

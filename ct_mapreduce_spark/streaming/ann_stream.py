@@ -97,6 +97,7 @@ def start_ann_ingest_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     schema: str = VECTORS_SCHEMA,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """File-source embedding stream -> per-micro-batch IVF index folds.
 
@@ -107,13 +108,30 @@ def start_ann_ingest_stream(
     (ivf_topk_indexed) see each batch as soon as its trigger commits —
     no rebuild, no stream restart.
 
-    Lifecycle: each trigger adds a few coalesced increment files;
-    schedule ivf_index_compact when accumulated increment bytes
-    approach the pruned base's per-probe read cost — with the stream
-    STOPPED and its checkpoint intact (a replay of a compacted-away
-    batch id would re-insert its vectors beside the folded copy; the
-    compact fold's full-row dedup would collapse them again on the
-    next compaction, but probes in between would see doubles)."""
+    Lifecycle: each trigger adds a few coalesced increment files.
+    `compact_every=N` makes the daemon maintain itself (the dedup
+    daemon's r8 contract): whenever the increment tree holds >= N batch
+    partitions, the trigger ends with ivf_index_compact(exclude_tags=
+    {this batch id}) — committed increments fold into the
+    cell-clustered base while the in-flight batch's partition rides
+    through the swap untouched, so a crash-replay's dynamic overwrite
+    still replaces exactly its own rows. Manual compaction with the
+    stream stopped (exclude_tags=None) remains available; a crash
+    mid-compact is covered by recover_swap at stream start."""
+    from ct_mapreduce_spark.fsutil import _fs_and_path, recover_swap
+
+    recover_swap(spark, index_path)
+
+    def _n_inc_batches(session: SparkSession) -> int:
+        fs, p = _fs_and_path(session, index_path + "/_inc")
+        if not fs.exists(p):
+            return 0
+        return sum(
+            1
+            for st in fs.listStatus(p)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("ingest_batch=")
+        )
 
     cent_cache: list = []  # read once at the first trigger, then reused
 
@@ -133,6 +151,18 @@ def start_ann_ingest_stream(
             batch_df, index_path, batch_tag=str(batch_id),
             id_col=id_col, vec_col=vec_col, cent_rows=list(cent_cache),
         )
+        session = batch_df.sparkSession
+        if (
+            compact_every is not None
+            and _n_inc_batches(session) >= compact_every
+        ):
+            from ct_mapreduce_spark.operators.similarity import (
+                ivf_index_compact,
+            )
+
+            ivf_index_compact(
+                session, index_path, exclude_tags={str(batch_id)}
+            )
 
     stream = (
         spark.readStream.schema(schema)

@@ -209,6 +209,7 @@ def start_dedup_stream(
     lm_model_path: str | None = None,
     lm_max_xent: int | None = None,
     lm_order: int = 1,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """File-source document stream -> per-micro-batch incremental dedup.
 
@@ -241,12 +242,40 @@ def start_dedup_stream(
     LSM shape in write_postings — per-batch walls measured FLAT at
     ~4.3 s over 20 toy batches, vs 12 -> 26 s growing under the old
     one-file-per-prefix-per-batch layout). Probes row-filter the small
-    increments, so schedule minhash_index_compact when accumulated
-    increment bytes approach the pruned base's per-probe read cost —
-    with the stream STOPPED and its checkpoint intact (a replay of a
-    compacted-away batch id would re-insert postings beside the
-    consolidated copy).
+    increments; over hundreds of triggers the accumulated increment
+    partitions still grow per-batch wall (the r7 soak measured 11.8 ->
+    25.2 s over 20 heavy batches). `compact_every=N` makes the daemon
+    maintain ITSELF: whenever the banded increment tree holds >= N batch
+    partitions, the trigger ends by folding all COMMITTED increments
+    into the pfx-clustered base (minhash_index_compact with
+    exclude_tags={this batch id} — only the in-flight batch can ever
+    replay, and its partitions stay on disk for the replay's dynamic
+    overwrite to hit, so auto-compaction preserves the
+    replay-idempotence contract without stopping the stream). Crash
+    mid-compact is covered by the swap protocol: recover_swap runs for
+    each store at stream start. Manual compaction with the stream
+    stopped (exclude_tags=None, folds everything) remains available for
+    deployments that prefer an external maintenance window.
     """
+    # complete/roll back any swap a crashed auto-compaction left behind
+    # BEFORE the first probe reads the store
+    from ct_mapreduce_spark.fsutil import recover_swap
+
+    for _store in ("banded", "sigs", "hashes"):
+        recover_swap(spark, f"{index_path}/{_store}")
+
+    def _n_inc_batches(session: SparkSession) -> int:
+        from ct_mapreduce_spark.fsutil import _fs_and_path
+
+        fs, p = _fs_and_path(session, index_path + "/banded_inc")
+        if not fs.exists(p):
+            return 0
+        return sum(
+            1
+            for st in fs.listStatus(p)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("ingest_batch=")
+        )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch hands the batch a CLONED SparkSession; conf must be
@@ -303,6 +332,17 @@ def start_dedup_stream(
         finally:
             session.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         write_postings(kept, index_path, batch_tag=str(batch_id), sigs=kept_sigs)
+        if (
+            compact_every is not None
+            and _n_inc_batches(session) >= compact_every
+        ):
+            from ct_mapreduce_spark.operators.dedup_fuzzy import (
+                minhash_index_compact,
+            )
+
+            minhash_index_compact(
+                session, index_path, exclude_tags={str(batch_id)}
+            )
 
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)

@@ -153,3 +153,78 @@ def test_ann_ingest_stream_end_to_end(spark, emb, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(idx + "/_inc").count() == n_rows
+
+
+def test_ann_stream_auto_compaction_bounded(spark, tmp_path):
+    """compact_every=N on the ANN ingest daemon: the increment tree
+    stays bounded while the stream runs, probes over the auto-compacted
+    index return exactly the same neighbors as over an uncompacted
+    control index, and the excluded in-flight partition's replay
+    contract holds (its tag still exists as a partition dir or has been
+    folded by a later cycle — never duplicated)."""
+    from ct_mapreduce_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 7 == 0)
+    n_batches = 6
+    batches = [
+        emb.where(F.col("vec_id") % 7 == m + 1) for m in range(n_batches)
+    ]
+    src = str(tmp_path / "src")
+    for m, b in enumerate(batches):
+        _one_file(b, src, f"b{m}", 1_000_000.0 + 100 * m)
+
+    idxs = {}
+    for tag, every in (("auto", 3), ("ctl", None)):
+        idx = str(tmp_path / f"idx_{tag}")
+        similarity.ivf_build_index(base, idx)
+        q = start_ann_ingest_stream(
+            spark,
+            source_path=src,
+            index_path=idx,
+            checkpoint=str(tmp_path / f"ckpt_{tag}"),
+            compact_every=every,
+        )
+        q.awaitTermination(240)
+        idxs[tag] = idx
+
+    inc_tags = [
+        n
+        for n in os.listdir(f"{idxs['auto']}/_inc")
+        if n.startswith("ingest_batch=")
+    ] if os.path.isdir(f"{idxs['auto']}/_inc") else []
+    assert len(inc_tags) <= 3, inc_tags
+    queries = emb.where(F.col("vec_id") < 8)
+    got = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk_indexed(
+            spark, idxs["auto"], queries, k=5
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk_indexed(
+            spark, idxs["ctl"], queries, k=5
+        ).collect()
+    )
+    assert got == want and len(got) == 40
+    # full-index row sets identical (base ∪ inc, no doubles, no loss)
+    def rows(idx):
+        out = {
+            (r["vec_id"], r["cell"])
+            for r in spark.read.parquet(idx).select("vec_id", "cell").collect()
+        }
+        inc_p = idx + "/_inc"
+        if os.path.isdir(inc_p):
+            try:
+                out |= {
+                    (r["vec_id"], r["cell"])
+                    for r in spark.read.parquet(inc_p)
+                    .select("vec_id", "cell")
+                    .collect()
+                }
+            except Exception:
+                pass
+        return out
+
+    assert rows(idxs["auto"]) == rows(idxs["ctl"])

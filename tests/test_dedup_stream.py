@@ -318,3 +318,124 @@ def test_stream_lm_gate_bigram_order(spark, tmp_path):
     kept_ids = {r.doc_id for r in spark.read.parquet(keep).collect()}
     assert 300 not in kept_ids  # scrambled doc gated by the bigram tier
     assert kept_ids & {i for i, _ in rows}
+
+
+def test_compact_exclude_tags_preserves_inflight(spark, tmp_path):
+    """minhash_index_compact(exclude_tags=...): committed increment tags
+    fold into the pfx-clustered base; the excluded (in-flight) tag's
+    partitions survive untouched in the increment trees and the sigs
+    tree, probe results are bit-identical, and a replayed dynamic
+    overwrite of the excluded tag leaves the probe unchanged (the
+    auto-compaction replay contract)."""
+    from ct_mapreduce_spark.operators.dedup_fuzzy import (
+        minhash_index_compact,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "idx")
+    batches = [docs.where(F.col("doc_id") % 3 == m) for m in range(3)]
+    for m, b in enumerate(batches):
+        write_postings(b, idx, batch_tag=str(m))
+
+    probe = docs.select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+
+    def probe_kept():
+        return sorted(
+            r["doc_id"]
+            for r in dedup_batch(spark, idx, probe).select("doc_id").collect()
+        )
+
+    before = probe_kept()
+    out = minhash_index_compact(spark, idx, exclude_tags={"2"})
+    assert set(out) == {"banded", "sigs", "hashes"}
+    # committed tags folded away; the in-flight tag's partitions remain
+    for tree in ("banded_inc", "hashes_inc"):
+        tags = {
+            n
+            for n in os.listdir(f"{idx}/{tree}")
+            if n.startswith("ingest_batch=")
+        }
+        assert tags == {"ingest_batch=2"}, (tree, tags)
+    sig_tags = {
+        n
+        for n in os.listdir(f"{idx}/sigs")
+        if n.startswith("ingest_batch=")
+    }
+    assert sig_tags == {"ingest_batch=base", "ingest_batch=2"}
+    assert os.path.isdir(f"{idx}/banded")  # pfx-clustered base exists
+    assert probe_kept() == before
+    # replay of the excluded tag: dynamic overwrite replaces its own
+    # partitions only; probe still bit-identical (no doubled postings)
+    write_postings(batches[2], idx, batch_tag="2")
+    assert probe_kept() == before
+    # a later full compaction (stream stopped) folds the leftover tag
+    minhash_index_compact(spark, idx)
+    assert not os.path.exists(f"{idx}/banded_inc")
+    assert probe_kept() == before
+
+
+def test_stream_auto_compaction_bounded(spark, tmp_path):
+    """compact_every=N keeps the increment tree bounded while the stream
+    runs (no manual maintenance window), with the same keep-list as an
+    uncompacted control run, and the compacted base still dedups a
+    later re-crawl batch."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    n_batches = 6
+    parts = [docs.where(F.col("doc_id") % n_batches == m) for m in range(n_batches)]
+    for m, b in enumerate(parts):
+        _one_file(b, src, f"b{m}", 1_000_000.0 + 100 * m)
+    # final batch: verbatim copies of batch 0 under fresh ids — must be
+    # fully deduped against content that by then lives in the BASE
+    _one_file(
+        parts[0].select((F.col("doc_id") + 700000).alias("doc_id"), "text"),
+        src,
+        f"b{n_batches}",
+        1_000_000.0 + 100 * n_batches,
+    )
+
+    idx = str(tmp_path / "idx_auto")
+    keep = str(tmp_path / "keep_auto")
+    q = start_dedup_stream(
+        spark,
+        source_path=src,
+        index_path=idx,
+        keep_path=keep,
+        checkpoint=str(tmp_path / "ckpt_auto"),
+        compact_every=3,
+    )
+    q.awaitTermination(240)
+    inc_tags = [
+        n
+        for n in os.listdir(f"{idx}/banded_inc")
+        if n.startswith("ingest_batch=")
+    ]
+    assert len(inc_tags) <= 3, inc_tags  # bounded, not 7 accumulated
+    assert os.path.isdir(f"{idx}/banded")  # base created by auto-compact
+    kept = spark.read.parquet(keep)
+    by_batch = {
+        str(r["ingest_batch"]): r["n"]
+        for r in kept.groupBy("ingest_batch").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_batch.get(str(n_batches), 0) == 0  # re-crawl fully deduped
+
+    # control: same source, no auto-compaction -> identical keep set
+    idx2 = str(tmp_path / "idx_ctl")
+    keep2 = str(tmp_path / "keep_ctl")
+    q2 = start_dedup_stream(
+        spark,
+        source_path=src,
+        index_path=idx2,
+        keep_path=keep2,
+        checkpoint=str(tmp_path / "ckpt_ctl"),
+    )
+    q2.awaitTermination(240)
+    got = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    want = sorted(
+        r["doc_id"] for r in spark.read.parquet(keep2).select("doc_id").collect()
+    )
+    assert got == want

@@ -630,6 +630,46 @@ def main() -> None:
     print(f"pq serve x10: {results['pq_serve_x10']}", file=sys.stderr)
     shutil.rmtree(pq_idx, ignore_errors=True)
 
+    # --- IVF-PQ serve path (r8): the cell-pruned composition. Build at
+    # 1x/10x/100x with n_cells scaled so cell size stays constant, probe
+    # with n_probe=4; probe wall must stay ~flat (exponent ~0 like the
+    # plain IVF store) because the ADC scan reads only the probed cells'
+    # 8-bytes-per-row codes — the multiplied pruning neither the flat PQ
+    # index (full codes scan) nor raw IVF (full vectors in probed cells)
+    # gets. PartitionFilters asserted on the executed plan per rung. ---
+    for mult in EMB_MULTS:
+        emb = spark.read.parquet(_emb_path(mult))
+        n_rows = emb.count()
+        n_cells = max(16, n_rows // 512)
+        pqivf = tempfile.mkdtemp(prefix=f"ctspark_soak_pqivf_x{mult}_")
+        t0 = time.perf_counter()
+        similarity.pq_ivf_build_index(emb, pqivf, n_cells=n_cells)
+        build_s = round(time.perf_counter() - t0, 2)
+        queries = emb.where(F.col("vec_id") < 8)
+        probe_times = []
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            served = similarity.pq_ivf_topk_indexed(
+                spark, pqivf, queries, k=5, n_probe=4
+            )
+            served.count()
+            probe_times.append(round(time.perf_counter() - t0, 2))
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [cell" in plan, f"x{mult}: codes scan not pruned"
+        results[f"pqivf_probe_x{mult}"] = {
+            "rows": n_rows,
+            "n_cells": n_cells,
+            "build_s": build_s,
+            "probes": probe_times,
+            "min": min(probe_times),
+        }
+        print(
+            f"pqivf x{mult}: rows={n_rows} cells={n_cells} "
+            f"build={build_s}s probes={probe_times}",
+            file=sys.stderr,
+        )
+        shutil.rmtree(pqivf, ignore_errors=True)
+
     # --- e2e curation pipeline, two drops, 1x/10x crawl (r7): drop 1
     # builds the index from a fresh crawl; drop 2 re-crawls the same
     # pages (new record ids => new doc_ids, same content) and must dedup
@@ -770,6 +810,73 @@ def main() -> None:
     )
     shutil.rmtree(idxd, ignore_errors=True)
 
+    # --- r8: the same 20-batch posture with AUTO-compaction (the
+    # daemon's compact_every hook): whenever the banded increment tree
+    # holds >= 6 batch partitions, fold the committed ones from INSIDE
+    # the loop, excluding the in-flight tag — exactly what
+    # start_dedup_stream(compact_every=6) does per trigger. The
+    # per-batch wall (inclusive of in-band compaction cost) must stay
+    # bounded instead of drifting with accumulated partitions. ---
+    import os as _os
+
+    idxa = tempfile.mkdtemp(prefix="ctspark_soak_daemon_auto_")
+    auto_walls = []
+    auto_kept = []
+    n_compactions = 0
+    for b in range(20):
+        fresh = base_docs.where(F.col("doc_id") % 20 == b).select(
+            (F.col("doc_id") * 100 + b).alias("doc_id"), "text"
+        )
+        if b > 0:
+            resend = base_docs.where(
+                (F.col("doc_id") % 20 == 0) & (F.col("doc_id") % 100 == 0)
+            ).select((F.col("doc_id") * 100 + 50 + b).alias("doc_id"), "text")
+            fresh = fresh.unionByName(resend)
+        t0 = time.perf_counter()
+        batch = fresh.localCheckpoint(eager=True)
+        bsigs = minhash_signatures(fan_out(batch)).localCheckpoint(eager=True)
+        kept = dedup_batch(spark, idxa, batch, sigs=bsigs).localCheckpoint(
+            eager=True
+        )
+        ksigs = bsigs.join(kept.select("doc_id"), "doc_id", "left_semi")
+        write_postings(kept, idxa, batch_tag=str(b), sigs=ksigs)
+        inc_p = idxa + "/banded_inc"
+        n_inc = (
+            len(
+                [
+                    n
+                    for n in _os.listdir(inc_p)
+                    if n.startswith("ingest_batch=")
+                ]
+            )
+            if _os.path.isdir(inc_p)
+            else 0
+        )
+        if n_inc >= 6:
+            minhash_index_compact(spark, idxa, exclude_tags={str(b)})
+            n_compactions += 1
+        auto_walls.append(round(time.perf_counter() - t0, 2))
+        auto_kept.append(kept.count())
+        if b > 0:
+            n_resent_kept = kept.where(
+                F.col("doc_id") % 100 == 50 + b
+            ).count()
+            assert n_resent_kept == 0, ("auto", b, n_resent_kept)
+    results["daemon_20_batches_autocompact"] = {
+        "walls": auto_walls,
+        "kept_counts": auto_kept,
+        "n_compactions": n_compactions,
+        "wall_first3_avg": round(sum(auto_walls[1:4]) / 3, 2),
+        "wall_last3_avg": round(sum(auto_walls[-3:]) / 3, 2),
+    }
+    print(
+        f"daemon 20 batches AUTO-compact: walls={auto_walls} "
+        f"compactions={n_compactions} kept={auto_kept}",
+        file=sys.stderr,
+    )
+    assert auto_kept == kept_counts, (auto_kept, kept_counts)
+    shutil.rmtree(idxa, ignore_errors=True)
+
     import math
 
     def expo(a: str, b: str, factor: float, key: str = "min") -> float:
@@ -798,6 +905,12 @@ def main() -> None:
         ),
         "ann_build_1x_to_100x": expo("ann_x1", "ann_x100", 100, "build_s"),
         "ann_probe_1x_to_100x": expo("ann_x1", "ann_x100", 100, "probe_min"),
+        "pqivf_build_1x_to_100x": expo(
+            "pqivf_probe_x1", "pqivf_probe_x100", 100, "build_s"
+        ),
+        "pqivf_probe_1x_to_100x": expo(
+            "pqivf_probe_x1", "pqivf_probe_x100", 100
+        ),
         "dupspans_boiler_1x_to_10x": expo(
             "dupspans_boiler_x1", "dupspans_boiler_x10", 10
         ),
