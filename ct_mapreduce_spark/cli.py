@@ -139,6 +139,7 @@ def cmd_fetch_follow(
     )
     from ct_mapreduce_spark.streaming.telemetry import (
         IngestTelemetryListener,
+        RateAnomalyTracker,
         StatsdEmitter,
     )
 
@@ -147,6 +148,11 @@ def cmd_fetch_follow(
         return 2
     listener = IngestTelemetryListener()
     spark.streams.addListener(listener)
+    # per-trigger rate-anomaly monitor over the ingest's own input rates
+    # (zscore_counts semantics driver-side; surfaced on /metrics) — the
+    # reference's fetch+health loop composed with the anomaly rule
+    anomaly = RateAnomalyTracker()
+    spark.streams.addListener(anomaly)
     statsd = None
     if statsd_addr:
         shost, sport = parse_hostport(statsd_addr)
@@ -163,7 +169,9 @@ def cmd_fetch_follow(
     health = None
     if health_addr:
         host, port = parse_hostport(health_addr)
-        health = HealthServer(listener, max_staleness, host, port).start()
+        health = HealthServer(
+            listener, max_staleness, host, port, anomaly=anomaly
+        ).start()
         disp = f"[{host}]" if ":" in host else host
         print(f"health endpoint: http://{disp}:{health.port}/health")
     q = start_ingest_query(
@@ -201,6 +209,7 @@ def cmd_fetch_follow(
                 _time.sleep(0.1)
             spark.streams.removeListener(statsd)
             statsd.close()
+        spark.streams.removeListener(anomaly)
         spark.streams.removeListener(listener)
 
 

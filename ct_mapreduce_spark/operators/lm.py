@@ -115,6 +115,29 @@ def lm_train_unigram(
     return kept.unionByName(oov)
 
 
+def _oov_frame(lm: DataFrame) -> DataFrame:
+    """The model's OOV sentinel row as a one-row (oov_micro) frame,
+    VALIDATED: every per-token score cross-joins this frame, so a model
+    table missing the '' sentinel (hand-built, over-filtered, or a
+    partially-written artifact) would make the cross join empty and
+    silently score ZERO documents — the whole corpus filtered away with
+    no error. Fail fast instead: exactly one OOV row or ValueError. The
+    check is one bounded driver action over the vocabulary-sized model
+    (limit-2 count), paid once per scoring-plan build."""
+    rows = lm.where(F.col("token") == OOV_TOKEN).select(
+        F.col("logp_micro").alias("oov_micro")
+    )
+    n = rows.limit(2).count()
+    if n != 1:
+        raise ValueError(
+            f"malformed LM model: expected exactly one OOV sentinel row "
+            f"(token == {OOV_TOKEN!r}), found {n} — scoring would "
+            "silently drop every document. Retrain with lm_train_unigram "
+            "or repair the persisted model artifact."
+        )
+    return rows
+
+
 def lm_score(
     docs: DataFrame,
     lm: DataFrame,
@@ -135,11 +158,7 @@ def lm_score(
     vocab = lm.where(F.col("token") != OOV_TOKEN).select("token", "logp_micro")
     if broadcast_lm:
         vocab = F.broadcast(vocab)
-    oov = F.broadcast(
-        lm.where(F.col("token") == OOV_TOKEN).select(
-            F.col("logp_micro").alias("oov_micro")
-        )
-    )
+    oov = F.broadcast(_oov_frame(lm))
     g = docs.select(
         F.col(id_col),
         F.explode_outer(F.array_remove(tokens(text_col), "")).alias("token"),
@@ -389,11 +408,7 @@ def lm_score_backoff(
     )
     if broadcast_lm:
         vocab, bi = F.broadcast(vocab), F.broadcast(bi)
-    oov = F.broadcast(
-        lm_uni.where(F.col("token") == OOV_TOKEN).select(
-            F.col("logp_micro").alias("oov_micro")
-        )
-    )
+    oov = F.broadcast(_oov_frame(lm_uni))
     g = docs.select(
         F.col(id_col), F.explode_outer(_token_pairs(text_col)).alias("s")
     ).select(id_col, F.col("s.prev").alias("prev"), F.col("s.cur").alias("cur"))

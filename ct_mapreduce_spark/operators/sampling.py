@@ -110,10 +110,17 @@ def mixture_rebalance(
     proportions (they need not sum to 1).
     """
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
-    # Windows over the counts frame are windows over a model-parameter-
-    # sized input (one row per stratum); partitionBy(lit) keeps the
-    # partitionSpec non-empty so plan audits can tell this single-task
-    # window is over a bounded frame, not the corpus.
+    # Windows over the counts frame are single-task by design but over a
+    # MODEL-PARAMETER-sized input (one row per stratum), which is what
+    # makes them safe; boundedness is asserted by the plan audit's
+    # bounded-window allowlist (tools/plan_audit.py), which now also
+    # sees checkpoint-hidden stages. Spark 4.1's
+    # EliminateWindowPartitions folds the constant lit(0) partitionSpec
+    # away (the executed plan shows an unpartitioned WindowExec and may
+    # warn "No Partition Defined" — expected here); the lit(0) is kept
+    # only as a source-level marker of intent. The agg+crossJoin
+    # alternative would re-derive the corpus-sized groupBy on both
+    # branches, so the window form stays.
     whole = W.partitionBy(F.lit(0))
     if target_shares is None:
         shared = counts.withColumn(

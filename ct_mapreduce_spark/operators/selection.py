@@ -114,6 +114,11 @@ def dsir_weights(
             F.coalesce("raw_n", F.lit(0)).cast("long").alias("raw_n"),
         )
     )
+    # Single-task window over the n_buckets spine (bounded, model-sized
+    # by construction); Spark 4.1 folds the constant lit(0) spec away
+    # (EliminateWindowPartitions) — the lit is a source-level intent
+    # marker only; boundedness is covered by the plan audit's
+    # bounded-window allowlist over checkpoint-hidden stages too.
     whole = W.partitionBy(F.lit(0))
     b = float(int(n_buckets))
     t_tot = F.sum("target_n").over(whole).cast("double")
@@ -355,6 +360,11 @@ def dsir_weights_flagged(
         F.coalesce("target_n", F.lit(0)).cast("long").alias("target_n"),
         F.coalesce("raw_n", F.lit(0)).cast("long").alias("raw_n"),
     )
+    # Single-task window over the n_buckets spine (bounded, model-sized
+    # by construction); Spark 4.1 folds the constant lit(0) spec away
+    # (EliminateWindowPartitions) — the lit is a source-level intent
+    # marker only; boundedness is covered by the plan audit's
+    # bounded-window allowlist over checkpoint-hidden stages too.
     whole = W.partitionBy(F.lit(0))
     b = float(int(n_buckets))
     t_tot = F.sum("target_n").over(whole).cast("double")

@@ -379,8 +379,10 @@ def _ivf_centroid_frame(
         .orderBy("h")
         .limit(n_cells)
         # constant partition key: the frame is <= n_cells rows post-limit,
-        # so one window partition is the point — the literal silences the
-        # (correct in general, irrelevant here) global-window warning
+        # so one window partition is the point. Spark 4.1 folds the
+        # lit(0) spec away (EliminateWindowPartitions) and may warn "No
+        # Partition Defined" — expected on this bounded frame; the lit
+        # stays as a source-level intent marker only
         .withColumn(
             "cell",
             F.row_number().over(W.partitionBy(F.lit(0)).orderBy("h")) - 1,

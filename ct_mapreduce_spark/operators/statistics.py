@@ -241,8 +241,12 @@ def zscore_counts(
         F.col("_s2").cast("double")
         - F.col("_s1").cast("double") * F.col("_s1").cast("double") / F.col("_c")
     ) / (F.col("_c") - 1)
+    # _c >= 2 gate besides the warmup: var's (_c - 1) divisor makes a
+    # key's first scored bucket 0/0 = NaN under warmup <= 1 (NaN z,
+    # NaN-propagated is_anomaly) instead of the documented
+    # never-anomalous cold start; the default warmup=12 only masked it
     z = F.when(
-        F.col("_c") >= int(warmup),
+        (F.col("_c") >= int(warmup)) & (F.col("_c") >= 2),
         F.round(
             (F.col("n").cast("double") - mean)
             / F.sqrt(F.greatest(var, F.lit(1.0))),

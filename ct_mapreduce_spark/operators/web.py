@@ -40,10 +40,15 @@ def url_host(url: Column | str) -> Column:
 def registered_domain(host: Column | str) -> Column:
     """Last two dot-labels of a hostname ('api.news.example' ->
     'news.example'). Simplified registrable-domain rule without the
-    public-suffix list; '' for hosts with fewer than two labels."""
+    public-suffix list; '' for hosts with fewer than two labels. The
+    host is LOWERCASED first (hostnames are case-insensitive, RFC
+    4343): 'Spam.EXAMPLE' and 'spam.example' must hit the same
+    blocklist entry and roll up to one domain_stats row."""
     c = F.col(host) if isinstance(host, str) else host
     return F.regexp_extract(
-        F.coalesce(c, F.lit("")), r"([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$", 1
+        F.lower(F.coalesce(c, F.lit(""))),
+        r"([a-z0-9-]+\.[a-z0-9-]+)$",
+        1,
     )
 
 

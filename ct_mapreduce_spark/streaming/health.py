@@ -35,9 +35,16 @@ class HealthServer:
         max_staleness_seconds: float,
         host: str = "127.0.0.1",
         port: int = 0,
+        anomaly=None,
     ) -> None:
+        """`anomaly`: optional telemetry.RateAnomalyTracker — when given,
+        each query's /metrics entry gains a `rate_anomaly` object
+        (n, z_score, is_anomaly, n_observed) so the scrape that watches
+        staleness also sees per-trigger rate anomalies (the composed
+        fetch+monitor loop of `cli fetch --follow`)."""
         self.listener = listener
         self.max_staleness_seconds = max_staleness_seconds
+        self.anomaly = anomaly
         self._host, self._port = host, port
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -94,6 +101,11 @@ class HealthServer:
                         }
                         for k, v in outer.listener.metrics().items()
                     }
+                    if outer.anomaly is not None:
+                        rates = outer.anomaly.snapshot()
+                        for k in snap:
+                            if k in rates:
+                                snap[k]["rate_anomaly"] = rates[k]
                     payload = json.dumps(snap).encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "application/json")

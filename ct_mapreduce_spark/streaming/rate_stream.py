@@ -11,9 +11,12 @@ tail.
 Replay safety (the dedup_stream contract): per-batch deltas are keyed
 by batch id and written with DYNAMIC partition overwrite, so a replayed
 batch overwrites exactly its own partitions — totals never double-count
-under at-least-once delivery. The alerts table is a full overwrite of a
+under at-least-once delivery. The alerts table is a rewrite of a
 deterministic function of the history, so it is idempotent by
-construction. Combined with checkpointLocation this is effectively-once.
+construction — staged and ATOMICALLY swapped into place (fsutil
+rename-aside), so a pager tailing it never reads an empty/partial table
+mid-trigger and a crash mid-rewrite leaves the previous alerts intact.
+Combined with checkpointLocation this is effectively-once.
 
 Why re-score the whole history instead of streaming the z-state: the
 rolling window needs the trailing `trailing` OBSERVED buckets per key,
@@ -106,11 +109,23 @@ def start_rate_monitor(
             warmup=warmup,
             z_threshold=z_threshold,
         )
-        # full overwrite of a deterministic function of the history —
-        # idempotent under replay by construction
+        # deterministic function of the history — idempotent under
+        # replay by construction. Written to a staging dir and swapped
+        # atomically (fsutil's rename-aside protocol): a plain overwrite
+        # is delete-then-write, so a pager tailing alerts_path could
+        # read an empty/partial table mid-trigger, and a crash between
+        # the delete and the write would leave it missing entirely.
+        from ct_mapreduce_spark.fsutil import (
+            TMP_SUFFIX,
+            recover_swap,
+            swap_into_place,
+        )
+
+        recover_swap(session, alerts_path)
         scored.where(F.col("is_anomaly")).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(alerts_path)
+        ).parquet(alerts_path + TMP_SUFFIX)
+        swap_into_place(session, alerts_path + TMP_SUFFIX, alerts_path)
 
     stream = (
         spark.readStream.schema(schema)

@@ -71,6 +71,87 @@ class IngestTelemetryListener(StreamingQueryListener):
             return bool(self._stats)
 
 
+class RateAnomalyTracker(StreamingQueryListener):
+    """Per-trigger rate-anomaly detection over the ingest stream's OWN
+    input rates — the operational loop the reference runs as fetch +
+    health (ct-fetch.go:567-597), composed with the engine's anomaly
+    rule: the z-score semantics of operators/statistics.py:zscore_counts
+    (trailing-window mean/std, warmup, never-anomalous cold start,
+    variance floored at 1.0) applied driver-side to the listener's
+    per-batch numInputRows history, which is model-sized by construction
+    (bounded deque per query). The batch-table twin (ev_rate_anomaly /
+    streaming/rate_stream.py) guards DATA tables; this guards the
+    pipeline itself, surfaced through the /metrics endpoint so the
+    pager that polls /health sees rate anomalies in the same scrape."""
+
+    def __init__(
+        self,
+        trailing: int = 24,
+        warmup: int = 12,
+        z_threshold: float = 3.0,
+    ) -> None:
+        self._lock = threading.Lock()
+        self._trailing = int(trailing)
+        self._warmup = int(warmup)
+        self._z = float(z_threshold)
+        self._history: dict[str, list[int]] = {}
+        self._state: dict[str, dict] = {}
+
+    def onQueryStarted(self, event) -> None:
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        p = event.progress
+        n = int(p.numInputRows or 0)
+        with self._lock:
+            hist = self._history.setdefault(p.id, [])
+            trail = hist[-self._trailing :]
+            c = len(trail)
+            # same gates as zscore_counts: warmup AND c >= 2 (the
+            # (c-1) variance divisor), cold start scores 0.0 / healthy
+            if c >= max(self._warmup, 2):
+                s1 = float(sum(trail))
+                s2 = float(sum(x * x for x in trail))
+                mean = s1 / c
+                var = (s2 - s1 * s1 / c) / (c - 1)
+                raw = (n - mean) / math.sqrt(max(var, 1.0))
+                # Spark F.round is HALF_UP over the shortest decimal
+                # repr; Python round() is half-even — mirror the engine
+                z = float(
+                    Decimal(repr(raw)).quantize(
+                        Decimal("0.000001"), ROUND_HALF_UP
+                    )
+                )
+            else:
+                z = 0.0
+            hist.append(n)
+            del hist[: -self._trailing - 1]  # bound driver memory
+            self._state[p.id] = {
+                "name": p.name,
+                "n": n,
+                "z_score": z,
+                "is_anomaly": abs(z) >= self._z,
+                "n_observed": c,
+            }
+
+    def onQueryTerminated(self, event) -> None:
+        pass
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def snapshot(self) -> dict[str, dict]:
+        with self._lock:
+            return {str(k): dict(v) for k, v in self._state.items()}
+
+    def any_anomalous(self) -> bool:
+        with self._lock:
+            return any(s["is_anomaly"] for s in self._state.values())
+
+
 def _statsd_key(part: str) -> str:
     """Key sanitization per the reference's flattenLabels
     (telemetry/telemetry.go:90-100): spaces and colons become

@@ -192,3 +192,106 @@ def test_statsd_emitter_wire_format(spark, tmp_path):
         if ".input_rows:" in ln
     )
     assert rows > 0  # counters carried the ingested volume
+
+
+class _FakeProgressEvent:
+    def __init__(self, qid, name, n):
+        class _P:
+            pass
+
+        self.progress = _P()
+        self.progress.id = qid
+        self.progress.name = name
+        self.progress.numInputRows = n
+
+
+def test_rate_anomaly_tracker_matches_zscore_counts(spark):
+    """The driver-side tracker must score the SAME z as the engine's
+    zscore_counts over an identical single-key count sequence (same
+    trailing window, warmup, (c-1) variance, 1.0 floor, rounding) —
+    the pipeline monitor and the data-table monitor share one rule."""
+    import datetime as _dt
+
+    from ct_mapreduce_spark.operators.statistics import zscore_counts
+    from ct_mapreduce_spark.streaming.telemetry import RateAnomalyTracker
+
+    counts = [100, 104, 98, 101, 99, 103, 100, 97, 500, 101, 102, 12]
+    t0 = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+    frame = spark.createDataFrame(
+        [
+            ("q", t0 + _dt.timedelta(hours=i), n)
+            for i, n in enumerate(counts)
+        ],
+        "key string, bucket_ts timestamp, n long",
+    )
+    want = {
+        r["bucket_ts"]: (r["z_score"], r["is_anomaly"])
+        for r in zscore_counts(
+            frame, trailing=5, warmup=3, z_threshold=2.0
+        ).collect()
+    }
+    tracker = RateAnomalyTracker(trailing=5, warmup=3, z_threshold=2.0)
+    got = []
+    for n in counts:
+        tracker.onQueryProgress(_FakeProgressEvent("qid", "q", n))
+        s = tracker.snapshot()["qid"]
+        got.append((s["z_score"], s["is_anomaly"]))
+    want_seq = [
+        want[(t0 + _dt.timedelta(hours=i)).strftime("%Y-%m-%d %H:%M:%S")]
+        for i in range(len(counts))
+    ]
+    assert got == want_seq
+    # the spike (500 after a stable window) flagged, cold start not
+    assert got[8][1] is True
+    assert not any(f for _, f in got[:3])
+    assert tracker.any_anomalous() in (True, False)  # live state probe
+
+
+def test_metrics_exposes_rate_anomaly(spark, tmp_path):
+    """/metrics with a RateAnomalyTracker attached: each query's entry
+    gains the rate_anomaly object (the composed fetch+monitor loop)."""
+    import json as _json
+
+    from ct_mapreduce_spark.sources.tables import load_table
+    from ct_mapreduce_spark.streaming.telemetry import RateAnomalyTracker
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").limit(50)
+    src = str(tmp_path / "src")
+    ev.write.mode("overwrite").parquet(src)
+
+    listener = IngestTelemetryListener()
+    tracker = RateAnomalyTracker()
+    spark.streams.addListener(listener)
+    spark.streams.addListener(tracker)
+    health = HealthServer(
+        listener, max_staleness_seconds=3600, anomaly=tracker
+    ).start()
+    try:
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            stream.groupBy("event_type").count()
+            .writeStream.outputMode("complete")
+            .format("memory").queryName("anomaly_out").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # listener delivery is async and can lag under load: poll until
+        # the tracker observed the query (bounded wait)
+        deadline = time.monotonic() + 30
+        while not tracker.snapshot() and time.monotonic() < deadline:
+            time.sleep(0.2)
+
+        code, body = _get(health.port, "/metrics")
+        assert code == 200
+        snap = _json.loads(body)
+        ours = [
+            v for v in snap.values() if v.get("name") == "anomaly_out"
+        ]
+        assert ours and "rate_anomaly" in ours[0], snap
+        ra = ours[0]["rate_anomaly"]
+        assert set(ra) >= {"n", "z_score", "is_anomaly", "n_observed"}
+        assert ra["is_anomaly"] is False  # cold start: never anomalous
+    finally:
+        health.stop()
+        spark.streams.removeListener(tracker)
+        spark.streams.removeListener(listener)

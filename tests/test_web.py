@@ -183,3 +183,31 @@ def test_url_dedup_newest_wins_and_canonicalization(spark):
     assert tie.kept_doc_id == 5 and tie.n_captures == 2  # tie -> lowest id
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_registered_domain_case_insensitive(spark):
+    """Hostnames are case-insensitive (RFC 4343): mixed-case URLs must
+    hit the same blocklist entry and roll up to one domain row."""
+    from ct_mapreduce_spark.operators.web import (
+        filter_domains,
+        registered_domain,
+        url_host,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://Spam.EXAMPLE/x", "t"),
+            (1, "https://spam.example/y", "t"),
+            (2, "https://WWW.News.Example/z", "t"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    doms = {
+        r["d"]
+        for r in df.select(
+            registered_domain(url_host(F.col("url"))).alias("d")
+        ).collect()
+    }
+    assert doms == {"spam.example", "news.example"}
+    kept = filter_domains(df, ["spam.example"]).select("doc_id").collect()
+    assert {r["doc_id"] for r in kept} == {2}

@@ -10,6 +10,16 @@ plan and flag scale anti-patterns:
   - parquet scans with no PushedFilters while the query filters
     (pushdown lost)
 
+Checkpoint-hidden stages are audited too (the r7 blind spot: a
+localCheckpoint EXECUTES its upstream plan while the query is being
+BUILT, and the final frame's explain() starts at the checkpointed
+blocks — so everything upstream of a checkpoint was invisible to the
+audit). During the sweep, DataFrame.localCheckpoint is wrapped to
+capture each checkpointed frame's pre-execution formatted plan; those
+plans run through the same flag battery and report with a `~ckpt`
+suffix (allow-listed separately — a hidden stage's justification is
+usually different from the final plan's).
+
 Streaming-tagged queries are skipped (building them executes a stream).
 Writes PLAN_AUDIT.md at the repo root; exits 1 if any NEW flag appears
 (known, justified exceptions are allow-listed below with reasons).
@@ -154,12 +164,35 @@ def audit_one(name: str, plan: str) -> list[tuple[str, str]]:
     return flags
 
 
+def _fmt_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
 def main() -> int:
+    from pyspark.sql import DataFrame
+
     from ct_mapreduce_spark.plans.corpus import REGISTRY
     from ct_mapreduce_spark.session import get_spark
 
     only = set(sys.argv[1:])
     spark = get_spark("plan-audit")
+
+    # capture the pre-execution plan of every frame a query checkpoints
+    # while it is being built — the stages explain() can't see afterward
+    hidden_plans: list[str] = []
+    _orig_ckpt = DataFrame.localCheckpoint
+
+    def _capturing_ckpt(self, eager=True):
+        try:
+            hidden_plans.append(_fmt_plan(self))
+        except Exception:
+            pass  # a plan that cannot format still checkpoints normally
+        return _orig_ckpt(self, eager)
+
+    DataFrame.localCheckpoint = _capturing_ckpt
     lines = [
         "# PLAN_AUDIT — physical-plan scan of the query registry",
         "",
@@ -178,11 +211,10 @@ def main() -> int:
             lines.append(f"| {name} | — | — | skipped (streaming executes) |")
             continue
         try:
+            hidden_plans.clear()
             df = spec.fn(spark, SF_DIR)
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                df.explain("formatted")
-            plan = buf.getvalue()
+            plan = _fmt_plan(df)
+            hidden = list(hidden_plans)
         except Exception as e:  # pragma: no cover
             lines.append(f"| {name} | — | — | ERROR building plan: {e} |")
             bad += 1
@@ -195,17 +227,30 @@ def main() -> int:
         joins = ", ".join(
             f"{k}x{v}" for k, v in sorted(ops.items()) if "Join" in k
         ) or "—"
+        found = list(audit_one(name, plan))
+        # checkpoint-hidden stages: same battery, `~ckpt`-suffixed kinds
+        # (deduped — one report per kind no matter how many hidden
+        # frames carry it)
+        seen_ckpt: set[str] = set()
+        for hp in hidden:
+            for kind, detail in audit_one(name, hp):
+                ck = kind + "~ckpt"
+                if ck not in seen_ckpt:
+                    seen_ckpt.add(ck)
+                    found.append((ck, detail + " (checkpoint-hidden stage)"))
         cell = []
-        for kind, detail in audit_one(name, plan):
+        for kind, detail in found:
             why = ALLOWED.get((name, kind))
             if why:
                 cell.append(f"{kind} (allowed: {why})")
             else:
                 cell.append(f"**{kind}: {detail}**")
                 bad += 1
+        nck = f" (+{len(hidden)} ckpt)" if hidden else ""
         lines.append(
-            f"| {name} | {n_ex} | {joins} | {'; '.join(cell) or 'clean'} |"
+            f"| {name} | {n_ex}{nck} | {joins} | {'; '.join(cell) or 'clean'} |"
         )
+    DataFrame.localCheckpoint = _orig_ckpt
     out = Path(__file__).resolve().parent.parent / "PLAN_AUDIT.md"
     out.write_text("\n".join(lines) + "\n")
     print(f"wrote {out}; unexplained flags: {bad}")
