@@ -58,6 +58,12 @@ HEADLINE = [
     # scan, the serving-path number.
     "docs_remove_dup_spans",
     "emb_pq_indexed_topk",
+    # round-8 addition (first recorded run = its baseline).
+    # emb_pq_ivf_topk builds the cell-partitioned IVF-PQ index on first
+    # call (fingerprint-cached in /tmp) — the min is the steady-state
+    # cell-pruned ADC probe + exact re-rank, the 100 TB serving shape
+    # whose cost tracks n_probe/n_cells of the codes, not corpus size.
+    "emb_pq_ivf_topk",
     # docs_bpe_token_stats trains the tokenizer on first call (one
     # frequency pass + driver-side merges, cached per corpus fingerprint)
     # and encodes the corpus each iteration — the min is the steady-state
