@@ -483,6 +483,22 @@ def build_parser() -> argparse.ArgumentParser:
         "auto-increment drop-NNNN; pass explicitly to make a re-run "
         "of the same drop overwrite itself)",
     )
+    c.add_argument(
+        "--eval-suite",
+        default=None,
+        help="JSONL dir of benchmark documents: drop documents "
+        "containing benchmark k-grams before dedup/export "
+        "(decontamination); the gram dictionary persists at "
+        "<workdir>/eval_grams across drops",
+    )
+    c.add_argument("--decontam-k", type=int, default=8)
+    c.add_argument("--decontam-max-hits", type=int, default=0)
+    c.add_argument(
+        "--pii-redact",
+        action="store_true",
+        help="scrub emails/IPv4s/phone shapes from the exported text "
+        "(runs last, after every other gate)",
+    )
 
     a = sub.add_parser(
         "ann",
@@ -506,6 +522,38 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--out", help="topk result parquet (omit => print count)")
     a.add_argument("--stream-source", help="embedding file-stream dir — stream")
     a.add_argument("--checkpoint", help="stream checkpoint dir — stream")
+    a.add_argument(
+        "--compact-every",
+        type=int,
+        default=None,
+        help="stream: auto-compact the index whenever the increment "
+        "tree holds >= N batch partitions (in-band, replay-safe)",
+    )
+    a.add_argument(
+        "--pq",
+        action="store_true",
+        help="operate the IVF-PQ store (cell-partitioned PQ codes + "
+        "codebooks) instead of the full-vector IVF store: "
+        "build/append/compact/topk via pq_ivf_* — the 8-bytes-per-row "
+        "serving tier",
+    )
+    a.add_argument("--m-sub", type=int, default=8, help="PQ subspaces (--pq)")
+    a.add_argument(
+        "--n-codes", type=int, default=16, help="PQ codes per subspace (--pq)"
+    )
+    a.add_argument(
+        "--rerank-factor",
+        type=int,
+        default=0,
+        help="topk --pq: exact-cosine re-rank of the k*factor ADC "
+        "shortlist (needs --rerank-corpus)",
+    )
+    a.add_argument(
+        "--rerank-corpus",
+        default=None,
+        help="topk --pq: full-vector parquet for the re-rank tier "
+        "(vectors are not stored in the PQ index)",
+    )
 
     t = sub.add_parser(
         "tokenize",
@@ -618,42 +666,81 @@ def cmd_monitor(spark: SparkSession, args) -> int:
 
 
 def cmd_ann(spark: SparkSession, args) -> int:
-    """IVF ANN lifecycle dispatcher (the ANN twin of the curate
+    """ANN index lifecycle dispatcher (the ANN twin of the curate
     subcommand): one materialized index, four maintenance/serve verbs
-    plus the streaming ingest daemon (availableNow drain)."""
+    plus the streaming ingest daemon (availableNow drain). --pq switches
+    every verb to the IVF-PQ store (cell-partitioned codes + codebook
+    sidecars — the compressed serving tier); the stream verb stays
+    full-vector (a PQ daemon would re-encode under stale codebooks as
+    the stream drifts — rebuild-on-drift is the PQ contract)."""
     from ct_mapreduce_spark.operators import similarity
 
+    pq = getattr(args, "pq", False)
     if args.action == "build":
         if not args.embeddings:
             raise SystemExit("ann build requires --embeddings")
         emb = spark.read.parquet(args.embeddings)
-        similarity.ivf_build_index(
-            emb,
-            args.index,
-            n_cells=args.n_cells,
-            refine_iters=args.refine_iters,
-        )
-        print(f"built {args.index} n_cells={args.n_cells}")
+        if pq:
+            similarity.pq_ivf_build_index(
+                emb,
+                args.index,
+                n_cells=args.n_cells,
+                m_sub=args.m_sub,
+                n_codes=args.n_codes,
+            )
+            print(
+                f"built {args.index} (IVF-PQ) n_cells={args.n_cells} "
+                f"m_sub={args.m_sub} n_codes={args.n_codes}"
+            )
+        else:
+            similarity.ivf_build_index(
+                emb,
+                args.index,
+                n_cells=args.n_cells,
+                refine_iters=args.refine_iters,
+            )
+            print(f"built {args.index} n_cells={args.n_cells}")
     elif args.action == "append":
         if not args.embeddings:
             raise SystemExit("ann append requires --embeddings")
-        similarity.ivf_index_append(
-            spark.read.parquet(args.embeddings), args.index
-        )
+        new = spark.read.parquet(args.embeddings)
+        if pq:
+            similarity.pq_ivf_index_append(new, args.index)
+        else:
+            similarity.ivf_index_append(new, args.index)
         print(f"appended into {args.index}")
     elif args.action == "compact":
-        before, after = similarity.ivf_index_compact(spark, args.index)
+        if pq:
+            before, after = similarity.pq_ivf_index_compact(spark, args.index)
+        else:
+            before, after = similarity.ivf_index_compact(spark, args.index)
         print(f"compacted {args.index}: {before} -> {after} files")
     elif args.action == "topk":
         if not args.queries:
             raise SystemExit("ann topk requires --queries")
-        res = similarity.ivf_topk_indexed(
-            spark,
-            args.index,
-            spark.read.parquet(args.queries),
-            k=args.k,
-            n_probe=args.n_probe,
-        )
+        queries = spark.read.parquet(args.queries)
+        if pq:
+            res = similarity.pq_ivf_topk_indexed(
+                spark,
+                args.index,
+                queries,
+                k=args.k,
+                n_probe=args.n_probe,
+                rerank_corpus=(
+                    spark.read.parquet(args.rerank_corpus)
+                    if args.rerank_corpus
+                    else None
+                ),
+                rerank_factor=args.rerank_factor,
+            )
+        else:
+            res = similarity.ivf_topk_indexed(
+                spark,
+                args.index,
+                queries,
+                k=args.k,
+                n_probe=args.n_probe,
+            )
         if args.out:
             res.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
@@ -662,12 +749,21 @@ def cmd_ann(spark: SparkSession, args) -> int:
     else:  # stream
         if not (args.stream_source and args.checkpoint):
             raise SystemExit("ann stream requires --stream-source and --checkpoint")
+        if pq:
+            raise SystemExit(
+                "ann stream is full-vector IVF only (PQ codebooks drift "
+                "under a stream; rebuild-on-drift is the PQ contract)"
+            )
         from ct_mapreduce_spark.streaming.ann_stream import (
             start_ann_ingest_stream,
         )
 
         q = start_ann_ingest_stream(
-            spark, args.stream_source, args.index, args.checkpoint
+            spark,
+            args.stream_source,
+            args.index,
+            args.checkpoint,
+            compact_every=args.compact_every,
         )
         q.awaitTermination()
         print("stream drained")
@@ -765,6 +861,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             token_budget=args.token_budget,
             dsir_target=args.dsir_target,
             dsir_model=args.dsir_model,
+            eval_suite=args.eval_suite,
+            decontam_k=args.decontam_k,
+            decontam_max_hits=args.decontam_max_hits,
+            pii_redact=args.pii_redact,
         )
         for k, v in stats.items():
             print(f"{k:18s} {v}")

@@ -393,3 +393,45 @@ def test_cli_monitor_report_and_stream(spark, tmp_path, capsys):
     assert main(
         ["monitor", "stream", "--input", src], spark=spark
     ) == 2
+
+
+def test_cli_ann_pq_lifecycle(spark, tmp_path, capsys):
+    """--pq switches the ann verbs to the IVF-PQ store: build on half,
+    append the rest, topk with exact re-rank to parquet, compact —
+    served results identical before/after compact; stream --pq is a
+    hard error (codebook-drift contract)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ct_mapreduce_spark.cli import main
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p_build = str(tmp_path / "e0")
+    p_app = str(tmp_path / "e1")
+    emb.where(F.col("vec_id") % 2 == 0).write.parquet(p_build)
+    emb.where(F.col("vec_id") % 2 == 1).write.parquet(p_app)
+    idx = str(tmp_path / "idx")
+    q_path = str(tmp_path / "q")
+    emb.where(F.col("vec_id") < 8).write.parquet(q_path)
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+
+    assert main(["ann", "build", "--pq", "--index", idx,
+                 "--embeddings", p_build], spark=spark) == 0
+    assert "IVF-PQ" in capsys.readouterr().out
+    assert main(["ann", "append", "--pq", "--index", idx,
+                 "--embeddings", p_app], spark=spark) == 0
+    assert main(["ann", "topk", "--pq", "--index", idx, "--queries", q_path,
+                 "--rerank-factor", "4", "--rerank-corpus", p_build,
+                 "--out", out1], spark=spark) == 0
+    assert main(["ann", "compact", "--pq", "--index", idx], spark=spark) == 0
+    assert "compacted" in capsys.readouterr().out
+    assert main(["ann", "topk", "--pq", "--index", idx, "--queries", q_path,
+                 "--rerank-factor", "4", "--rerank-corpus", p_build,
+                 "--out", out2], spark=spark) == 0
+    a = sorted(tuple(r) for r in spark.read.parquet(out1).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(out2).collect())
+    assert a == b and len(a) == 40
+    with _pytest.raises(SystemExit, match="full-vector"):
+        main(["ann", "stream", "--pq", "--index", idx,
+              "--stream-source", str(tmp_path / "s"),
+              "--checkpoint", str(tmp_path / "c")], spark=spark)

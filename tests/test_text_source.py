@@ -366,6 +366,27 @@ def test_cli_curate_subcommand(spark, tmp_path):
     assert (tmp_path / "wd" / "mh_index" / "sigs").exists()
     export = tmp_path / "wd" / "export" / "drop=drop-0000"
     assert len(list(export.glob("part-*.json.gz"))) == 1
+    # r8 flags reach the plan: decontam dictionary artifact + PII scrub
+    import json as _json
+
+    suite = tmp_path / "suite"
+    suite.mkdir()
+    (suite / "b.jsonl").write_text(
+        _json.dumps({"doc_id": 0, "text": "x " * 20, "lang": "en"})
+    )
+    rc2 = cli_main(
+        [
+            "curate",
+            "--warc", crawl,
+            "--workdir", str(tmp_path / "wd2"),
+            "--export-shards", "1",
+            "--eval-suite", str(suite),
+            "--pii-redact",
+        ],
+        spark=spark,
+    )
+    assert rc2 == 0
+    assert (tmp_path / "wd2" / "eval_grams" / "_SUCCESS").exists()
 
 
 def test_warc_to_curation_pipeline(spark, tmp_path):

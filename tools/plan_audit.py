@@ -141,7 +141,73 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("dq_star_schema", "exchanges"): "six independent single-row check "
     "aggregates unioned into one report — each contributes its own "
     "1-row exchange; total shuffle bytes are six rows",
+    # ---- r8: checkpoint-hidden stages + the Spark-4-aware window
+    # detector (EliminateWindowPartitions folds the lit(0) marker specs,
+    # so bounded single-task windows now print as unpartitioned and the
+    # new detector sees them — each entry below records WHY the window's
+    # input is model-sized, which is what makes a single task correct).
+    ("docs_mixture_rebalance", "global_window"): "count/min windows over "
+    "the per-stratum counts frame — ONE ROW PER STRATUM by construction "
+    "(languages, not documents); the corpus reaches its count through "
+    "map-side combine and is filtered via a broadcast join",
+    ("docs_dsir_weights", "global_window"): "sum windows over the "
+    "n_buckets spine (4096 rows fixed by the model config — model "
+    "parameters, not corpus rows)",
+    ("docs_dsir_scores", "global_window"): "same n_buckets-spine sum "
+    "windows inside the weight derivation this query composes",
+    ("docs_token_budget", "global_window~ckpt"): "the dsir_weights "
+    "n_buckets-spine windows execute upstream of the scored-frame "
+    "checkpoint — bounded at the 256-bucket model config of this query",
+    ("docs_lang_token_budget", "global_window~ckpt"): "same bounded "
+    "dsir-weight spine windows behind the checkpoint",
+    ("emb_pq_ivf_topk", "bnlj"): "crossJoin against 16 broadcast "
+    "centroids for the query-side probe assignment, twice in the plan "
+    "because the probed-cell IN-list derives from the same tiny frame — "
+    "emb_ann_ivf_indexed's adjudicated shape; the codes scan itself is "
+    "partition-pruned and equi-joined on cell",
+    ("docs_lm_terciles", "bnlj~ckpt"): "the checkpointed scores frame "
+    "carries lm_score's one-row training-totals broadcast (the same "
+    "model-parameter cross join already adjudicated on the final plan)",
+    ("docs_dedup_clusters", "exchanges~ckpt"): "the checkpointed pair "
+    "frame carries docs_minhash_lsh_dedup's adjudicated 7-exchange "
+    "lazy-cap machinery (semi/anti split + rank + union, ~zero rows on "
+    "a healthy corpus); label-propagation iteration frames shuffle the "
+    "SPARSE edge/label frames (pair-count-sized, keys src/dst/node)",
+    ("docs_pipeline_keeplist", "exchanges~ckpt"): "the e2e composition "
+    "checkpoints its quality->pairs->cluster-seed intermediate ONCE; "
+    "that one hidden plan accumulates the pairs machinery's adjudicated "
+    "exchanges (the lazy cap appears per tier) over pair/doc-level keys "
+    "— every exchange moves the sparse pair or keep-list frame, and the "
+    "checkpoint is exactly what makes the whole stack execute once "
+    "instead of per downstream consumer",
 }
+
+
+def _has_global_window(plan: str) -> bool:
+    """Detect single-task windows in a formatted plan. Two formats:
+    - pre-4.1: `Arguments: [exprs], [], [orderSpec]` (explicit empty
+      partition list);
+    - 4.1+ (EliminateWindowPartitions folds constant specs away): the
+      windowspecdefinition prints with NO leading partition columns —
+      either nothing before specifiedwindowframe (aggregate-over-all)
+      or only sort specs (global sort window). Partitioned windows
+      print bare partition columns first (no ASC/DESC marker)."""
+    if re.search(r"Arguments: \[([^\]]*)\], \[\], ", plan):
+        return True
+    for m in re.finditer(
+        r"windowspecdefinition\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*?)"
+        r"specifiedwindowframe",
+        plan,
+    ):
+        head = m.group(1).strip().rstrip(",").strip()
+        if not head:
+            return True  # no partition, no order: over-all-rows frame
+        parts = [p.strip() for p in head.split(",") if p.strip()]
+        if parts and all(
+            (" ASC" in p or " DESC" in p) for p in parts
+        ):
+            return True  # order-only: global sort window
+    return False
 
 
 def audit_one(name: str, plan: str) -> list[tuple[str, str]]:
@@ -150,10 +216,8 @@ def audit_one(name: str, plan: str) -> list[tuple[str, str]]:
         flags.append(("cartesian", "CartesianProduct in plan"))
     if "BroadcastNestedLoopJoin" in plan:
         flags.append(("bnlj", "BroadcastNestedLoopJoin in plan"))
-    # formatted plans print windows with their spec in the details section
-    for m in re.finditer(r"Arguments: \[([^\]]*)\], \[\], ", plan):
-        flags.append(("global_window", "Window with empty partitionSpec"))
-        break
+    if _has_global_window(plan):
+        flags.append(("global_window", "single-task Window (no partitionSpec)"))
     n_ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
     if n_ex > MAX_EXCHANGES:
         flags.append(("exchanges", f"{n_ex} shuffle Exchanges"))
@@ -172,7 +236,15 @@ def _fmt_plan(df) -> str:
 
 
 def main() -> int:
-    from pyspark.sql import DataFrame
+    # Patch the CONCRETE DataFrame class: under Spark 4 the public
+    # pyspark.sql.DataFrame is a dispatch facade and classic-mode frames
+    # are pyspark.sql.classic.dataframe.DataFrame instances whose own
+    # localCheckpoint would shadow a base-class patch (verified: the
+    # facade patch captured zero plans across the registry).
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older Spark: one class
+        from pyspark.sql import DataFrame
 
     from ct_mapreduce_spark.plans.corpus import REGISTRY
     from ct_mapreduce_spark.session import get_spark
