@@ -539,6 +539,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     a.add_argument("--m-sub", type=int, default=8, help="PQ subspaces (--pq)")
     a.add_argument(
+        "--residual",
+        action="store_true",
+        help="build --pq: quantize residuals x - centroid(cell(x)) "
+        "(the full Jegou et al. IVFADC); recorded in the index's _meta "
+        "sidecar, honored by append/topk automatically",
+    )
+    a.add_argument(
         "--n-codes", type=int, default=16, help="PQ codes per subspace (--pq)"
     )
     a.add_argument(
@@ -687,6 +694,7 @@ def cmd_ann(spark: SparkSession, args) -> int:
                 n_cells=args.n_cells,
                 m_sub=args.m_sub,
                 n_codes=args.n_codes,
+                residual=args.residual,
             )
             print(
                 f"built {args.index} (IVF-PQ) n_cells={args.n_cells} "

@@ -1472,7 +1472,10 @@ def _pq_adc_rank(
     equi-join on `cell`: the codes frame must then carry a `cell`
     column, and each candidate is scored only for the queries probing
     its cell. The LUT rows duplicate per probed cell on the BROADCAST
-    side (model-sized), never the corpus side."""
+    side (model-sized), never the corpus side. A `base` column on
+    probe_pairs (the residual-IVFADC <q, centroid> term) is added to
+    the ADC sum before the single rounding — the inner-product
+    decomposition <q,x> = <q,c> + <q,r>."""
     d = len(books[0][0])
     lut_cols = []
     for j, book in enumerate(books):
@@ -1496,6 +1499,7 @@ def _pq_adc_rank(
     qlut = queries.select(
         F.col(id_col).alias("query_id"), F.array(*lut_cols).alias("lut")
     )
+    with_base = probe_pairs is not None and "base" in probe_pairs.columns
     if probe_pairs is not None:
         # tiny x tiny join (both model-sized) BEFORE the broadcast, so
         # the corpus-side join is a plain equi-join on the partition key
@@ -1503,23 +1507,21 @@ def _pq_adc_rank(
         paired = codes.join(F.broadcast(qlut), "cell")
     else:
         paired = codes.join(F.broadcast(qlut))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("lut"),
+            F.col("codes"),
+            lambda l, c: F.element_at(l, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     scored = (
         paired
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "score",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("lut"),
-                        F.col("codes"),
-                        lambda l, c: F.element_at(l, c + 1),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                6,
-            ),
+            F.round(F.col("base") + adc, 6) if with_base else F.round(adc, 6),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
@@ -1697,6 +1699,22 @@ def pq_topk_indexed(
 # ---------------------------------------------------------------------------
 
 
+def _with_residual(assigned: DataFrame, cents: DataFrame, vec_col: str) -> DataFrame:
+    """Add `_resid` = x − centroid(cell(x)) element-wise (double): a
+    16-row broadcast join on the cell key, then a narrow zip_with — no
+    corpus shuffle. The residual is what IVFADC quantizes: inside a
+    cell the shared centroid carries no information, so spending the
+    codebook on the residual is strictly more accurate per code."""
+    return assigned.join(F.broadcast(cents.select("cell", "centroid")), "cell").withColumn(
+        "_resid",
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, y: x.cast("double") - y.cast("double"),
+        ),
+    ).drop("centroid")
+
+
 def pq_ivf_build_index(
     corpus: DataFrame,
     path: str,
@@ -1706,23 +1724,41 @@ def pq_ivf_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    residual: bool = False,
 ) -> None:
     """Materialize the IVF-PQ index: PQ codes partitioned by nearest IVF
     cell ({path}/codes/cell=<n>/ — the ivf_build_index layout carrying
     8-byte code rows instead of full vectors), with BOTH model sidecars
     ({path}/_centroids like the IVF store, {path}/_codebooks like the PQ
-    store). Build is two narrow passes fused into one write: nearest-cell
+    store) and a {path}/_meta one-row sidecar recording the encoding.
+    Build is two narrow passes fused into one write: nearest-cell
     assignment (_assign_nearest) threads `cell` through the encode
     (pq_encode keep=), then one cell-clustered partitioned write. No
     corpus join, no extra shuffle beyond the partition clustering —
-    the same one-pass discipline as ivf_build_index."""
+    the same one-pass discipline as ivf_build_index.
+
+    residual=True is the full published IVFADC (Jégou et al. 2011 §III):
+    codebooks are estimated over and codes quantize the RESIDUAL
+    x − centroid(cell(x)) instead of the raw vector — inside a cell the
+    centroid is shared, so the codebook's 4 bits/subspace all go to the
+    informative part; serving adds the per-(query, probed-cell)
+    <q, centroid> term back before ranking (inner-product decomposition
+    <q,x> = <q,c> + <q,r>). The residual pass is a 16-row broadcast
+    join + zip_with — still no corpus shuffle."""
     cents = _ivf_centroid_frame(corpus, n_cells, id_col, vec_col, seed)
     cent_rows = cents.collect()
-    books = pq_codebooks(corpus, m_sub, n_codes, id_col, vec_col, seed)
     assigned = _assign_nearest(corpus, cent_rows, id_col, vec_col, "v").select(
         F.col("v_id").alias(id_col), F.col("v_vec").alias(vec_col), "cell"
     )
-    enc = pq_encode(assigned, books, id_col, vec_col, keep=("cell",))
+    if residual:
+        assigned = _with_residual(assigned, cents, vec_col)
+        books = pq_codebooks(
+            assigned, m_sub, n_codes, id_col, "_resid", seed
+        )
+        enc = pq_encode(assigned, books, id_col, "_resid", keep=("cell",))
+    else:
+        books = pq_codebooks(corpus, m_sub, n_codes, id_col, vec_col, seed)
+        enc = pq_encode(assigned, books, id_col, vec_col, keep=("cell",))
     (
         enc.select(id_col, "codes", "cell")
         .repartition(F.col("cell"))
@@ -1740,6 +1776,20 @@ def pq_ivf_build_index(
     spark.createDataFrame(
         book_rows, "j int, code int, cvec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_codebooks")
+    spark.createDataFrame(
+        [(bool(residual),)], "residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+
+
+def _pq_ivf_is_residual(spark, path: str) -> bool:
+    """Read the _meta sidecar; a pre-r8 index without one is raw."""
+    from ct_mapreduce_spark.operators.dedup_fuzzy import _try_read_parquet
+
+    meta = _try_read_parquet(spark, path + "/_meta")
+    if meta is None:
+        return False
+    rows = meta.collect()
+    return bool(rows and rows[0]["residual"])
 
 
 def pq_ivf_index_append(
@@ -1754,14 +1804,21 @@ def pq_ivf_index_append(
     O(batch); the append is cell-clustered before the partitioned write
     so a long history grows by one file per touched cell per batch.
     Model drift policy is rebuild-on-recall-degradation, as for the
-    parent stores."""
+    parent stores. A residual index (_meta sidecar) encodes the new
+    vectors' residuals under the stored centroids + codebooks — the
+    same stored-model rule, one more broadcast join."""
     spark = new_vectors.sparkSession
-    cent_rows = spark.read.parquet(path + "/_centroids").collect()
+    cents = spark.read.parquet(path + "/_centroids")
+    cent_rows = cents.collect()
     books = _pq_read_books(spark, path)
     assigned = _assign_nearest(
         new_vectors, cent_rows, id_col, vec_col, "v"
     ).select(F.col("v_id").alias(id_col), F.col("v_vec").alias(vec_col), "cell")
-    enc = pq_encode(assigned, books, id_col, vec_col, keep=("cell",))
+    if _pq_ivf_is_residual(spark, path):
+        assigned = _with_residual(assigned, cents, vec_col)
+        enc = pq_encode(assigned, books, id_col, "_resid", keep=("cell",))
+    else:
+        enc = pq_encode(assigned, books, id_col, vec_col, keep=("cell",))
     (
         enc.select(id_col, "codes", "cell")
         .repartition(F.col("cell"))
@@ -1824,13 +1881,37 @@ def pq_ivf_topk_indexed(
     stored-model parameters); candidates outside the probed cells are
     the IVF recall trade, gated by recall tests like ivf_topk's.
     rerank_factor > 0 requires rerank_corpus (full vectors are not in
-    the index): exact-cosine re-rank reads only the shortlist sliver."""
+    the index): exact-cosine re-rank reads only the shortlist sliver.
+
+    A residual index (_meta sidecar, pq_ivf_build_index residual=True)
+    serves with the IVFADC decomposition: LUTs are built from the RAW
+    query sub-vectors exactly as usual (inner products distribute over
+    subspaces), and the per-(query, probed-cell) <q, centroid> term —
+    computed once in the probe-assignment crossJoin, n_queries x
+    n_probe doubles — is added back before the single rounding."""
     if rerank_factor and rerank_corpus is None:
         raise ValueError("rerank_factor > 0 requires rerank_corpus")
     books = _pq_read_books(spark, path)
     cents = spark.read.parquet(path + "/_centroids")
-    qa = _assign_probes(queries, cents, id_col, vec_col, "query", n_probe)
-    probe_pairs = qa.select(F.col("query_id"), "cell")
+    residual = _pq_ivf_is_residual(spark, path)
+    # probe assignment: rank cells by (-cosine, cell) per query — the
+    # _assign_probes rule, inlined so the residual tier can also project
+    # the <q, centroid> base term from the same crossJoin row
+    joined = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "dist", -cosine(F.col(vec_col), F.col("centroid"))
+    )
+    w = W.partitionBy(id_col).orderBy("dist", "cell")
+    ranked = (
+        joined.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= n_probe)
+    )
+    pp_cols = [F.col(id_col).alias("query_id"), F.col("cell")]
+    if residual:
+        pp_cols.append(
+            _dot(F.col(vec_col), F.col("centroid")).alias("base")
+        )
+    qa = ranked.select(*pp_cols)
+    probe_pairs = qa
     # literal IN-list so the parquet source prunes cell directories
     probe_cells = sorted(
         {r["cell"] for r in qa.select("cell").distinct().collect()}

@@ -5416,6 +5416,36 @@ def emb_pq_ivf_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@q("emb_pq_ivf_residual_topk", _pin("emb_pq_ivf_residual_topk"), "similarity")
+def emb_pq_ivf_residual_topk(spark, sf_dir):
+    """The residual tier of emb_pq_ivf_topk — the full published IVFADC
+    (Jégou et al. 2011 §III): codebooks estimated over and codes
+    quantizing x − centroid(cell(x)); serving adds the per-(query,
+    probed-cell) <q, centroid> term back before the single rounding
+    (<q,x> = <q,c> + <q,r>). Same cell-pruned plan shape
+    (PartitionFilters on the codes scan); honest trade note: on the
+    near-uniform synthetic embeddings the raw and residual tiers score
+    comparably — the residual's per-code accuracy advantage shows on
+    clustered real-world distributions with refined codebooks. Seeded
+    models => golden-literal oracle, independently re-derived."""
+    import os
+
+    from ct_mapreduce_spark.operators.similarity import (
+        pq_ivf_build_index,
+        pq_ivf_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = f"/tmp/ctspark_pqivfres_idx_{_cache_tag(sf_dir, 'embeddings', 'v1')}"
+    if not os.path.exists(idx + "/codes/_SUCCESS"):
+        pq_ivf_build_index(emb, idx, residual=True)
+    out = pq_ivf_topk_indexed(
+        spark, idx, emb.where(F.col("vec_id") < 8), k=5, n_probe=4,
+        rerank_corpus=emb, rerank_factor=4,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @q(
     "a11_unpivot",
     """

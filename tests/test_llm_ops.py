@@ -1965,3 +1965,91 @@ def test_pq_ivf_recall_vs_exact(spark, tmp_path):
     }
     recall = len(exact & served) / len(exact)
     assert recall >= 0.9, f"IVF-PQ+rerank recall@5 = {recall}"
+
+
+def test_pq_ivf_residual_tier(spark, emb, tmp_path):
+    """Residual IVFADC (Jégou et al. 2011 §III): codes quantize
+    x − centroid(cell(x)), serving adds <q, centroid> back.
+
+    - a residual index's _meta sidecar is honored end-to-end: append
+      under the STORED model encodes residuals (equals the direct
+      residual encode of the union); a raw index (no residual flag, and
+      the pre-r8 no-_meta layout) serves exactly as before;
+    - with exact re-rank both tiers recover >= 0.9 of exact top-5 on
+      the planted-cluster fixture (the decomposition changes the ADC
+      shortlist, not the re-ranked contract);
+    - compaction leaves the residual serve bit-identical.
+    """
+    corpus, per = _planted_cluster_corpus(spark)
+    queries = corpus.where(F.col("vec_id") % per < 2)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(corpus, queries, k=5).collect()
+    }
+    idx = str(tmp_path / "pqivf_res")
+    similarity.pq_ivf_build_index(corpus, idx, n_cells=16, residual=True)
+    assert similarity._pq_ivf_is_residual(spark, idx) is True
+    served = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_ivf_topk_indexed(
+            spark, idx, queries, k=5, n_probe=4,
+            rerank_corpus=corpus, rerank_factor=8,
+        ).collect()
+    }
+    recall = len(exact & served) / len(exact)
+    assert recall >= 0.9, f"residual IVF-PQ+rerank recall@5 = {recall}"
+
+    # append under the stored residual model == union residual encode
+    idx2 = str(tmp_path / "pqivf_res2")
+    similarity.pq_ivf_build_index(
+        corpus.where(F.col("vec_id") % 2 == 0), idx2, n_cells=16,
+        residual=True,
+    )
+    similarity.pq_ivf_index_append(
+        corpus.where(F.col("vec_id") % 2 == 1), idx2
+    )
+    books = similarity._pq_read_books(spark, idx2)
+    cents = spark.read.parquet(idx2 + "/_centroids")
+    cent_rows = cents.collect()
+    assigned = similarity._assign_nearest(
+        corpus, cent_rows, "vec_id", "embedding", "v"
+    ).select(
+        F.col("v_id").alias("vec_id"), F.col("v_vec").alias("embedding"), "cell"
+    )
+    resid = similarity._with_residual(assigned, cents, "embedding")
+    direct = {
+        r["vec_id"]: (list(r["codes"]), r["cell"])
+        for r in similarity.pq_encode(
+            resid, books, "vec_id", "_resid", keep=("cell",)
+        ).collect()
+    }
+    appended = {
+        r["vec_id"]: (list(r["codes"]), r["cell"])
+        for r in spark.read.parquet(idx2 + "/codes").collect()
+    }
+    assert appended == direct
+
+    # raw index: flag False; a pre-r8 index without _meta reads as raw
+    idx3 = str(tmp_path / "pqivf_raw")
+    similarity.pq_ivf_build_index(corpus, idx3, n_cells=16)
+    assert similarity._pq_ivf_is_residual(spark, idx3) is False
+    import shutil
+
+    shutil.rmtree(idx3 + "/_meta")
+    assert similarity._pq_ivf_is_residual(spark, idx3) is False
+
+    # compaction: residual serve bit-identical across the fold
+    want = sorted(
+        tuple(r)
+        for r in similarity.pq_ivf_topk_indexed(
+            spark, idx2, queries, k=5, n_probe=4
+        ).collect()
+    )
+    similarity.pq_ivf_index_compact(spark, idx2)
+    got = sorted(
+        tuple(r)
+        for r in similarity.pq_ivf_topk_indexed(
+            spark, idx2, queries, k=5, n_probe=4
+        ).collect()
+    )
+    assert got == want

@@ -792,13 +792,17 @@ def emb_pq_ivf_topk(
     n_codes: int = 16,
     seed: int = 42,
     rerank_factor: int = 4,
+    residual: bool = False,
 ) -> list[tuple]:
     """Re-derive IVF-PQ serving (similarity.py:pq_ivf_topk_indexed) by
     composition: emb_ann_ivf's centroid pick / cell assignment / probe
     rule + emb_pq_topk's codebooks / encode / ADC LUT, with candidates
     RESTRICTED to the query's n_probe nearest cells, then the
     (-adc, nid) shortlist of k*rerank_factor re-scored by exact
-    cosine."""
+    cosine. residual=True replays the residual-IVFADC tier: codebooks
+    over and codes of float64(x) - float64(centroid(cell(x))), score =
+    round(<q, centroid> + ADC, 6) — LUTs stay on the raw query
+    sub-vectors (inner products distribute over the decomposition)."""
     ids, vecs = _load_embeddings(sf_dir)
     dim = len(vecs[0])
     d = dim // m_sub
@@ -815,6 +819,17 @@ def emb_pq_ivf_topk(
         return [(-_cosine(v, c), cell) for cell, c in enumerate(centroids)]
 
     assign = {ids[i]: min(dists(v))[1] for i, v in enumerate(vecs)}
+    # residual tier: the encode source is float64(x) - float64(centroid)
+    # element-wise (the engine's zip_with cast order); raw tier encodes
+    # the vectors themselves
+    if residual:
+        enc_src = [
+            np.asarray(v, dtype=np.float64)
+            - np.asarray(centroids[assign[ids[i]]], dtype=np.float64)
+            for i, v in enumerate(vecs)
+        ]
+    else:
+        enc_src = list(vecs)
     # PQ half: per-subspace seeded codebooks + argmin-L2 encode
     books: list[list[np.ndarray]] = []
     for j in range(m_sub):
@@ -826,7 +841,7 @@ def emb_pq_ivf_topk(
         books.append(
             [
                 np.asarray(
-                    [float(x) for x in vecs[i][j * d : (j + 1) * d]],
+                    [float(x) for x in enc_src[i][j * d : (j + 1) * d]],
                     dtype=np.float64,
                 )
                 for _, _, i in hj[:n_codes]
@@ -848,7 +863,7 @@ def emb_pq_ivf_topk(
             codes.append(best[1])
         return codes
 
-    codes = {ids[i]: encode(v) for i, v in enumerate(vecs)}
+    codes = {ids[i]: encode(enc_src[i]) for i in range(len(ids))}
     by_id = {vid: i for i, vid in enumerate(ids)}
     scored: dict[int, list[tuple[float, int]]] = {}
     for qi, qid in enumerate(ids):
@@ -866,6 +881,8 @@ def emb_pq_ivf_topk(
             acc = 0.0
             for j, code in enumerate(codes[nid]):
                 acc += lut[j][code]
+            if residual:  # <q,x> = <q,c> + <q,r>: add the cell term back
+                acc = _fold_dot(vecs[qi], centroids[assign[nid]]) + acc
             items.append((_round6(acc), nid))
         if rerank_factor:
             items.sort(key=lambda t: (-t[0], t[1]))
@@ -1099,6 +1116,12 @@ def s17_warc_domain_quality(sf_dir: str, n: int = 60) -> list[tuple]:
     return sorted(rows)
 
 
+def emb_pq_ivf_residual_topk(sf_dir: str) -> list[tuple]:
+    # mirrors plans/corpus.py emb_pq_ivf_residual_topk: the residual-
+    # IVFADC tier of the same composition
+    return emb_pq_ivf_topk(sf_dir, residual=True)
+
+
 DERIVATIONS = {
     "emb_semdedup": emb_semdedup,
     "emb_prototype_prune": emb_prototype_prune,
@@ -1110,6 +1133,7 @@ DERIVATIONS = {
     "emb_pq_topk": emb_pq_topk,
     "emb_pq_rerank_topk": emb_pq_rerank_topk,
     "emb_pq_ivf_topk": emb_pq_ivf_topk,
+    "emb_pq_ivf_residual_topk": emb_pq_ivf_residual_topk,
     "docs_minhash_lsh_dedup": docs_minhash_lsh_dedup,
     "docs_minhash_keep": docs_minhash_keep,
     "docs_simhash_pairs": docs_simhash_pairs,
