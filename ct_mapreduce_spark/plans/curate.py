@@ -58,12 +58,19 @@ def _artifact_exists(spark: SparkSession, path: str, marker: str = "_SUCCESS") -
     return path_exists(spark, os.path.join(path, marker) if marker else path)
 
 
-def _next_drop_tag(export_root: str) -> str:
-    """Smallest drop-NNNN not already present under {workdir}/export."""
+def _next_drop_tag(spark: SparkSession, export_root: str) -> str:
+    """Smallest drop-NNNN not already present under {workdir}/export.
+    Listed through the Hadoop FileSystem API (same reason as
+    _artifact_exists): on a remote workdir a local listdir would always
+    see nothing and every drop would come up drop-0000, silently
+    overwriting the previous drop's shards."""
+    from ct_mapreduce_spark.fsutil import _fs_and_path, path_exists
+
     taken = set()
-    if os.path.isdir(export_root):
-        for name in os.listdir(export_root):
-            m = re.fullmatch(r"drop=drop-(\d{4})", name)
+    if path_exists(spark, export_root):
+        fs, p = _fs_and_path(spark, export_root)
+        for st in fs.listStatus(p):
+            m = re.fullmatch(r"drop=drop-(\d{4})", st.getPath().getName())
             if m:
                 taken.add(int(m.group(1)))
     n = 0
@@ -181,7 +188,7 @@ def curate_crawl(
     from ct_mapreduce_spark.sources import text_source
 
     if drop_tag is None:
-        drop_tag = _next_drop_tag(os.path.join(workdir, "export"))
+        drop_tag = _next_drop_tag(spark, os.path.join(workdir, "export"))
 
     raw = text_source.read_warc(spark, warc_dir).where(
         F.col("warc_type") == "response"

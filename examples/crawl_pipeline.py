@@ -3,9 +3,10 @@
 training shards (plans/curate.py, also exposed as `cli curate`):
 
   WARC archives -> HTTP header strip -> HTML-to-text -> quality gate
+  -> eval-suite decontamination (persistent gram dictionary)
   -> incremental MinHash dedup against a persistent corpus index
-  -> mixture rebalance -> sequence packing -> shard manifest
-  -> JSONL.gz export
+  -> mixture rebalance -> PII redaction -> sequence packing
+  -> shard manifest -> JSONL.gz export
 
   python examples/crawl_pipeline.py [workdir]
 
@@ -36,11 +37,25 @@ os.environ["PYTHONPATH"] = _root + (
 
 
 def run(spark, workdir: str):
+    import json
+
     from ct_mapreduce_spark.plans.curate import curate_crawl
     from ct_mapreduce_spark.sources import text_source
 
     crawl = f"{workdir}/crawl_drop1"
     text_source.synthetic_warc_html_fixture(crawl, n=48)
+    # a one-document "benchmark suite" for the decontamination stage —
+    # its 8-grams are shingled ONCE and persisted at {workdir}/eval_grams
+    suite = Path(workdir) / "eval_suite"
+    suite.mkdir(parents=True, exist_ok=True)
+    (suite / "bench.jsonl").write_text(
+        json.dumps({
+            "doc_id": 0,
+            "text": "held out benchmark question text that must never "
+                    "reach a training corpus in any form",
+            "lang": "en",
+        })
+    )
     # drop 1 also exercises the two quality gates a production pipeline
     # fronts the dedup with: a domain blocklist (cheapest gate, runs
     # first — a blocked site never pays per-document work) and the
@@ -56,6 +71,8 @@ def run(spark, workdir: str):
         domain_blocklist=["spam-farm.example"],
         lm_max_xent=10**9,  # permissive cut; tighten to actually filter
         lm_model=f"{workdir}/lm_model",
+        eval_suite=str(suite),  # drop docs containing benchmark 8-grams
+        pii_redact=True,  # scrub emails/IPs from the exported text
     )
     print("drop 1:", stats1)
 
@@ -70,6 +87,8 @@ def run(spark, workdir: str):
         domain_blocklist=["spam-farm.example"],
         lm_max_xent=10**9,
         lm_model=f"{workdir}/lm_model",  # loaded, not retrained
+        eval_suite=str(suite),  # dictionary loaded from eval_grams
+        pii_redact=True,
     )
     print("drop 2:", stats2)
 

@@ -165,6 +165,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     "because the probed-cell IN-list derives from the same tiny frame — "
     "emb_ann_ivf_indexed's adjudicated shape; the codes scan itself is "
     "partition-pruned and equi-joined on cell",
+    ("emb_pq_ivf_residual_topk", "bnlj"): "same probe-assignment "
+    "centroid crossJoin as emb_pq_ivf_topk (the residual tier adds only "
+    "the <q, centroid> projection to the same broadcast row)",
     ("docs_lm_terciles", "bnlj~ckpt"): "the checkpointed scores frame "
     "carries lm_score's one-row training-totals broadcast (the same "
     "model-parameter cross join already adjudicated on the final plan)",
