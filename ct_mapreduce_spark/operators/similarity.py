@@ -1926,3 +1926,39 @@ def pq_ivf_topk_indexed(
         rerank_corpus=rerank_corpus, rerank_factor=rerank_factor,
         probe_pairs=probe_pairs,
     )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    n_cells: int = 16,
+    target_shares: dict | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Topic-balance a corpus by embedding cluster: assign each vector
+    its nearest seeded cell (the IVF assignment rule — narrow, no
+    corpus shuffle) and deterministically downsample to the target
+    cell mixture (sampling.mixture_rebalance: default uniform over
+    observed cells, or explicit shares keyed by cell id). The
+    data-mixing move for semantic balance — e.g. keep a web crawl from
+    being 60% one topic cluster before training — composed from the
+    engine's existing pieces so membership is a pure function of
+    (seed, corpus): engine/partitioning/growth-stable, golden-pinnable.
+
+    Returns the kept (id, cell) rows. Plan: centroid pick (model-sized
+    driver literal), narrow argmin assignment, one map-side-combined
+    count per cell, broadcast keep-prob join, scan-local md5 filter —
+    the corpus never shuffles."""
+    from ct_mapreduce_spark.operators.sampling import mixture_rebalance
+
+    cents = _ivf_centroid_frame(emb, n_cells, id_col, vec_col, seed)
+    assigned = _assign_nearest(
+        emb, cents.collect(), id_col, vec_col, "v"
+    ).select(F.col("v_id").alias(id_col), "cell")
+    shares = (
+        None
+        if target_shares is None
+        else {int(k): float(v) for k, v in target_shares.items()}
+    )
+    return mixture_rebalance(assigned, "cell", id_col, target_shares=shares)

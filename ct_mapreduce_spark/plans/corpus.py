@@ -5446,6 +5446,26 @@ def emb_pq_ivf_residual_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@q("emb_cluster_balanced_sample", _pin("emb_cluster_balanced_sample"), "similarity")
+def emb_cluster_balanced_sample(spark, sf_dir):
+    """Semantic data mixing (operators/similarity.py:
+    cluster_balanced_sample): nearest-seeded-cell assignment (the IVF
+    rule, narrow) -> deterministic mixture rebalance to uniform over
+    the observed cells (sampling.mixture_rebalance; md5-uniform draw on
+    vec_id). Stops a crawl's dominant topic cluster from dominating the
+    training mix. Membership is a pure function of (seed, corpus) —
+    seeded xxhash64 centroid pick is not SQL-recomputable =>
+    golden-literal oracle, independently re-derived
+    (tools/independent_oracle.py)."""
+    from ct_mapreduce_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    return cluster_balanced_sample(
+        _t(spark, sf_dir, "embeddings"), n_cells=16
+    ).select("vec_id", F.col("cell").cast("long").alias("cell"))
+
+
 @q(
     "a11_unpivot",
     """

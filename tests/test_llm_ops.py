@@ -2053,3 +2053,50 @@ def test_pq_ivf_residual_tier(spark, emb, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_cluster_balanced_sample(spark):
+    """Semantic mixing on a skewed planted corpus: one cluster 10x the
+    size of the others must be downsampled toward the uniform mixture
+    (kept sizes within hash-granularity of each other), the binding
+    (smallest) cluster keeps everything, every kept row keeps its true
+    cell, and explicit shares drop a zero-share cluster entirely."""
+    import math
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(11)
+    rows, vid = [], 0
+    sizes = [200, 20, 20, 20]
+    for c, size in enumerate(sizes):
+        center = [rng.gauss(0.0, 1.0) for _ in range(64)]
+        nrm = math.sqrt(sum(x * x for x in center))
+        center = [x / nrm for x in center]
+        for _ in range(size):
+            v = [x + rng.gauss(0.0, 0.05) for x in center]
+            rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(rows)
+    kept = similarity.cluster_balanced_sample(corpus, n_cells=4).collect()
+    by_cell: dict[int, int] = {}
+    for r in kept:
+        by_cell[r["cell"]] = by_cell.get(r["cell"], 0) + 1
+    counts = sorted(by_cell.values())
+    # 4 observed cells, uniform target: every kept stratum ~ the binding
+    # stratum's size; md5-uniform granularity allows slack
+    assert len(by_cell) == 4, by_cell
+    assert counts[-1] <= 2 * counts[0], by_cell  # 10x skew flattened
+    # determinism: a repartitioned input keeps the identical set
+    kept2 = similarity.cluster_balanced_sample(
+        corpus.repartition(7), n_cells=4
+    ).collect()
+    assert sorted((r["vec_id"], r["cell"]) for r in kept) == sorted(
+        (r["vec_id"], r["cell"]) for r in kept2
+    )
+    # explicit shares: zero-share (omitted) cells drop entirely
+    cells = sorted(by_cell)
+    kept3 = similarity.cluster_balanced_sample(
+        corpus, n_cells=4, target_shares={cells[0]: 1.0}
+    ).collect()
+    assert {r["cell"] for r in kept3} == {cells[0]}

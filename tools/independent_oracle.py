@@ -1122,6 +1122,46 @@ def emb_pq_ivf_residual_topk(sf_dir: str) -> list[tuple]:
     return emb_pq_ivf_topk(sf_dir, residual=True)
 
 
+def emb_cluster_balanced_sample(
+    sf_dir: str, n_cells: int = 16, seed: int = 42
+) -> list[tuple]:
+    """Re-derive similarity.cluster_balanced_sample: emb_ann_ivf's
+    centroid pick + assignment rule, then mixture_rebalance's DECLARED
+    uniform-mixture math replayed in the engine's exact double order —
+    t = 1.0/S, N' = min(n_s / t), keep_p = min(1.0, t * N' / n_s),
+    keep iff md5-uniform(str(id)) < keep_p (hash_uniform: first 8 md5
+    hex chars / 2^32, exact in double)."""
+    ids, vecs = _load_embeddings(sf_dir)
+    hs = [
+        (spark_xxhash64(str(vid), Int32(seed)), vid, i)
+        for i, vid in enumerate(ids)
+    ]
+    hs.sort()
+    centroids = [vecs[i] for _, _, i in hs[:n_cells]]
+
+    def cell_of(v: np.ndarray) -> int:
+        return min((-_cosine(v, c), cell) for cell, c in enumerate(centroids))[1]
+
+    assign = {ids[i]: cell_of(v) for i, v in enumerate(vecs)}
+    counts: dict[int, int] = {}
+    for cell in assign.values():
+        counts[cell] = counts.get(cell, 0) + 1
+    t = 1.0 / float(len(counts))
+    n_prime = min(n / t for n in counts.values())
+    keep_p = {
+        cell: min(1.0, t * n_prime / n) for cell, n in counts.items()
+    }
+    out = []
+    for vid in ids:
+        u = (
+            int(hashlib.md5(str(vid).encode()).hexdigest()[:8], 16)
+            / float(1 << 32)
+        )
+        if u < keep_p[assign[vid]]:
+            out.append((vid, assign[vid]))
+    return sorted(out)
+
+
 DERIVATIONS = {
     "emb_semdedup": emb_semdedup,
     "emb_prototype_prune": emb_prototype_prune,
@@ -1134,6 +1174,7 @@ DERIVATIONS = {
     "emb_pq_rerank_topk": emb_pq_rerank_topk,
     "emb_pq_ivf_topk": emb_pq_ivf_topk,
     "emb_pq_ivf_residual_topk": emb_pq_ivf_residual_topk,
+    "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
     "docs_minhash_lsh_dedup": docs_minhash_lsh_dedup,
     "docs_minhash_keep": docs_minhash_keep,
     "docs_simhash_pairs": docs_simhash_pairs,

@@ -150,6 +150,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     "the per-stratum counts frame — ONE ROW PER STRATUM by construction "
     "(languages, not documents); the corpus reaches its count through "
     "map-side combine and is filtered via a broadcast join",
+    ("emb_cluster_balanced_sample", "global_window"): "the same "
+    "mixture_rebalance per-stratum windows, one row per CELL (<= "
+    "n_cells=16); assignment is narrow, the draw is a broadcast join",
     ("docs_dsir_weights", "global_window"): "sum windows over the "
     "n_buckets spine (4096 rows fixed by the model config — model "
     "parameters, not corpus rows)",
