@@ -562,6 +562,48 @@ def build_parser() -> argparse.ArgumentParser:
         "(vectors are not stored in the PQ index)",
     )
 
+    d = sub.add_parser(
+        "dedup",
+        help="incremental MinHash dedup daemon: stream (file-source "
+        "documents -> keep-list, self-maintaining index) or compact "
+        "(fold increment trees into the pfx-clustered base; run with "
+        "the stream stopped) (engine extension; "
+        "streaming/dedup_stream.py + operators/dedup_fuzzy.py)",
+    )
+    d.add_argument("action", choices=["stream", "compact"])
+    d.add_argument("--index", required=True, help="MinHash index path")
+    d.add_argument(
+        "--stream-source",
+        help="document file-stream dir (parquet: doc_id long, text "
+        "string) — stream",
+    )
+    d.add_argument("--keep", help="keep-list output dir — stream")
+    d.add_argument("--checkpoint", help="stream checkpoint dir — stream")
+    d.add_argument("--est-threshold", type=float, default=0.9)
+    d.add_argument("--max-files-per-trigger", type=int, default=1)
+    d.add_argument(
+        "--quality-min",
+        type=float,
+        default=None,
+        help="stream: drop documents under this heuristic quality score "
+        "before signing",
+    )
+    d.add_argument(
+        "--lm-model",
+        default=None,
+        help="stream: persisted unigram LM parquet for the perplexity "
+        "gate (bigram sibling at <path>_bi when --lm-order 2)",
+    )
+    d.add_argument("--lm-max-xent", type=int, default=None)
+    d.add_argument("--lm-order", type=int, default=1)
+    d.add_argument(
+        "--compact-every",
+        type=int,
+        default=None,
+        help="stream: auto-compact the index whenever the increment "
+        "tree holds >= N batch partitions (in-band, replay-safe)",
+    )
+
     t = sub.add_parser(
         "tokenize",
         help="BPE tokenizer lifecycle: train/encode/stats (engine "
@@ -778,6 +820,44 @@ def cmd_ann(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_dedup(spark: SparkSession, args) -> int:
+    """Dedup daemon dispatcher: `stream` runs start_dedup_stream (the
+    self-maintaining incremental index — pass --compact-every to fold
+    committed increments in-band); `compact` is the external maintenance
+    window (stream stopped, folds everything including the newest
+    batch)."""
+    from ct_mapreduce_spark.operators.dedup_fuzzy import minhash_index_compact
+
+    if args.action == "compact":
+        res = minhash_index_compact(spark, args.index)
+        for store, (before, after) in sorted(res.items()):
+            print(f"compacted {args.index}/{store}: {before} -> {after} files")
+        return 0
+    if not (args.stream_source and args.keep and args.checkpoint):
+        raise SystemExit(
+            "dedup stream requires --stream-source, --keep and --checkpoint"
+        )
+    from ct_mapreduce_spark.streaming.dedup_stream import start_dedup_stream
+
+    q = start_dedup_stream(
+        spark,
+        args.stream_source,
+        args.index,
+        args.keep,
+        args.checkpoint,
+        est_threshold=args.est_threshold,
+        max_files_per_trigger=args.max_files_per_trigger,
+        quality_min=args.quality_min,
+        lm_model_path=args.lm_model,
+        lm_max_xent=args.lm_max_xent,
+        lm_order=args.lm_order,
+        compact_every=args.compact_every,
+    )
+    q.awaitTermination()
+    print("stream drained")
+    return 0
+
+
 def cmd_tokenize(spark: SparkSession, args) -> int:
     """BPE tokenizer lifecycle: one model artifact (the merge table),
     three verbs. train = frequency pass + driver merges; encode/stats =
@@ -835,6 +915,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     if args.cmd == "ann":  # no cert-source config; dispatch immediately
         spark = spark or get_spark("ct_mapreduce_spark-cli")
         return cmd_ann(spark, args)
+    if args.cmd == "dedup":  # no cert-source config; dispatch immediately
+        spark = spark or get_spark("ct_mapreduce_spark-cli")
+        return cmd_dedup(spark, args)
     if args.cmd == "tokenize":  # no cert-source config; dispatch immediately
         spark = spark or get_spark("ct_mapreduce_spark-cli")
         return cmd_tokenize(spark, args)

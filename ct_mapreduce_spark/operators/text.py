@@ -223,10 +223,13 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     red = t
     counts = []
     for name, pat in PII_PATTERNS.items():
+        # coalesce: F.size returns -1 on NULL input, so a null-text row
+        # would report -1 per pattern instead of 0 matches.
         counts.append(
-            F.size(F.regexp_extract_all(t, F.lit(f"({pat})"), 1)).alias(
-                f"n_{name}"
-            )
+            F.coalesce(
+                F.size(F.regexp_extract_all(t, F.lit(f"({pat})"), 1)),
+                F.lit(0),
+            ).alias(f"n_{name}")
         )
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return fan_out(docs).select(
@@ -250,7 +253,12 @@ def redact_pii_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     red = t
     n = F.lit(0)
     for name, pat in PII_PATTERNS.items():
-        n = n + F.size(F.regexp_extract_all(t, F.lit(f"({pat})"), 1))
+        # coalesce: F.size is -1 on NULL text — without it a null row
+        # contributes -3 to n_pii and curate's pii_redactions stat can
+        # go negative.
+        n = n + F.coalesce(
+            F.size(F.regexp_extract_all(t, F.lit(f"({pat})"), 1)), F.lit(0)
+        )
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     others = [c for c in docs.columns if c != text_col]
     return docs.select(

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import os
 import re
+import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -187,6 +188,19 @@ def curate_crawl(
     from ct_mapreduce_spark.operators.util import fan_out
     from ct_mapreduce_spark.sources import text_source
 
+    # Per-stage wall clock, returned as stats["stage_walls"]. Each mark
+    # closes the stage that just materialized (the localCheckpoint+count
+    # pattern means the work really happened between marks, not lazily
+    # later), so a drifting e2e number can be attributed to a stage
+    # instead of adjudicated as a whole (VERDICT r8 watch item).
+    walls: dict[str, float] = {}
+    _t0 = [time.monotonic()]
+
+    def _mark(stage: str) -> None:
+        now = time.monotonic()
+        walls[stage] = round(now - _t0[0], 3)
+        _t0[0] = now
+
     if drop_tag is None:
         drop_tag = _next_drop_tag(spark, os.path.join(workdir, "export"))
 
@@ -206,6 +220,7 @@ def curate_crawl(
         .localCheckpoint(eager=True)
     )
     n_extracted = docs.count()  # block scan, no recomputation
+    _mark("extract")
 
     n_after_blocklist = None
     if domain_blocklist:
@@ -219,6 +234,7 @@ def curate_crawl(
             eager=True
         )
         n_after_blocklist = docs.count()
+        _mark("blocklist")
 
     n_boiler_tokens = None
     if strip_boilerplate:
@@ -246,6 +262,7 @@ def curate_crawl(
             )
             .localCheckpoint(eager=True)
         )
+        _mark("boilerplate")
 
     # Stage boundary 2: quality gate — inline expression (no self-join
     # back to a scored frame), checkpointed because four consumers read
@@ -256,6 +273,7 @@ def curate_crawl(
         .localCheckpoint(eager=True)
     )
     n_good = good.count()
+    _mark("quality")
 
     n_lm = None
     if lm_max_xent is not None:
@@ -313,6 +331,7 @@ def curate_crawl(
             passing.select("doc_id"), "doc_id", "left_semi"
         ).localCheckpoint(eager=True)
         n_lm = good.count()
+        _mark("lm_gate")
 
     n_decontam = None
     if eval_suite is not None:
@@ -324,6 +343,26 @@ def curate_crawl(
         grams_path = os.path.join(workdir, "eval_grams")
         if _artifact_exists(spark, grams_path):
             bench_grams = spark.read.parquet(grams_path)
+            # The dictionary is only valid at the k it was shingled with:
+            # probing k'-grams against a k-gram dictionary silently yields
+            # ~zero hits — a decontamination gate that LOOKS green while
+            # letting eval data through. The k column is constant (one
+            # value per artifact), so the check is a metadata-sized read.
+            if "k" not in bench_grams.columns:
+                raise ValueError(
+                    f"eval_grams artifact at {grams_path} predates "
+                    "k-tagging; delete it to re-shingle the suite at "
+                    f"decontam_k={decontam_k}"
+                )
+            stored_k = bench_grams.select("k").first()
+            stored_k = None if stored_k is None else stored_k[0]
+            if stored_k != int(decontam_k):
+                raise ValueError(
+                    f"eval_grams at {grams_path} was shingled with "
+                    f"k={stored_k} but this run asked decontam_k="
+                    f"{decontam_k}; pass decontam_k={stored_k} or delete "
+                    "the artifact to re-shingle the suite"
+                )
         else:
             bench = text_source.read_jsonl(spark, eval_suite).where(
                 F.col("text").isNotNull()
@@ -332,18 +371,20 @@ def curate_crawl(
                 dedup_fuzzy._shingle_table(bench, "text", decontam_k)
                 .select("shingle")
                 .distinct()
+                .withColumn("k", F.lit(int(decontam_k)))
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(grams_path)
             )
             bench_grams = spark.read.parquet(grams_path)
         hits = dedup_fuzzy.contamination_hits(
-            good, k=decontam_k, bench_grams=bench_grams
+            good, k=decontam_k, bench_grams=bench_grams.select("shingle")
         ).where(F.col("n_hits") > int(decontam_max_hits))
         good = good.join(
             F.broadcast(hits.select("doc_id")), "doc_id", "left_anti"
         ).localCheckpoint(eager=True)
         n_decontam = good.count()
+        _mark("decontam")
 
     # The quality survivors are SIGNED ONCE; the probe tier, the
     # within-batch tier, and the index fold all take subset views of
@@ -408,6 +449,7 @@ def curate_crawl(
     else:
         dedup_fuzzy.minhash_index_build(kept, idx, sigs=kept_sigs)
     n_kept = kept.count()
+    _mark("dedup")
 
     langs = text.lang_id(kept).select(
         "doc_id", F.col("pred_lang").alias("lang")
@@ -421,6 +463,7 @@ def curate_crawl(
         .localCheckpoint(eager=True)
     )
     n_balanced = balanced.count()
+    _mark("mixture")
 
     count_col = None
     n_bpe_merges = None
@@ -442,6 +485,7 @@ def curate_crawl(
             eager=True
         )
         count_col = "n_bpe_tokens"
+        _mark("bpe")
 
     n_selected = None
     budget_spent = None
@@ -502,6 +546,7 @@ def curate_crawl(
         balanced = balanced.join(
             picked.select("doc_id"), "doc_id", "left_semi"
         ).localCheckpoint(eager=True)
+        _mark("budget")
 
     n_pii = None
     if pii_redact:
@@ -514,6 +559,7 @@ def curate_crawl(
         )
         n_pii = int(balanced.agg(F.sum("n_pii")).collect()[0][0] or 0)
         balanced = balanced.drop("n_pii")
+        _mark("pii")
 
     packed = pack_sequences(
         balanced, seq_len=seq_len, n_buckets=64, count_col=count_col
@@ -526,6 +572,7 @@ def curate_crawl(
     manifest.write.mode("overwrite").parquet(manifest_path)
     text_source.write_jsonl_gz(balanced, export_path, n_shards=n_export_shards)
     n_shards = spark.read.parquet(manifest_path).count()
+    _mark("pack_export")
     stats = {
         "drop_tag": drop_tag,
         "extracted": n_extracted,
@@ -533,6 +580,7 @@ def curate_crawl(
         "after_dedup": n_kept,
         "after_mixture": n_balanced,
         "shards": n_shards,
+        "stage_walls": walls,
     }
     if n_after_blocklist is not None:
         stats["after_blocklist"] = n_after_blocklist

@@ -138,7 +138,17 @@ class RateAnomalyTracker(StreamingQueryListener):
             }
 
     def onQueryTerminated(self, event) -> None:
-        pass
+        # Evict the terminated query's history/state: a long-lived driver
+        # restarting streams (the daemons do, per compaction swap) would
+        # otherwise accumulate one history list per distinct query id
+        # forever, and /metrics would keep reporting rates for dead
+        # streams. A restart gets a fresh id, so warmup re-arms — the
+        # same cold-start-is-healthy posture as zscore_counts.
+        with self._lock:
+            qid = str(event.id)
+            for d in (self._history, self._state):
+                for k in [k for k in d if str(k) == qid]:
+                    d.pop(k, None)
 
     def onQueryIdle(self, event) -> None:
         pass

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 
@@ -279,6 +280,53 @@ def test_cli_ann_lifecycle(spark, tmp_path, capsys):
     a = sorted(tuple(r) for r in spark.read.parquet(out1).collect())
     b = sorted(tuple(r) for r in spark.read.parquet(out2).collect())
     assert a == b and len(a) == 40
+
+
+def test_cli_dedup_lifecycle(spark, tmp_path, capsys):
+    """The dedup subcommand drives the incremental-dedup daemon end to
+    end: stream two batches (the second all verbatim copies under new
+    ids — every row must drop against the index the first batch built),
+    with --compact-every wired through to the auto-compaction contract,
+    then an external-window compact."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ct_mapreduce_spark.cli import main
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 10 == 0)
+    )
+    copies = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for name, frame, mtime in (("b0", docs, 1e6), ("b1", copies, 1e6 + 100)):
+        tmp = str(tmp_path / ("stage_" + name))
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copyfile(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        os.utime(dst, (mtime, mtime))
+
+    idx, keep = str(tmp_path / "idx"), str(tmp_path / "keep")
+    assert (
+        main(
+            ["dedup", "stream", "--index", idx, "--stream-source", src,
+             "--keep", keep, "--checkpoint", str(tmp_path / "ckpt"),
+             "--compact-every", "2"],
+            spark=spark,
+        )
+        == 0
+    )
+    assert "stream drained" in capsys.readouterr().out
+    kept = spark.read.parquet(keep)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert kept_ids and all(i < 100000 for i in kept_ids)  # copies dropped
+
+    assert main(["dedup", "compact", "--index", idx], spark=spark) == 0
+    assert "compacted" in capsys.readouterr().out
 
 
 def test_cli_tokenize_lifecycle(spark, tmp_path, capsys):

@@ -105,6 +105,24 @@ def test_pii_redaction_detects_and_redacts(spark):
     ).hexdigest()
 
 
+def test_pii_redaction_null_text_counts_zero(spark):
+    """F.size is -1 on NULL input: without the coalesce guard a
+    null-text row reports -1 per pattern (redact_pii) and -3 total
+    (redact_pii_text), skewing curate's pii_redactions stat negative."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="ping 10.0.0.1 now")],
+        schema="doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.redact_pii(docs).collect()}
+    assert out[1].n_email == out[1].n_ipv4 == out[1].n_phoneish == 0
+    assert out[1].redacted_md5 is None  # null text stays null
+    assert out[2].n_ipv4 == 1
+
+    out2 = {r.doc_id: r for r in text.redact_pii_text(docs).collect()}
+    assert out2[1].n_pii == 0 and out2[1].text is None
+    assert out2[2].n_pii == 1 and "<IPV4>" in out2[2].text
+
+
 def test_exact_dedup_null_text_groups_together(spark):
     docs = spark.createDataFrame(
         [Row(doc_id=1, text=None), Row(doc_id=2, text=None), Row(doc_id=3, text="x")],

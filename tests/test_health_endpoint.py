@@ -247,6 +247,30 @@ def test_rate_anomaly_tracker_matches_zscore_counts(spark):
     assert tracker.any_anomalous() in (True, False)  # live state probe
 
 
+def test_rate_anomaly_tracker_evicts_on_terminate():
+    """onQueryTerminated drops the query's history AND snapshot entry:
+    a long-lived driver restarting streams (the daemons' compaction
+    swaps do) must not accumulate per-query state forever, and /metrics
+    must stop reporting rates for dead streams. A restarted stream gets
+    a fresh id, so warmup re-arms (cold-start-is-healthy)."""
+    from ct_mapreduce_spark.streaming.telemetry import RateAnomalyTracker
+
+    class _Term:
+        id = "qid"
+
+    tracker = RateAnomalyTracker(trailing=5, warmup=3)
+    for n in (100, 101, 99, 100):
+        tracker.onQueryProgress(_FakeProgressEvent("qid", "q", n))
+        tracker.onQueryProgress(_FakeProgressEvent("other", "q2", n))
+    assert set(tracker.snapshot()) == {"qid", "other"}
+    tracker.onQueryTerminated(_Term())
+    assert set(tracker.snapshot()) == {"other"}  # only the dead one gone
+    assert "qid" not in tracker._history and "other" in tracker._history
+    # idempotent on a second terminate for the same id
+    tracker.onQueryTerminated(_Term())
+    assert set(tracker.snapshot()) == {"other"}
+
+
 def test_metrics_exposes_rate_anomaly(spark, tmp_path):
     """/metrics with a RateAnomalyTracker attached: each query's entry
     gains the rate_anomaly object (the composed fetch+monitor loop)."""

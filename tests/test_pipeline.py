@@ -58,18 +58,19 @@ def test_stats_rollup_levels(spark, certs):
     assert int(grand.n_serials.iloc[0]) == pdf[["exp_date", "issuer_id", "skey"]].drop_duplicates().shape[0]
 
     per_issuer = r[(r.g_issuer == 0) & (r.g_exp == 1)].set_index("issuer_id")
-    want_issuer = pdf.groupby("issuer_id").apply(
-        lambda g: g[["exp_date", "skey"]].drop_duplicates().shape[0]
+    # distinct (exp_date, skey) per issuer, via drop_duplicates + size
+    # (a groupby.apply over the grouping column is deprecated in pandas)
+    want_issuer = (
+        pdf.drop_duplicates(["issuer_id", "exp_date", "skey"])
+        .groupby("issuer_id")
+        .size()
     )
     # per-issuer level = additive sum of leaf SCARDs (storage-statistics.go:44-53)
     for issuer, cnt in want_issuer.items():
         assert int(per_issuer.loc[issuer, "n_serials"]) == cnt
 
     rep = report.toPandas().set_index("issuer_id")
-    want_pairs = pdf.groupby("issuer_id").apply(
-        lambda g: g[["exp_date", "skey"]].drop_duplicates().shape[0]
-    )
-    for issuer, cnt in want_pairs.items():
+    for issuer, cnt in want_issuer.items():
         assert int(rep.loc[issuer, "n_serials"]) == cnt
 
 

@@ -774,6 +774,38 @@ def test_curate_decontaminate_and_pii(spark, tmp_path):
         "after_lm", stats2["quality_survivors"]
     ) - 1
     assert sorted(os.listdir(os.path.join(wd, "eval_grams"))) == dict_files
+
+    # the persisted dictionary is only valid at the k it was shingled
+    # with: a run at a different k must refuse it loudly (probing
+    # 5-grams against an 8-gram dictionary silently scores ~zero hits —
+    # a decontamination gate that looks green while leaking)
+    import pytest
+
+    with pytest.raises(ValueError, match="decontam_k"):
+        curate_crawl(
+            spark,
+            crawl2,
+            wd,
+            quality_min=0.0,
+            eval_suite=str(suite),
+            decontam_k=5,
+        )
+
+    # stage-wall profile: every executed stage got a timing (the r9
+    # drift-attribution instrumentation)
+    assert {
+        "extract",
+        "quality",
+        "decontam",
+        "dedup",
+        "mixture",
+        "pii",
+        "pack_export",
+    } <= set(stats["stage_walls"])
+    assert all(w >= 0 for w in stats["stage_walls"].values())
+
     # control: default run has neither stage nor stats keys
     stats3 = curate_crawl(spark, crawl, str(tmp_path / "wd3"), quality_min=0.0)
     assert "after_decontam" not in stats3 and "pii_redactions" not in stats3
+    assert "decontam" not in stats3["stage_walls"]
+    assert "pii" not in stats3["stage_walls"]
