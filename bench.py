@@ -137,14 +137,24 @@ def _bench_ingest(spark, hot_issuer_weight: float = 0.55) -> list[float]:
     return times
 
 
-def _bench_curate(spark) -> list[float]:
+def _bench_curate(spark, full: bool = False) -> tuple[list[float], dict]:
     """The flagship e2e curation pipeline (plans/curate.py): WARC ->
     extract -> quality -> incremental dedup -> mixture -> pack ->
     manifest + JSONL.gz export, on a cached synthetic crawl (8 archives
     x 250 HTML response records, both compression paths). Each iteration
     runs in a FRESH workdir — the pipeline is stateful (the dedup index
     persists across drops), so reusing a workdir would measure an
-    all-dup second drop instead of the first-drop cost model."""
+    all-dup second drop instead of the first-drop cost model.
+
+    full=True runs the stack a real drop runs (r9): decontamination
+    against a cached 5-document eval suite (the gram DICTIONARY is
+    rebuilt per iteration — fresh workdir — so this number includes the
+    once-per-suite shingle cost) plus PII redaction of the export.
+
+    Returns (times, stage_walls_of_min_iteration) — the per-stage walls
+    let a drifting e2e number be attributed instead of adjudicated
+    (BASELINE.md r8 watch item)."""
+    import json as _json
     import shutil
     import tempfile
 
@@ -179,14 +189,50 @@ def _bench_curate(spark) -> list[float]:
             else:
                 with open(f"{crawl}/seg-{seg:03d}.warc", "wb") as f:
                     f.write(payload)
+    kwargs: dict = {}
+    if full:
+        # the eval suite is 5 extracted crawl pages, cached beside the
+        # crawl fixture (pure function of it) — the PAGES are planted
+        # contamination, so the decontam stage does real dropping work
+        suite = crawl + "_suite"
+        if not os.path.exists(os.path.join(suite, "bench.jsonl")):
+            from pyspark.sql import functions as F
+
+            from ct_mapreduce_spark.operators.text import (
+                html_to_text,
+                strip_http_headers,
+            )
+            from ct_mapreduce_spark.sources.text_source import read_warc
+
+            rows = (
+                read_warc(spark, crawl)
+                .where(F.col("warc_type") == "response")
+                .select(
+                    html_to_text(strip_http_headers(F.col("body"))).alias(
+                        "text"
+                    )
+                )
+                .where(F.length("text") > 100)
+                .limit(5)
+                .collect()
+            )
+            os.makedirs(suite, exist_ok=True)
+            with open(os.path.join(suite, "bench.jsonl"), "w") as f:
+                for i, r in enumerate(rows):
+                    f.write(
+                        _json.dumps({"doc_id": i, "text": r["text"]}) + "\n"
+                    )
+        kwargs = {"eval_suite": suite, "pii_redact": True}
     times = []
+    walls = []
     for _ in range(ITERATIONS):
         wd = tempfile.mkdtemp(prefix="ctspark_bench_curate_")
         t0 = time.perf_counter()
-        curate_crawl(spark, crawl, wd)
+        stats = curate_crawl(spark, crawl, wd, **kwargs)
         times.append(round(time.perf_counter() - t0, 3))
+        walls.append(stats["stage_walls"])
         shutil.rmtree(wd, ignore_errors=True)
-    return times
+    return times, walls[times.index(min(times))]
 
 
 def main() -> None:
@@ -220,10 +266,22 @@ def main() -> None:
     # curation pipeline — the composition users actually run via
     # `cli curate`, whose cost model (single-scan stage boundaries) only
     # an end-to-end measurement protects.
+    stage_walls: dict[str, dict] = {}
     try:
-        iterations["curate_crawl_e2e"] = _bench_curate(spark)
+        iterations["curate_crawl_e2e"], stage_walls["curate_crawl_e2e"] = (
+            _bench_curate(spark)
+        )
     except Exception as e:  # noqa: BLE001
         errors["curate_crawl_e2e"] = f"{type(e).__name__}: {e}"[:300]
+    # round-9 addition (first recorded run = its baseline): the same
+    # pipeline with decontamination + PII redaction ON — the stack a
+    # real drop runs (`cli curate --eval-suite ... --pii-redact`).
+    try:
+        iterations["curate_full_e2e"], stage_walls["curate_full_e2e"] = (
+            _bench_curate(spark, full=True)
+        )
+    except Exception as e:  # noqa: BLE001
+        errors["curate_full_e2e"] = f"{type(e).__name__}: {e}"[:300]
     for name in names:
         fn = REGISTRY[name].fn
         times = []
@@ -250,6 +308,8 @@ def main() -> None:
         "iterations": iterations,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if stage_walls:
+        out["curate_stage_walls"] = stage_walls
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

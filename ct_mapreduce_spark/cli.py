@@ -502,9 +502,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     a = sub.add_parser(
         "ann",
-        help="IVF ANN index lifecycle: build/append/compact/topk/stream "
-        "(engine extension; operators/similarity.py + "
-        "streaming/ann_stream.py)",
+        help="ANN index lifecycle: build/append/compact/topk/stream "
+        "over the full-vector IVF store, or with --pq the IVF-PQ codes "
+        "store — the RECOMMENDED serving index at scale (8-byte rows, "
+        "probes read n_probe/n_cells of them) (engine extension; "
+        "operators/similarity.py + streaming/ann_stream.py)",
     )
     a.add_argument(
         "action", choices=["build", "append", "compact", "topk", "stream"]
@@ -534,8 +536,10 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="operate the IVF-PQ store (cell-partitioned PQ codes + "
         "codebooks) instead of the full-vector IVF store: "
-        "build/append/compact/topk via pq_ivf_* — the 8-bytes-per-row "
-        "serving tier",
+        "build/append/compact/topk/stream via pq_ivf_* — the "
+        "8-bytes-per-row serving tier, RECOMMENDED for large corpora "
+        "(pair topk with --rerank-factor/--rerank-corpus for exact "
+        "re-ranking of the shortlist)",
     )
     a.add_argument("--m-sub", type=int, default=8, help="PQ subspaces (--pq)")
     a.add_argument(
@@ -799,11 +803,6 @@ def cmd_ann(spark: SparkSession, args) -> int:
     else:  # stream
         if not (args.stream_source and args.checkpoint):
             raise SystemExit("ann stream requires --stream-source and --checkpoint")
-        if pq:
-            raise SystemExit(
-                "ann stream is full-vector IVF only (PQ codebooks drift "
-                "under a stream; rebuild-on-drift is the PQ contract)"
-            )
         from ct_mapreduce_spark.streaming.ann_stream import (
             start_ann_ingest_stream,
         )
@@ -814,6 +813,7 @@ def cmd_ann(spark: SparkSession, args) -> int:
             args.index,
             args.checkpoint,
             compact_every=args.compact_every,
+            store="pq" if pq else "ivf",
         )
         q.awaitTermination()
         print("stream drained")

@@ -1669,11 +1669,17 @@ def pq_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Serve PQ ANN queries from a materialized pq_build_index: read the
-    stored codebooks, broadcast per-query LUTs, ADC-scan the persisted
-    codes table — no re-estimation, no re-encode; the only corpus-sized
-    read is the 8-bytes-per-row codes scan. Bit-identical to pq_topk on
-    the same corpus/parameters (shared _pq_adc_rank expressions).
+    """Serve PQ ANN queries from a materialized pq_build_index — the
+    EXHAUSTIVE-ADC tier: every code row is scanned per query batch.
+    This is the explicit small-corpus choice (full recall over the
+    codes, no cell-assignment error); the DEFAULT serving
+    recommendation at scale is pq_ivf_topk_indexed, whose probe reads
+    only n_probe/n_cells of the codes (the IVFADC composition — same
+    ADC expressions, cell-pruned). Mechanics: read the stored
+    codebooks, broadcast per-query LUTs, ADC-scan the persisted codes
+    table — no re-estimation, no re-encode; the only corpus-sized read
+    is the 8-bytes-per-row codes scan. Bit-identical to pq_topk on the
+    same corpus/parameters (shared _pq_adc_rank expressions).
     rerank_factor > 0 requires rerank_corpus (the full-vector table):
     the exact-cosine re-rank reads vectors only for the
     queries x k x factor shortlist sliver."""
@@ -1828,33 +1834,72 @@ def pq_ivf_index_append(
     )
 
 
-def pq_ivf_index_compact(spark, path: str) -> tuple[int, int]:
+def pq_ivf_index_compact(
+    spark, path: str, exclude_tags: set[str] | None = None
+) -> tuple[int, int]:
     """Fold an IVF-PQ index's append history back to one right-sized
     file per cell — unlike pq_index_compact (flat fold: the exhaustive
     scan has no partition level), this keeps the cell partitioning that
     makes probes cheap. Same crash-safe temp-write + rename-aside swap
-    as ivf_index_compact; the _centroids/_codebooks sidecars live beside
-    /codes, not inside it, so they ride through untouched. Returns
-    (files_before, files_after)."""
+    as ivf_index_compact; the _centroids/_codebooks/_meta sidecars live
+    beside /codes, not inside it, so they ride through untouched.
+    Returns (files_before, files_after).
+
+    If the store carries streaming increment trees ({path}/codes/_inc,
+    written by streaming/ann_stream.py's PQ mode), they are folded into
+    the cell-partitioned base and dropped — the underscore tree lives
+    INSIDE /codes, so the one rename-aside swap replaces base and
+    increments atomically (no crash window where probes see a folded
+    copy beside an unfolded one). The fold full-row-deduplicates, so a
+    re-run over any crash leftover converges.
+
+    `exclude_tags` (the streaming auto-compaction contract): increment
+    partitions under the named ingest_batch tags — only the in-flight
+    batch can ever replay — are NOT folded; they are carried verbatim
+    into the compacted tree's /codes/_inc, so a crash-replay's dynamic
+    partition overwrite still replaces exactly its own rows."""
     from ct_mapreduce_spark.fsutil import (
         TMP_SUFFIX,
         count_parquet_files,
         recover_swap,
         swap_into_place,
     )
+    from ct_mapreduce_spark.operators.dedup_fuzzy import _try_read_parquet
 
     codes_p = path + "/codes"
     recover_swap(spark, codes_p)
-    before = count_parquet_files(spark, codes_p)
+    inc_p = codes_p + "/_inc"
+    before = count_parquet_files(spark, codes_p) + count_parquet_files(
+        spark, inc_p
+    )
     df = spark.read.parquet(codes_p)
+    inc = _try_read_parquet(spark, inc_p)
+    exclude = {str(t) for t in (exclude_tags or ())}
+    keep_inc = None
+    if inc is not None:
+        fold = inc
+        if exclude and "ingest_batch" in inc.columns:
+            tag_str = F.col("ingest_batch").cast("string")
+            keep_inc = inc.where(tag_str.isin(sorted(exclude)))
+            fold = inc.where(~tag_str.isin(sorted(exclude)))
+        df = df.unionByName(fold.select(*df.columns)).dropDuplicates()
     (
         df.repartition(F.col("cell"))
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(codes_p + TMP_SUFFIX)
     )
+    if keep_inc is not None:
+        # the in-flight batch's increment rides through the swap inside
+        # the new codes tree; written before the swap so every read of
+        # the old tree completes first
+        keep_inc.write.mode("overwrite").partitionBy("ingest_batch").parquet(
+            codes_p + TMP_SUFFIX + "/_inc"
+        )
     swap_into_place(spark, codes_p + TMP_SUFFIX, codes_p)
-    return before, count_parquet_files(spark, codes_p)
+    return before, count_parquet_files(spark, codes_p) + count_parquet_files(
+        spark, inc_p
+    )
 
 
 def pq_ivf_topk_indexed(
@@ -1916,10 +1961,24 @@ def pq_ivf_topk_indexed(
     probe_cells = sorted(
         {r["cell"] for r in qa.select("cell").distinct().collect()}
     )
-    codes = (
-        spark.read.parquet(path + "/codes")
-        .where(F.col("cell").isin(probe_cells))
-        .select(F.col(id_col).alias("neighbor_id"), "codes", "cell")
+    codes_base = spark.read.parquet(path + "/codes").where(
+        F.col("cell").isin(probe_cells)
+    )
+    # streaming increments ({path}/codes/_inc, ann_stream.py PQ mode):
+    # the base partition-prunes on cell, the small increments row-filter
+    # on their cell DATA column — the base ∪ increments probe the IVF
+    # and dedup stores already serve
+    from ct_mapreduce_spark.operators.dedup_fuzzy import _try_read_parquet
+
+    inc = _try_read_parquet(spark, path + "/codes/_inc")
+    if inc is not None:
+        codes_base = codes_base.unionByName(
+            inc.where(F.col("cell").isin(probe_cells)).select(
+                *codes_base.columns
+            )
+        )
+    codes = codes_base.select(
+        F.col(id_col).alias("neighbor_id"), "codes", "cell"
     )
     return _pq_adc_rank(
         codes, queries, books, k, id_col, vec_col,

@@ -1,8 +1,13 @@
-"""Streaming IVF index maintenance — the ANN ingest daemon.
+"""Streaming ANN index maintenance — the ANN ingest daemon.
 
 A continuously-arriving embedding stream is folded into a materialized
-IVF index (operators/similarity.py) so the serve path
-(`ivf_topk_indexed`) always answers over everything ingested so far.
+ANN index (operators/similarity.py) so the serve path always answers
+over everything ingested so far. Two stores, one daemon contract:
+`store="ivf"` maintains the full-vector IVF index (write_cells ->
+ivf_topk_indexed), `store="pq"` maintains the IVF-PQ codes store —
+the 8-bytes-per-row SERVING index of record at 100 TB (write_codes ->
+pq_ivf_topk_indexed), encoding each trigger under the stored
+centroids + codebooks (+ residual flag).
 Per micro-batch: assign the batch's vectors to their nearest cells under
 the index's STORED centroids (they are the index's definition; O(batch)
 work, independent of index size) and write them to an increment tree —
@@ -87,6 +92,68 @@ def write_cells(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def write_codes(
+    vectors: DataFrame,
+    index_path: str,
+    batch_tag: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    model: tuple | None = None,
+) -> None:
+    """PQ sibling of write_cells: encode one batch's vectors under the
+    IVF-PQ index's STORED model (centroids -> cell, codebooks -> codes,
+    residual per the _meta sidecar — the pq_ivf_index_append rule) and
+    write them to the increment tree
+    {index_path}/codes/_inc/ingest_batch=<batch_tag>, idempotently
+    (dynamic partition overwrite). The tree lives INSIDE /codes so the
+    compactor's one rename-aside swap replaces base and increments
+    atomically; the underscore prefix keeps it invisible to the base
+    read's partition discovery. `model`: optional pre-read
+    (cent_rows, books, residual) — the stream processor loads it once at
+    its first trigger and reuses it (immutable for the life of a running
+    stream: rebuild requires the stream stopped, and compaction
+    preserves the sidecars). Plain rows, not DataFrames, so the cache is
+    safe to reuse across foreachBatch's cloned per-batch sessions."""
+    from ct_mapreduce_spark.operators.similarity import (
+        _pq_ivf_is_residual,
+        _pq_read_books,
+        _with_residual,
+        pq_encode,
+    )
+
+    spark = vectors.sparkSession
+    if model is None:
+        model = (
+            spark.read.parquet(index_path + "/_centroids").collect(),
+            _pq_read_books(spark, index_path),
+            _pq_ivf_is_residual(spark, index_path),
+        )
+    cent_rows, books, residual = model
+    assigned = _assign_nearest(vectors, cent_rows, id_col, vec_col, "v").select(
+        F.col("v_id").alias(id_col), F.col("v_vec").alias(vec_col), "cell"
+    )
+    if residual:
+        # model-sized frame rebuilt on the batch's own session (16-ish
+        # rows) — the broadcast side of _with_residual's cell join
+        cents = spark.createDataFrame(cent_rows)
+        assigned = _with_residual(assigned, cents, vec_col)
+        enc = pq_encode(assigned, books, id_col, "_resid", keep=("cell",))
+    else:
+        enc = pq_encode(assigned, books, id_col, vec_col, keep=("cell",))
+    out = (
+        enc.select(id_col, "codes", "cell")
+        .withColumn("ingest_batch", F.lit(batch_tag))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.coalesce(4).write.mode("overwrite").partitionBy(
+            "ingest_batch"
+        ).parquet(index_path + "/codes/_inc")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def start_ann_ingest_stream(
     spark: SparkSession,
     source_path: str,
@@ -98,8 +165,19 @@ def start_ann_ingest_stream(
     vec_col: str = "embedding",
     schema: str = VECTORS_SCHEMA,
     compact_every: int | None = None,
+    store: str = "ivf",
 ) -> StreamingQuery:
-    """File-source embedding stream -> per-micro-batch IVF index folds.
+    """File-source embedding stream -> per-micro-batch index folds.
+
+    `store` selects which materialized index the daemon maintains:
+    "ivf" (default) folds full vectors into an ivf_build_index store
+    (write_cells); "pq" folds 8-byte PQ codes into a pq_ivf_build_index
+    store (write_codes) — the SERVING index of record at 100 TB, kept
+    fresh per trigger under its stored model (centroids + codebooks +
+    residual flag are read once at the first trigger; model drift policy
+    stays rebuild-on-recall-degradation, with the stream stopped).
+    Everything below — replay idempotence, auto-compaction with
+    exclude-in-flight, recover_swap at start — is identical for both.
 
     Each trigger assigns the batch under the index's stored centroids
     and writes one increment partition (write_cells). The write is
@@ -120,10 +198,18 @@ def start_ann_ingest_stream(
     mid-compact is covered by recover_swap at stream start."""
     from ct_mapreduce_spark.fsutil import _fs_and_path, recover_swap
 
-    recover_swap(spark, index_path)
+    if store not in ("ivf", "pq"):
+        raise ValueError(f"store must be 'ivf' or 'pq', got {store!r}")
+    pq = store == "pq"
+    # the swap target is the tree the compactor renames: the whole index
+    # dir for IVF (increments at {index}/_inc), the codes store for PQ
+    # (increments at {index}/codes/_inc)
+    swap_root = index_path + "/codes" if pq else index_path
+    recover_swap(spark, swap_root)
+    inc_root = swap_root + "/_inc" if pq else index_path + "/_inc"
 
     def _n_inc_batches(session: SparkSession) -> int:
-        fs, p = _fs_and_path(session, index_path + "/_inc")
+        fs, p = _fs_and_path(session, inc_root)
         if not fs.exists(p):
             return 0
         return sum(
@@ -133,36 +219,59 @@ def start_ann_ingest_stream(
             and st.getPath().getName().startswith("ingest_batch=")
         )
 
-    cent_cache: list = []  # read once at the first trigger, then reused
+    model_cache: list = []  # read once at the first trigger, then reused
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch hands the batch a CLONED SparkSession; conf must
         # be set on THAT session or the dynamic overwrite silently runs
         # STATIC and truncates every other batch's increment partition —
-        # write_cells keys off its input frame's session for exactly
-        # this reason (the dedup daemon found this trap first).
-        if not cent_cache:
-            cent_cache.extend(
-                batch_df.sparkSession.read.parquet(
-                    index_path + "/_centroids"
-                ).collect()
-            )
-        write_cells(
-            batch_df, index_path, batch_tag=str(batch_id),
-            id_col=id_col, vec_col=vec_col, cent_rows=list(cent_cache),
-        )
+        # write_cells/write_codes key off their input frame's session
+        # for exactly this reason (the dedup daemon found this trap
+        # first).
         session = batch_df.sparkSession
+        if pq:
+            if not model_cache:
+                from ct_mapreduce_spark.operators.similarity import (
+                    _pq_ivf_is_residual,
+                    _pq_read_books,
+                )
+
+                model_cache.append(
+                    (
+                        session.read.parquet(
+                            index_path + "/_centroids"
+                        ).collect(),
+                        _pq_read_books(session, index_path),
+                        _pq_ivf_is_residual(session, index_path),
+                    )
+                )
+            write_codes(
+                batch_df, index_path, batch_tag=str(batch_id),
+                id_col=id_col, vec_col=vec_col, model=model_cache[0],
+            )
+        else:
+            if not model_cache:
+                model_cache.append(
+                    session.read.parquet(
+                        index_path + "/_centroids"
+                    ).collect()
+                )
+            write_cells(
+                batch_df, index_path, batch_tag=str(batch_id),
+                id_col=id_col, vec_col=vec_col,
+                cent_rows=list(model_cache[0]),
+            )
         if (
             compact_every is not None
             and _n_inc_batches(session) >= compact_every
         ):
             from ct_mapreduce_spark.operators.similarity import (
                 ivf_index_compact,
+                pq_ivf_index_compact,
             )
 
-            ivf_index_compact(
-                session, index_path, exclude_tags={str(batch_id)}
-            )
+            compactor = pq_ivf_index_compact if pq else ivf_index_compact
+            compactor(session, index_path, exclude_tags={str(batch_id)})
 
     stream = (
         spark.readStream.schema(schema)

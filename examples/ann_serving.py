@@ -17,7 +17,17 @@ table, serves the same queries from each, reports recall@5 against the
 exact answer and the fraction of corpus ROWS each probe admitted, then
 exercises the maintenance loop: append a second batch under the STORED
 model, compact, and show the served answer is bit-identical across the
-compaction (the pytest-asserted contract)."""
+compaction (the pytest-asserted contract).
+
+Which tier to ship: IVF-PQ (`cli ann --pq`) is the default serving
+recommendation — it is the only tier whose probe cost is flat in corpus
+size (cell pruning) AND whose storage is codes, not vectors (32x at
+dim=64 fp32); pair it with --rerank-factor for exact re-ranking.
+Exhaustive cosine and the flat exhaustive-ADC store
+(similarity.pq_topk_indexed) are the explicit small-corpus choices;
+full-vector IVF is the middle tier when vectors must stay servable
+(e.g. the rerank corpus itself). A running crawl keeps the store fresh
+with `cli ann stream --pq --compact-every N` (streaming/ann_stream.py)."""
 
 from __future__ import annotations
 

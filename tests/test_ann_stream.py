@@ -18,6 +18,7 @@ from ct_mapreduce_spark.operators import similarity
 from ct_mapreduce_spark.streaming.ann_stream import (
     start_ann_ingest_stream,
     write_cells,
+    write_codes,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -153,6 +154,121 @@ def test_ann_ingest_stream_end_to_end(spark, emb, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(idx + "/_inc").count() == n_rows
+
+
+def _pq_probe(spark, idx, queries, k=5):
+    return sorted(
+        tuple(r)
+        for r in similarity.pq_ivf_topk_indexed(
+            spark, idx, queries, k=k
+        ).collect()
+    )
+
+
+def test_pq_increment_probe_matches_batch_append(spark, emb, tmp_path):
+    """PQ mode: a probe over codes ∪ code-increments must be
+    bit-identical to one over the same vectors folded in via
+    pq_ivf_index_append (both encode under the SAME stored centroids +
+    codebooks — the stored-model rule), and a replayed batch tag
+    overwrites exactly its own increment partition."""
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    b1 = emb.where(F.col("vec_id") % 3 == 1)
+    b2 = emb.where(F.col("vec_id") % 3 == 2)
+    queries = emb.where(F.col("vec_id") < 8)
+
+    idx_inc = str(tmp_path / "inc")
+    similarity.pq_ivf_build_index(base, idx_inc)
+    write_codes(b1, idx_inc, batch_tag="0")
+    write_codes(b2, idx_inc, batch_tag="1")
+
+    idx_app = str(tmp_path / "app")
+    similarity.pq_ivf_build_index(base, idx_app)
+    similarity.pq_ivf_index_append(b1.unionByName(b2), idx_app)
+
+    want = _pq_probe(spark, idx_app, queries)
+    assert _pq_probe(spark, idx_inc, queries) == want
+
+    # crash replay of batch 0: same rows, same probe
+    n_rows = spark.read.parquet(idx_inc + "/codes/_inc").count()
+    write_codes(b1, idx_inc, batch_tag="0")
+    assert spark.read.parquet(idx_inc + "/codes/_inc").count() == n_rows
+    assert _pq_probe(spark, idx_inc, queries) == want
+
+    # compact folds the increments into the cell-partitioned base (one
+    # swap covers base + _inc: the tree lives INSIDE /codes), probe
+    # bit-identical, and a crash-leftover increment re-converges
+    similarity.pq_ivf_index_compact(spark, idx_inc)
+    assert not os.path.exists(idx_inc + "/codes/_inc")
+    assert _pq_probe(spark, idx_inc, queries) == want
+    write_codes(b1, idx_inc, batch_tag="0")  # folded rows ALSO as inc
+    similarity.pq_ivf_index_compact(spark, idx_inc)
+    assert _pq_probe(spark, idx_inc, queries) == want
+    assert spark.read.parquet(idx_inc + "/codes").count() == emb.count()
+
+
+def test_pq_ann_stream_end_to_end_residual_autocompact(spark, emb, tmp_path):
+    """The PQ-IVF daemon (store='pq') on a RESIDUAL index with
+    auto-compaction: after the availableNow run drains 4 files at
+    compact_every=2, the increment tree is bounded, a probe answers
+    identically to the batch-append control, and a checkpoint restart
+    with no new files is a no-op."""
+    base = emb.where(F.col("vec_id") % 5 == 0)
+    batches = [emb.where(F.col("vec_id") % 5 == m + 1) for m in range(4)]
+    src = str(tmp_path / "src")
+    for m, b in enumerate(batches):
+        _one_file(
+            b.select("vec_id", "embedding"), src, f"b{m}", 1_000_000.0 + 100 * m
+        )
+
+    idx = str(tmp_path / "idx")
+    similarity.pq_ivf_build_index(base, idx, residual=True)
+    ckpt = str(tmp_path / "ckpt")
+    q = start_ann_ingest_stream(
+        spark, source_path=src, index_path=idx, checkpoint=ckpt,
+        store="pq", compact_every=2,
+    )
+    q.awaitTermination(240)
+
+    inc_p = idx + "/codes/_inc"
+    inc_tags = (
+        [n for n in os.listdir(inc_p) if n.startswith("ingest_batch=")]
+        if os.path.isdir(inc_p)
+        else []
+    )
+    assert len(inc_tags) <= 2, inc_tags
+
+    idx_app = str(tmp_path / "app")
+    similarity.pq_ivf_build_index(base, idx_app, residual=True)
+    for b in batches:
+        similarity.pq_ivf_index_append(b, idx_app)
+    queries = emb.where(F.col("vec_id") < 8)
+    got = _pq_probe(spark, idx, queries)
+    assert got == _pq_probe(spark, idx_app, queries) and len(got) == 40
+
+    # restart from the same checkpoint: no new files -> nothing written
+    def _code_rows(p):
+        out = {
+            (r["vec_id"], r["cell"])
+            for r in spark.read.parquet(p + "/codes")
+            .select("vec_id", "cell")
+            .collect()
+        }
+        if os.path.isdir(p + "/codes/_inc"):
+            out |= {
+                (r["vec_id"], r["cell"])
+                for r in spark.read.parquet(p + "/codes/_inc")
+                .select("vec_id", "cell")
+                .collect()
+            }
+        return out
+
+    before = _code_rows(idx)
+    q2 = start_ann_ingest_stream(
+        spark, source_path=src, index_path=idx, checkpoint=ckpt,
+        store="pq", compact_every=2,
+    )
+    q2.awaitTermination(240)
+    assert _code_rows(idx) == before == _code_rows(idx_app)
 
 
 def test_ann_stream_auto_compaction_bounded(spark, tmp_path):

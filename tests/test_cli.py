@@ -445,10 +445,12 @@ def test_cli_monitor_report_and_stream(spark, tmp_path, capsys):
 
 def test_cli_ann_pq_lifecycle(spark, tmp_path, capsys):
     """--pq switches the ann verbs to the IVF-PQ store: build on half,
-    append the rest, topk with exact re-rank to parquet, compact —
-    served results identical before/after compact; stream --pq is a
-    hard error (codebook-drift contract)."""
-    import pytest as _pytest
+    append a quarter, stream the rest (the r9 PQ daemon), topk with
+    exact re-rank to parquet, compact — served results identical
+    before/after compact."""
+    import glob as _glob
+    import shutil as _shutil
+
     from pyspark.sql import functions as F
 
     from ct_mapreduce_spark.cli import main
@@ -456,8 +458,17 @@ def test_cli_ann_pq_lifecycle(spark, tmp_path, capsys):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     p_build = str(tmp_path / "e0")
     p_app = str(tmp_path / "e1")
-    emb.where(F.col("vec_id") % 2 == 0).write.parquet(p_build)
-    emb.where(F.col("vec_id") % 2 == 1).write.parquet(p_app)
+    emb.where(F.col("vec_id") % 4 <= 1).write.parquet(p_build)
+    emb.where(F.col("vec_id") % 4 == 2).write.parquet(p_app)
+    src = str(tmp_path / "src")
+    stage = str(tmp_path / "stage")
+    emb.where(F.col("vec_id") % 4 == 3).select(
+        "vec_id", "embedding"
+    ).coalesce(1).write.parquet(stage)
+    os.makedirs(src, exist_ok=True)
+    _shutil.copyfile(
+        _glob.glob(stage + "/part-*.parquet")[0], src + "/b0.parquet"
+    )
     idx = str(tmp_path / "idx")
     q_path = str(tmp_path / "q")
     emb.where(F.col("vec_id") < 8).write.parquet(q_path)
@@ -468,6 +479,11 @@ def test_cli_ann_pq_lifecycle(spark, tmp_path, capsys):
     assert "IVF-PQ" in capsys.readouterr().out
     assert main(["ann", "append", "--pq", "--index", idx,
                  "--embeddings", p_app], spark=spark) == 0
+    assert main(["ann", "stream", "--pq", "--index", idx,
+                 "--stream-source", src,
+                 "--checkpoint", str(tmp_path / "ckpt"),
+                 "--compact-every", "4"], spark=spark) == 0
+    assert "stream drained" in capsys.readouterr().out
     assert main(["ann", "topk", "--pq", "--index", idx, "--queries", q_path,
                  "--rerank-factor", "4", "--rerank-corpus", p_build,
                  "--out", out1], spark=spark) == 0
@@ -479,7 +495,3 @@ def test_cli_ann_pq_lifecycle(spark, tmp_path, capsys):
     a = sorted(tuple(r) for r in spark.read.parquet(out1).collect())
     b = sorted(tuple(r) for r in spark.read.parquet(out2).collect())
     assert a == b and len(a) == 40
-    with _pytest.raises(SystemExit, match="full-vector"):
-        main(["ann", "stream", "--pq", "--index", idx,
-              "--stream-source", str(tmp_path / "s"),
-              "--checkpoint", str(tmp_path / "c")], spark=spark)

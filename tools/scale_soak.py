@@ -877,6 +877,188 @@ def main() -> None:
     assert auto_kept == kept_counts, (auto_kept, kept_counts)
     shutil.rmtree(idxa, ignore_errors=True)
 
+    # --- r9: the PQ-IVF daemon posture — 20 sequential micro-batches of
+    # write_codes (encode under the stored model, increment-tree write)
+    # with IN-BAND auto-compaction at cadence 6 (pq_ivf_index_compact
+    # exclude_tags={in-flight}) against a growing codes store. Per-batch
+    # wall must stay bounded (each trigger pays O(batch) encode plus a
+    # bounded-partition fold), and the final served top-k must equal a
+    # batch-append control over the same vectors — the serving index of
+    # record stays fresh AND correct under the daemon contract. ---
+    from ct_mapreduce_spark.streaming.ann_stream import write_codes
+
+    emb10 = spark.read.parquet(_emb_path(10))
+    pq_base = emb10.where(F.col("vec_id") % 21 == 20)
+    pq_batches = [emb10.where(F.col("vec_id") % 21 == m) for m in range(20)]
+    pqd = tempfile.mkdtemp(prefix="ctspark_soak_pqdaemon_")
+    n_rows10 = emb10.count()
+    similarity.pq_ivf_build_index(
+        pq_base, pqd, n_cells=max(16, n_rows10 // 512)
+    )
+    pqd_walls = []
+    pqd_compactions = 0
+    for b, part in enumerate(pq_batches):
+        t0 = time.perf_counter()
+        write_codes(part, pqd, batch_tag=str(b))
+        inc_p = pqd + "/codes/_inc"
+        n_inc = (
+            len(
+                [
+                    n
+                    for n in _os.listdir(inc_p)
+                    if n.startswith("ingest_batch=")
+                ]
+            )
+            if _os.path.isdir(inc_p)
+            else 0
+        )
+        if n_inc >= 6:
+            similarity.pq_ivf_index_compact(spark, pqd, exclude_tags={str(b)})
+            pqd_compactions += 1
+        pqd_walls.append(round(time.perf_counter() - t0, 2))
+    queries = emb10.where(F.col("vec_id") < 8)
+    got = sorted(
+        tuple(r)
+        for r in similarity.pq_ivf_topk_indexed(
+            spark, pqd, queries, k=5
+        ).collect()
+    )
+    pqc = tempfile.mkdtemp(prefix="ctspark_soak_pqdaemon_ctl_")
+    similarity.pq_ivf_build_index(
+        pq_base, pqc, n_cells=max(16, n_rows10 // 512)
+    )
+    for part in pq_batches:
+        similarity.pq_ivf_index_append(part, pqc)
+    want = sorted(
+        tuple(r)
+        for r in similarity.pq_ivf_topk_indexed(
+            spark, pqc, queries, k=5
+        ).collect()
+    )
+    assert got == want, "pq daemon soak: served top-k != batch-append control"
+    results["pq_daemon_20_batches_autocompact"] = {
+        "walls": pqd_walls,
+        "n_compactions": pqd_compactions,
+        "wall_first3_avg": round(sum(pqd_walls[1:4]) / 3, 2),
+        "wall_last3_avg": round(sum(pqd_walls[-3:]) / 3, 2),
+    }
+    print(
+        f"pq daemon 20 batches AUTO-compact: walls={pqd_walls} "
+        f"compactions={pqd_compactions} probe==control: ok",
+        file=sys.stderr,
+    )
+    shutil.rmtree(pqd, ignore_errors=True)
+    shutil.rmtree(pqc, ignore_errors=True)
+
+    # --- r9: cluster-balanced sampling at 10x/100x with auto-scaled
+    # cells (the semdedup posture): wall must track the narrow argmin
+    # assignment + one count per cell (exponent ≲ linear, no corpus
+    # shuffle), and the kept mixture must stay ~flat across cells at
+    # every scale (that's the operator's contract). ---
+    for mult in EMB_MULTS[1:]:
+        emb = spark.read.parquet(_emb_path(mult))
+        n_rows = emb.count()
+        n_cells = max(16, n_rows // 512)
+        times = []
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            kept = similarity.cluster_balanced_sample(emb, n_cells=n_cells)
+            kept.count()
+            times.append(round(time.perf_counter() - t0, 2))
+        per_cell = (
+            kept.groupBy("cell").count().select("count").collect()
+        )
+        counts = [r["count"] for r in per_cell]
+        ratio = round(max(counts) / max(min(counts), 1), 2)
+        # flatness is pytest-asserted at operator level; the soak's loose
+        # bound guards against the rebalance silently degrading at scale
+        # (hash-granularity variance on small cells allows some spread)
+        assert ratio <= 4.0, f"x{mult}: mixture not flat (ratio {ratio})"
+        results[f"cbs_x{mult}"] = {
+            "rows": n_rows,
+            "n_cells": n_cells,
+            "times": times,
+            "min": min(times),
+            "mixture_max_over_min": ratio,
+        }
+        print(
+            f"cluster_balanced_sample x{mult}: rows={n_rows} "
+            f"cells={n_cells} times={times} mixture_ratio={ratio}",
+            file=sys.stderr,
+        )
+
+    # --- r9: the FULL curate stack (decontamination + PII redaction ON
+    # — what a real drop runs) at 1x/10x, two drops each: drop 1 builds
+    # the mh_index AND the eval-gram dictionary; drop 2 must REUSE the
+    # persisted dictionary byte-identically (scanned-once discipline)
+    # while still dropping a re-leak. Planted contamination: the eval
+    # suite is the extracted text of 5 crawl pages, so those pages (and
+    # only those) exceed the containment threshold. Stage walls recorded
+    # from the r9 stage_walls instrumentation. ---
+    import json as _json
+
+    from ct_mapreduce_spark.operators.text import html_to_text
+    from ct_mapreduce_spark.sources.text_source import read_warc
+
+    for mult in DOC_MULTS:
+        wd = tempfile.mkdtemp(prefix=f"ctspark_soak_curatefull_x{mult}_")
+        suite_dir = _os.path.join(wd, "suite")
+        _os.makedirs(suite_dir)
+        raw = read_warc(spark, _crawl_path(mult, "a")).where(
+            F.col("warc_type") == "response"
+        )
+        from ct_mapreduce_spark.operators.text import strip_http_headers
+
+        leak_rows = (
+            raw.select(html_to_text(strip_http_headers(F.col("body"))).alias("text"))
+            .where(F.length("text") > 100)
+            .limit(5)
+            .collect()
+        )
+        with open(_os.path.join(suite_dir, "bench.jsonl"), "w") as f:
+            for i, r in enumerate(leak_rows):
+                f.write(_json.dumps({"doc_id": i, "text": r["text"]}) + "\n")
+        t0 = time.perf_counter()
+        s1 = curate_crawl(
+            spark,
+            _crawl_path(mult, "a"),
+            wd,
+            eval_suite=suite_dir,
+            pii_redact=True,
+        )
+        drop1_s = round(time.perf_counter() - t0, 2)
+        grams_dir = _os.path.join(wd, "eval_grams")
+        dict_files = sorted(_os.listdir(grams_dir))
+        pre = s1.get("after_lm", s1["quality_survivors"])
+        assert s1["after_decontam"] <= pre - 5, f"x{mult}: leaks kept: {s1}"
+        t0 = time.perf_counter()
+        s2 = curate_crawl(
+            spark,
+            _crawl_path(mult, "b"),
+            wd,
+            eval_suite=suite_dir,
+            pii_redact=True,
+        )
+        drop2_s = round(time.perf_counter() - t0, 2)
+        assert sorted(_os.listdir(grams_dir)) == dict_files, (
+            f"x{mult}: eval-gram dictionary rebuilt instead of reused"
+        )
+        assert s2["after_dedup"] == 0, f"x{mult}: re-crawl not deduped: {s2}"
+        results[f"curate_full_x{mult}"] = {
+            "drop1_s": drop1_s,
+            "drop2_s": drop2_s,
+            "extracted": s1["extracted"],
+            "drop1_kept": s1["after_dedup"],
+            "drop1_stage_walls": s1["stage_walls"],
+            "drop2_stage_walls": s2["stage_walls"],
+        }
+        print(
+            f"curate FULL x{mult}: drop1={drop1_s}s drop2={drop2_s}s "
+            f"stage_walls(drop1)={s1['stage_walls']}",
+            file=sys.stderr,
+        )
+        shutil.rmtree(wd, ignore_errors=True)
+
     import math
 
     def expo(a: str, b: str, factor: float, key: str = "min") -> float:
@@ -929,6 +1111,13 @@ def main() -> None:
         "bpe_encode_1x_to_10x": expo("bpe_x1", "bpe_x10", 10),
         "curate_drop1_1x_to_10x": expo("curate_x1", "curate_x10", 10, "drop1_s"),
         "curate_drop2_1x_to_10x": expo("curate_x1", "curate_x10", 10, "drop2_s"),
+        "cbs_10x_to_100x": expo("cbs_x10", "cbs_x100", 10),
+        "curate_full_drop1_1x_to_10x": expo(
+            "curate_full_x1", "curate_full_x10", 10, "drop1_s"
+        ),
+        "curate_full_drop2_1x_to_10x": expo(
+            "curate_full_x1", "curate_full_x10", 10, "drop2_s"
+        ),
     }
     print(json.dumps(results))
 
