@@ -547,7 +547,11 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="build --pq: quantize residuals x - centroid(cell(x)) "
         "(the full Jegou et al. IVFADC); recorded in the index's _meta "
-        "sidecar, honored by append/topk automatically",
+        "sidecar, honored by append/topk automatically. Pair with "
+        "--refine-iters >= 2: with unrefined (sampled-member) centroids "
+        "residuals are off-center and the tier scores WORSE than raw "
+        "codes; with Lloyd-refined centroids it wins in both measured "
+        "regimes (tests/test_llm_ops.py residual regime matrix)",
     )
     a.add_argument(
         "--n-codes", type=int, default=16, help="PQ codes per subspace (--pq)"
@@ -741,6 +745,7 @@ def cmd_ann(spark: SparkSession, args) -> int:
                 m_sub=args.m_sub,
                 n_codes=args.n_codes,
                 residual=args.residual,
+                refine_iters=args.refine_iters,
             )
             print(
                 f"built {args.index} (IVF-PQ) n_cells={args.n_cells} "

@@ -1731,6 +1731,8 @@ def pq_ivf_build_index(
     vec_col: str = "embedding",
     seed: int = 42,
     residual: bool = False,
+    refine_iters: int = 0,
+    refine_sample_mod: int = 1,
 ) -> None:
     """Materialize the IVF-PQ index: PQ codes partitioned by nearest IVF
     cell ({path}/codes/cell=<n>/ — the ivf_build_index layout carrying
@@ -1750,9 +1752,28 @@ def pq_ivf_build_index(
     informative part; serving adds the per-(query, probed-cell)
     <q, centroid> term back before ranking (inner-product decomposition
     <q,x> = <q,c> + <q,r>). The residual pass is a 16-row broadcast
-    join + zip_with — still no corpus shuffle."""
+    join + zip_with — still no corpus shuffle.
+
+    refine_iters: Lloyd-refine the seeded centroids before assignment
+    (ivf_refine_centroids — same knob as ivf_build_index). This matters
+    MORE here than for the full-vector store: an unrefined 'centroid'
+    is a sampled member, so residuals are off-center (variance ~2σ²
+    instead of σ²) and the residual tier's whole premise — spend the
+    codebook on the within-cell part — is diluted. The published IVFADC
+    coarse quantizer is k-means; pass refine_iters>=2 when building a
+    residual index (see the two-fixture regime matrix in
+    tests/test_llm_ops.py::test_pq_ivf_residual_regime_matrix)."""
     cents = _ivf_centroid_frame(corpus, n_cells, id_col, vec_col, seed)
     cent_rows = cents.collect()
+    if refine_iters:
+        cent_rows = ivf_refine_centroids(
+            corpus, cent_rows, refine_iters, id_col, vec_col,
+            sample_mod=refine_sample_mod,
+        )
+        cents = corpus.sparkSession.createDataFrame(
+            [(c["cell"], [float(x) for x in c["centroid"]]) for c in cent_rows],
+            "cell int, centroid array<double>",
+        )
     assigned = _assign_nearest(corpus, cent_rows, id_col, vec_col, "v").select(
         F.col("v_id").alias(id_col), F.col("v_vec").alias(vec_col), "cell"
     )

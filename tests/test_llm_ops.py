@@ -2055,6 +2055,104 @@ def test_pq_ivf_residual_tier(spark, emb, tmp_path):
     assert got == want
 
 
+def _broad_cell_corpus(spark, seed=11, dim=64, n_cells=4, subs=12, per=6,
+                       cell_norm=2.0, spike=0.8, noise=0.05):
+    """The published residual regime: few BROAD cells (strong shared
+    centroid, norm 2) each containing sub-cluster structure (a ±0.8
+    spike on one random coordinate per sub-cluster) — within a cell the
+    centroid carries most of the energy but none of the ranking signal,
+    so raw codebooks waste capacity re-encoding it while residual
+    codebooks see only the spikes. The inverse of
+    _planted_cluster_corpus (tight cells, residual ≈ isotropic noise)."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    rows, vid = [], 0
+    for _c in range(n_cells):
+        center = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in center))
+        center = [cell_norm * x / nrm for x in center]
+        for _s in range(subs):
+            j = rng.randrange(dim)
+            sgn = rng.choice([-1.0, 1.0])
+            sc = list(center)
+            sc[j] += sgn * spike
+            for _ in range(per):
+                v = [x + rng.gauss(0.0, noise) for x in sc]
+                rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+                vid += 1
+    return spark.createDataFrame(rows), per
+
+
+def test_pq_ivf_residual_regime_matrix(spark, tmp_path):
+    """The two-fixture recall matrix behind the residual-tier guidance
+    (operator docstring + `cli ann --residual` help): when does residual
+    IVFADC beat raw-coded IVF-PQ, and what role does centroid
+    refinement play? Measured recall@5 without re-rank (the tiers'
+    ADC-only separation; the >= 0.9 with-rerank bar is pinned in
+    test_pq_ivf_residual_tier / the broad bar below).
+
+    Diagnosis this matrix encodes (r9, closing the r8 honest caveat):
+    the r8 'residual scored WORSE' finding was the UNREFINED coarse
+    quantizer — a hash-sampled member is not a mean, so residuals were
+    off-center (variance ~2σ²). With Lloyd-refined centroids
+    (refine_iters, the published k-means coarse quantizer) the residual
+    tier wins on BOTH fixture shapes; unrefined it still loses on the
+    tight fixture. Hence the shipped guidance: --residual pairs with
+    --refine-iters >= 2."""
+    tight, per_t = _planted_cluster_corpus(spark)
+    tight = tight.localCheckpoint(eager=True)
+    broad, per_b = _broad_cell_corpus(spark)
+    broad = broad.localCheckpoint(eager=True)
+
+    def recall(corpus, per, n_cells, n_probe, residual, refine, tag,
+               rerank=False):
+        queries = corpus.where(F.col("vec_id") % per < 2 if per > 6
+                               else F.col("vec_id") % per < 1)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.cosine_topk(corpus, queries, k=5).collect()
+        }
+        idx = str(tmp_path / tag)
+        similarity.pq_ivf_build_index(
+            corpus, idx, n_cells=n_cells, residual=residual,
+            refine_iters=refine,
+        )
+        kwargs = (
+            {"rerank_corpus": corpus, "rerank_factor": 16} if rerank else {}
+        )
+        served = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.pq_ivf_topk_indexed(
+                spark, idx, queries, k=5, n_probe=n_probe, **kwargs
+            ).collect()
+        }
+        return len(exact & served) / len(exact)
+
+    # --- tight fixture (n_cells=16, n_probe=4) ---
+    t_raw0 = recall(tight, per_t, 16, 4, False, 0, "t_raw0")
+    t_res0 = recall(tight, per_t, 16, 4, True, 0, "t_res0")
+    t_raw3 = recall(tight, per_t, 16, 4, False, 3, "t_raw3")
+    t_res3 = recall(tight, per_t, 16, 4, True, 3, "t_res3")
+    # unrefined: residual LOSES (the r8 finding, now explained)
+    assert t_res0 < t_raw0, (t_res0, t_raw0)
+    # refined: residual WINS (the published IVFADC posture)
+    assert t_res3 >= t_raw3 + 0.03, (t_res3, t_raw3)
+
+    # --- broad fixture (n_cells=4, n_probe=1) ---
+    b_raw3 = recall(broad, per_b, 4, 1, False, 3, "b_raw3")
+    b_res3 = recall(broad, per_b, 4, 1, True, 3, "b_res3")
+    assert b_res3 >= b_raw3 + 0.05, (b_res3, b_raw3)
+    assert b_res3 >= 0.35, b_res3
+
+    # the with-rerank safety bar holds on the broad fixture for both
+    # tiers (tight-fixture bars live in test_pq_ivf_residual_tier /
+    # test_pq_ivf_rerank_recall)
+    assert recall(broad, per_b, 4, 2, True, 3, "b_res3_rr", rerank=True) >= 0.9
+    assert recall(broad, per_b, 4, 2, False, 3, "b_raw3_rr", rerank=True) >= 0.9
+
+
 def test_cluster_balanced_sample(spark):
     """Semantic mixing on a skewed planted corpus: one cluster 10x the
     size of the others must be downsampled toward the uniform mixture
