@@ -5446,6 +5446,39 @@ def emb_pq_ivf_residual_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@q("emb_pq_ivf_refined_topk", _pin("emb_pq_ivf_refined_topk"), "similarity")
+def emb_pq_ivf_refined_topk(spark, sf_dir):
+    """The RECOMMENDED r9 serving composition: residual IVFADC under a
+    Lloyd-REFINED coarse quantizer (pq_ivf_build_index residual=True,
+    refine_iters=2 on the deterministic 1/4 hash-sample — the 100 TB
+    refinement shape of emb_ann_ivf_refined). The r9 regime matrix
+    (tests/test_llm_ops.py::test_pq_ivf_residual_regime_matrix) showed
+    the r8 residual-loses finding was the UNREFINED quantizer: a
+    hash-sampled member is not a mean, so residuals were off-center;
+    refined, the residual tier wins on both fixture shapes. Same
+    cell-pruned plan (PartitionFilters on the codes scan) + exact
+    re-rank. Seeded models => golden-literal oracle, independently
+    re-derived (tools/independent_oracle.py)."""
+    import os
+
+    from ct_mapreduce_spark.operators.similarity import (
+        pq_ivf_build_index,
+        pq_ivf_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = f"/tmp/ctspark_pqivfref_idx_{_cache_tag(sf_dir, 'embeddings', 'v1')}"
+    if not os.path.exists(idx + "/codes/_SUCCESS"):
+        pq_ivf_build_index(
+            emb, idx, residual=True, refine_iters=2, refine_sample_mod=4
+        )
+    out = pq_ivf_topk_indexed(
+        spark, idx, emb.where(F.col("vec_id") < 8), k=5, n_probe=4,
+        rerank_corpus=emb, rerank_factor=4,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @q("emb_cluster_balanced_sample", _pin("emb_cluster_balanced_sample"), "similarity")
 def emb_cluster_balanced_sample(spark, sf_dir):
     """Semantic data mixing (operators/similarity.py:

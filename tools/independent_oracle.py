@@ -793,6 +793,9 @@ def emb_pq_ivf_topk(
     seed: int = 42,
     rerank_factor: int = 4,
     residual: bool = False,
+    refine_iters: int = 0,
+    refine_sample_mod: int = 1,
+    refine_sample_seed: int = 43,
 ) -> list[tuple]:
     """Re-derive IVF-PQ serving (similarity.py:pq_ivf_topk_indexed) by
     composition: emb_ann_ivf's centroid pick / cell assignment / probe
@@ -802,7 +805,11 @@ def emb_pq_ivf_topk(
     cosine. residual=True replays the residual-IVFADC tier: codebooks
     over and codes of float64(x) - float64(centroid(cell(x))), score =
     round(<q, centroid> + ADC, 6) — LUTs stay on the raw query
-    sub-vectors (inner products distribute over the decomposition)."""
+    sub-vectors (inner products distribute over the decomposition).
+    refine_iters replays pq_ivf_build_index's Lloyd refinement of the
+    seeded centroids (emb_ann_ivf's decimal-staged mean, identical
+    replay) BEFORE assignment/residual/probing — the r9 guidance pairs
+    it with the residual tier."""
     ids, vecs = _load_embeddings(sf_dir)
     dim = len(vecs[0])
     d = dim // m_sub
@@ -817,6 +824,38 @@ def emb_pq_ivf_topk(
 
     def dists(v: np.ndarray) -> list[tuple[float, int]]:
         return [(-_cosine(v, c), cell) for cell, c in enumerate(centroids)]
+
+    if refine_iters:
+        # Lloyd replay, identical to emb_ann_ivf's: deterministic hash
+        # sample, decimal-staged mean (sum of floor(float64(v)*1e9) as
+        # exact ints, /1e9 /count, ROUND_HALF_UP at 6), empty cells keep
+        # their previous centroid.
+        refine_vecs = [
+            v
+            for i, v in enumerate(vecs)
+            if refine_sample_mod <= 1
+            or spark_xxhash64(str(ids[i]), Int32(refine_sample_seed))
+            % refine_sample_mod
+            == 0
+        ]
+        for _ in range(refine_iters):
+            members: dict[int, list[np.ndarray]] = {}
+            for v in refine_vecs:
+                members.setdefault(min(dists(v))[1], []).append(v)
+            new_centroids = []
+            for cell, c in enumerate(centroids):
+                ms = members.get(cell)
+                if not ms:
+                    new_centroids.append(np.asarray(c, dtype=np.float64))
+                    continue
+                cv = []
+                for pos in range(dim):
+                    staged_sum = sum(
+                        int(np.floor(np.float64(m[pos]) * 1e9)) for m in ms
+                    )
+                    cv.append(_round6(float(staged_sum) / 1e9 / len(ms)))
+                new_centroids.append(np.asarray(cv, dtype=np.float64))
+            centroids = new_centroids
 
     assign = {ids[i]: min(dists(v))[1] for i, v in enumerate(vecs)}
     # residual tier: the encode source is float64(x) - float64(centroid)
@@ -1116,6 +1155,15 @@ def s17_warc_domain_quality(sf_dir: str, n: int = 60) -> list[tuple]:
     return sorted(rows)
 
 
+def emb_pq_ivf_refined_topk(sf_dir: str) -> list[tuple]:
+    # mirrors plans/corpus.py emb_pq_ivf_refined_topk: the recommended
+    # r9 serving composition — residual IVFADC under a Lloyd-refined
+    # (2 iterations, 1/4 hash-sample) coarse quantizer
+    return emb_pq_ivf_topk(
+        sf_dir, residual=True, refine_iters=2, refine_sample_mod=4
+    )
+
+
 def emb_pq_ivf_residual_topk(sf_dir: str) -> list[tuple]:
     # mirrors plans/corpus.py emb_pq_ivf_residual_topk: the residual-
     # IVFADC tier of the same composition
@@ -1174,6 +1222,7 @@ DERIVATIONS = {
     "emb_pq_rerank_topk": emb_pq_rerank_topk,
     "emb_pq_ivf_topk": emb_pq_ivf_topk,
     "emb_pq_ivf_residual_topk": emb_pq_ivf_residual_topk,
+    "emb_pq_ivf_refined_topk": emb_pq_ivf_refined_topk,
     "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
     "docs_minhash_lsh_dedup": docs_minhash_lsh_dedup,
     "docs_minhash_keep": docs_minhash_keep,
