@@ -196,11 +196,21 @@ def start_ann_ingest_stream(
     still replaces exactly its own rows. Manual compaction with the
     stream stopped (exclude_tags=None) remains available; a crash
     mid-compact is covered by recover_swap at stream start."""
-    from ct_mapreduce_spark.fsutil import _fs_and_path, recover_swap
+    from ct_mapreduce_spark.fsutil import _fs_and_path, path_exists, recover_swap
 
     if store not in ("ivf", "pq"):
         raise ValueError(f"store must be 'ivf' or 'pq', got {store!r}")
     pq = store == "pq"
+    # no cold start for an ANN index (write_cells docstring): the stored
+    # model defines every past and future probe — fail at daemon start
+    # with the fix, not mid-trigger with a raw parquet read error
+    if not path_exists(spark, index_path + "/_centroids"):
+        builder = "pq_ivf_build_index" if pq else "ivf_build_index"
+        raise ValueError(
+            f"no index at {index_path} (missing _centroids): seed it "
+            f"with similarity.{builder} (or `cli ann build"
+            f"{' --pq' if pq else ''}`) before streaming into it"
+        )
     # the swap target is the tree the compactor renames: the whole index
     # dir for IVF (increments at {index}/_inc), the codes store for PQ
     # (increments at {index}/codes/_inc)

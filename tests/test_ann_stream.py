@@ -271,6 +271,22 @@ def test_pq_ann_stream_end_to_end_residual_autocompact(spark, emb, tmp_path):
     assert _code_rows(idx) == before == _code_rows(idx_app)
 
 
+def test_ann_stream_requires_seeded_index(spark, tmp_path):
+    """The ANN daemon has no cold start (the stored model defines every
+    probe): starting a stream against a missing index must fail at
+    daemon START with the seeding fix named, not mid-trigger with a raw
+    parquet error — for both stores."""
+    for store in ("ivf", "pq"):
+        with pytest.raises(ValueError, match="build"):
+            start_ann_ingest_stream(
+                spark,
+                source_path=str(tmp_path / "src"),
+                index_path=str(tmp_path / f"missing_{store}"),
+                checkpoint=str(tmp_path / f"ckpt_{store}"),
+                store=store,
+            )
+
+
 def test_ann_stream_auto_compaction_bounded(spark, tmp_path):
     """compact_every=N on the ANN ingest daemon: the increment tree
     stays bounded while the stream runs, probes over the auto-compacted
