@@ -298,9 +298,11 @@ def test_metrics_exposes_rate_anomaly(spark, tmp_path):
             .format("memory").queryName("anomaly_out").start()
         )
         q.processAllAvailable()
-        q.stop()
-        # listener delivery is async and can lag under load: poll until
-        # the tracker observed the query (bounded wait)
+        # scrape while the query is LIVE: the r9 tracker evicts state on
+        # onQueryTerminated (dead streams must not report rates), so the
+        # stop goes after the /metrics read. Listener delivery is async
+        # and can lag under load: poll until the tracker observed the
+        # query (bounded wait).
         deadline = time.monotonic() + 30
         while not tracker.snapshot() and time.monotonic() < deadline:
             time.sleep(0.2)
@@ -315,6 +317,14 @@ def test_metrics_exposes_rate_anomaly(spark, tmp_path):
         ra = ours[0]["rate_anomaly"]
         assert set(ra) >= {"n", "z_score", "is_anomaly", "n_observed"}
         assert ra["is_anomaly"] is False  # cold start: never anomalous
+
+        q.stop()
+        # eviction end-to-end: once the query terminates, /metrics stops
+        # reporting a rate for it (poll: termination event is async too)
+        deadline = time.monotonic() + 30
+        while tracker.snapshot() and time.monotonic() < deadline:
+            time.sleep(0.2)
+        assert not tracker.snapshot(), tracker.snapshot()
     finally:
         health.stop()
         spark.streams.removeListener(tracker)
