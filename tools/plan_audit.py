@@ -168,6 +168,10 @@ ALLOWED: dict[tuple[str, str], str] = {
     "because the probed-cell IN-list derives from the same tiny frame — "
     "emb_ann_ivf_indexed's adjudicated shape; the codes scan itself is "
     "partition-pruned and equi-joined on cell",
+    ("emb_pq_ivf_refined_topk", "bnlj"): "same probe-assignment "
+    "centroid crossJoin as emb_pq_ivf_topk (refinement changes the "
+    "centroid VALUES, not the plan: the refined 16-row frame broadcasts "
+    "identically; codes scan partition-pruned and equi-joined on cell)",
     ("emb_pq_ivf_residual_topk", "bnlj"): "same probe-assignment "
     "centroid crossJoin as emb_pq_ivf_topk (the residual tier adds only "
     "the <q, centroid> projection to the same broadcast row)",
