@@ -2033,9 +2033,15 @@ def cluster_balanced_sample(
     from ct_mapreduce_spark.operators.sampling import mixture_rebalance
 
     cents = _ivf_centroid_frame(emb, n_cells, id_col, vec_col, seed)
-    assigned = _assign_nearest(
-        emb, cents.collect(), id_col, vec_col, "v"
-    ).select(F.col("v_id").alias(id_col), "cell")
+    # materialized: mixture_rebalance joins the frame back to its own
+    # per-cell counts, and a self-join of an Arrow-UDF-derived frame
+    # re-executes the assignment on both sides (no exchange reuse under
+    # AQE broadcast) — measured ~2x the wall at the x10 soak rung
+    assigned = (
+        _assign_nearest(emb, cents.collect(), id_col, vec_col, "v")
+        .select(F.col("v_id").alias(id_col), "cell")
+        .localCheckpoint(eager=True)
+    )
     shares = (
         None
         if target_shares is None
