@@ -255,7 +255,9 @@ def start_dedup_stream(
     mid-compact is covered by the swap protocol: recover_swap runs for
     each store at stream start. Manual compaction with the stream
     stopped (exclude_tags=None, folds everything) remains available for
-    deployments that prefer an external maintenance window.
+    deployments that prefer an external maintenance window. CLI surface:
+    `cli dedup stream --compact-every N` runs this daemon; `cli dedup
+    compact` is the external window.
     """
     # complete/roll back any swap a crashed auto-compaction left behind
     # BEFORE the first probe reads the store
