@@ -117,6 +117,49 @@ def main() -> int:
     )
     assert before == after, "probe changed across compaction"
     print(f"compacted codes: {nb} -> {na} files; served answer unchanged")
+
+    # streaming maintenance (r9): a running crawl keeps the serving
+    # index fresh with the ANN daemon — per-trigger encode under the
+    # STORED model into batch-keyed increments, auto-compacted in-band.
+    # Same as `cli ann stream --pq --compact-every 4`.
+    import glob
+    import shutil
+
+    from ct_mapreduce_spark.streaming.ann_stream import (
+        start_ann_ingest_stream,
+    )
+
+    # a genuinely NEW batch (fresh ids — the index already holds the
+    # whole corpus): a later crawl drop arriving on the stream
+    stream_batch = emb.where(F.col("vec_id") % 4 == 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    src = f"{root}/stream_src"
+    stage = f"{root}/stage"
+    stream_batch.coalesce(1).write.parquet(stage)
+    os.makedirs(src, exist_ok=True)
+    shutil.copyfile(
+        glob.glob(stage + "/part-*.parquet")[0], src + "/b0.parquet"
+    )
+    n_before = spark.read.parquet(pqivf + "/codes").count()
+    q = start_ann_ingest_stream(
+        spark, source_path=src, index_path=pqivf,
+        checkpoint=f"{root}/ckpt", store="pq", compact_every=4,
+    )
+    q.awaitTermination(120)
+    served = similarity.pq_ivf_topk_indexed(
+        spark, pqivf, queries, k=5, n_probe=4,
+        rerank_corpus=emb, rerank_factor=4,
+    )
+    inc = f"{pqivf}/codes/_inc"
+    n_inc = (
+        spark.read.parquet(inc).count() if os.path.isdir(inc) else 0
+    )
+    print(
+        f"PQ daemon: streamed {stream_batch.count()} vectors into the "
+        f"serving index ({n_before} base + {n_inc} increment code rows); "
+        f"probe over base ∪ increments: {served.count()} rows"
+    )
     return 0
 
 
