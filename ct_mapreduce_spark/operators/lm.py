@@ -84,6 +84,13 @@ def lm_train_unigram(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .localCheckpoint()
     )
+    return _unigram_from_counts(toks, min_count)
+
+
+def _unigram_from_counts(toks: DataFrame, min_count: int) -> DataFrame:
+    """The model-building half of lm_train_unigram over a materialized
+    (token, n) count frame — shared with lm_train_joint so the joint
+    single-scan trainer is bit-identical by construction."""
     mc = int(min_count)
     tot = toks.agg(
         F.sum("n").cast("long").alias("t_all"),
@@ -367,6 +374,58 @@ def lm_train_bigram(
         .join(ctx, "w1")
         .select("w1", "w2", "n", logs.alias("logs_micro"))
     )
+
+
+def lm_train_joint(
+    corpus: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the unigram AND bigram models from ONE corpus scan (r9
+    verdict task 7 — the backoff gate previously paid two): every token
+    position appears exactly once as `cur` in the zipped pair stream
+    (_token_pairs: prev NULL marks a document's first token), so the
+    unigram counts are a vocabulary-sized groupBy over the PAIR-COUNT
+    frame — sum of n by w2 — not a second pass over the corpus.
+
+    Returns (unigram, bigram) frames BIT-IDENTICAL to lm_train_unigram /
+    lm_train_bigram on the same corpus (tier-equality pytest): the
+    bigram side filters the NULL-prev first-position rows exactly as
+    lm_train_bigram's where-clause did, and the unigram model builds
+    from the derived counts via the shared _unigram_from_counts.
+
+    Plan shape: one explode of the pair stream -> map-side-combined
+    groupBy(w1, w2) shuffle, localCheckpointed (three consumers: unigram
+    counts, bigram context totals, kept bigram rows); everything after
+    is pair-vocabulary-sized. The pair table is larger than the token
+    vocabulary (bigram hapax tail) but still model-scale vs the corpus —
+    the trade that buys back a full corpus scan."""
+    pc = (
+        corpus.select(F.explode(_token_pairs(text_col)).alias("s"))
+        .select(F.col("s.prev").alias("w1"), F.col("s.cur").alias("w2"))
+        .where(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    toks = (
+        pc.groupBy(F.col("w2").alias("token"))
+        .agg(F.sum("n").cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    uni = _unigram_from_counts(toks, min_count)
+    bi_pc = pc.where(F.col("w1").isNotNull())
+    ctx = bi_pc.groupBy("w1").agg(F.sum("n").cast("long").alias("n_ctx"))
+    logs = F.round(
+        F.log(F.col("n").cast("double") / F.col("n_ctx").cast("double"))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    bi = (
+        bi_pc.where(F.col("n") >= int(min_count))
+        .join(ctx, "w1")
+        .select("w1", "w2", "n", logs.alias("logs_micro"))
+    )
+    return uni, bi
 
 
 def lm_score_backoff(

@@ -3,14 +3,19 @@ with typed metadata (north-star surface).
 
 The Spark-side mechanics are real and tested: schemas, Arrow-batched
 mapInPandas with controlled batch sizes, partition sizing by byte weight.
-The IMAGE codec is real: a dependency-free 24-bit uncompressed-BMP parser
-(`decode_bmp`) feeds `bmp_decoder` (decode -> grayscale -> 4x4 downsample
--> 16 features), and the synthetic fixtures carry genuine BMP payloads —
-so extract_features exercises actual byte-level decoding, failure
-tolerance on garbage, and a golden oracle. Audio/video decode remains
-STUBBED behind `_decode_stub` (no librosa/ffmpeg in this container); the
-`resolve_decoder()` seam upgrades to Pillow/torchaudio in production with
-no other change.
+All three default codecs are REAL, dependency-free parsers over the
+uncompressed container formats: 24-bit BMP (`decode_bmp` -> grayscale ->
+4x4 downsample -> 16 features), RIFF/WAVE PCM-16 (`wav_decoder`: header
+parse + 16-bucket RMS envelope), and RIFF/AVI with uncompressed DIB
+frames (`avi_decoder`: frame index walk + per-frame luma). The synthetic
+fixtures carry genuine payloads in each format, so extract_features
+exercises actual byte-level decoding, failure tolerance on garbage, and
+a golden oracle. What the defaults do NOT cover is COMPRESSED real-world
+formats (JPEG/PNG, MP3/FLAC, H.264): the `resolve_decoder()` seam
+upgrades to Pillow (images; auto-detected when installed) or an injected
+librosa/ffmpeg-backed callable with no other change — the seam's routing
+and contract are pinned by tests that inject a PIL-compatible fake, plus
+a real-Pillow test that runs wherever Pillow is installed.
 
 Design notes for 100 TB:
 - binary payloads are never shuffled by value: transforms are mapInPandas
@@ -425,41 +430,55 @@ def avi_decoder(payload: bytes) -> list[float]:
     return feats
 
 
+def _make_pillow_decoder(image_module):
+    """Build the production image decoder around a PIL.Image-compatible
+    module. Split from resolve_decoder so the seam's ROUTING and CONTRACT
+    are testable in containers without Pillow: tests inject a
+    PIL-API-compatible fake here (test_llm_ops), and a real-Pillow test
+    runs wherever the library is installed. The contract:
+
+    - images: any Pillow-readable format -> L grayscale -> 4x4 NEAREST
+      sample -> 16 features in [0, 1]. NEAREST keeps this sampling-based
+      like bmp_decoder (bicubic would average pixels — a different
+      feature family). Contract-compatible with bmp_decoder but NOT
+      guaranteed bit-identical: Pillow's nearest picks floor((i+.5)*h/4)
+      sample points vs bmp_decoder's (i*h+h//2)//4, which differ for some
+      odd sizes — golden pins are valid for the BMP decoder only.
+    - audio/video: routed to the dependency-free WAV/AVI parsers
+      unchanged (Pillow adds nothing there).
+    - garbage: raises (any exception) — extract_features converts that
+      to decode_ok=false per row, never poisoning the batch."""
+    import io
+
+    def pillow_decoder(payload: bytes, kind: str) -> list[float]:
+        if kind == "audio":
+            return wav_decoder(payload)
+        if kind == "video":
+            return avi_decoder(payload)
+        if kind != "image":
+            return _decode_stub(payload, kind)
+        img = (
+            image_module.open(io.BytesIO(payload))
+            .convert("L")
+            .resize((4, 4), image_module.Resampling.NEAREST)
+        )
+        return [p / 255.0 for p in img.getdata()]
+
+    return pillow_decoder
+
+
 def resolve_decoder():
     """Codec seam: returns the best available `(payload, kind) ->
     list[float]` decoder. Tries the full image stack (Pillow — any
     format) first and falls back to the dependency-free BMP decoder
-    (real decode for images, stub for audio/video) — so the same
+    (real decode for BMP images, WAV audio, AVI video) — so the same
     pipeline upgrades in-place when the production image libs are
     installed. Any injected decoder must be picklable (it ships to
     Python workers)."""
-    try:  # pragma: no cover - container has no Pillow
-        import io
+    try:
+        from PIL import Image
 
-        from PIL import Image  # noqa: F401
-
-        def pillow_decoder(payload: bytes, kind: str) -> list[float]:
-            # NEAREST keeps this sampling-based like bmp_decoder (bicubic
-            # would average pixels — a different feature family). The two
-            # paths are contract-compatible (L-grayscale, 4x4 sample, /255)
-            # but NOT guaranteed bit-identical: Pillow's nearest picks
-            # floor((i+.5)*h/4) sample points vs bmp_decoder's
-            # (i*h+h//2)//4, which differ for some odd sizes — golden pins
-            # are valid for the BMP decoder only.
-            if kind == "audio":
-                return wav_decoder(payload)
-            if kind == "video":
-                return avi_decoder(payload)
-            if kind != "image":
-                return _decode_stub(payload, kind)
-            img = (
-                Image.open(io.BytesIO(payload))
-                .convert("L")
-                .resize((4, 4), Image.Resampling.NEAREST)
-            )
-            return [p / 255.0 for p in img.getdata()]
-
-        return pillow_decoder
+        return _make_pillow_decoder(Image)
     except ImportError:
         return bmp_decoder
 

@@ -519,6 +519,25 @@ def ivf_topk(
     and serve queries from ivf_topk_indexed — same math, but the probe
     reads only the probed cells' files (partition pruning)."""
     cents = _ivf_centroid_frame(corpus, n_cells, id_col, vec_col, seed)
+    if n_cells > _DRIVER_MODEL_CELL_BUDGET:
+        # two-level tier (r10): the centroid model never reaches the
+        # driver; corpus assignment and query probes both route through
+        # the coarse quantizer. Lloyd refinement is a driver-side model
+        # iteration by construction — refine the coarse pick instead.
+        if refine_iters:
+            raise ValueError(
+                "refine_iters is a driver-side model iteration; above "
+                f"_DRIVER_MODEL_CELL_BUDGET ({_DRIVER_MODEL_CELL_BUDGET} "
+                "cells) use the two-level tier unrefined or lower n_cells"
+            )
+        ca = _two_level_assign(
+            corpus, cents, n_cells, id_col, vec_col, "neighbor", seed=seed
+        )
+        qa = _two_level_assign(
+            queries, cents, n_cells, id_col, vec_col, "query",
+            t=n_probe, seed=seed,
+        )
+        return _rank_cell_candidates(ca, qa, k)
     # The centroid table is n_cells rows by construction — embed it as a
     # literal array so the corpus-side nearest-cell assignment is a NARROW
     # projection (argmin via array_min over (dist, cell) structs: struct
@@ -691,6 +710,255 @@ def _assign_probes(
     )
 
 
+# ---------------------------------------------------------------------------
+# Two-level quantizer tier: bounded driver model at any n_cells (r10)
+# ---------------------------------------------------------------------------
+
+# Above this cell count the centroid model is NOT driver-collected or
+# closure-shipped whole: assignment switches to the two-level tier, whose
+# driver/task payload is the sqrt-sized coarse quantizer only. 4096 cells
+# x 64 dims x 8 B = 2 MB — comfortably a literal/closure payload; every
+# golden pin lives far below it, so pins never route to the new tier.
+_DRIVER_MODEL_CELL_BUDGET = 4096
+
+# Soak instrumentation: centroid-model rows the driver last collected.
+# tools/scale_soak.py asserts this grows SUBLINEARLY in n_cells — the
+# machine-readable form of the r9 verdict's "driver's copy stays
+# sublinear" contract.
+_LAST_DRIVER_MODEL_ROWS = 0
+
+
+def _two_level_assign(
+    df: DataFrame,
+    cents: DataFrame,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+    prefix: str,
+    t: int = 1,
+    coarse_probe: int = 4,
+    seed: int = 42,
+    with_cos: bool = False,
+) -> DataFrame:
+    """Two-level nearest-cell assignment — the scale tier for
+    corpus-scale centroid models (r9 verdict "What's wrong #2").
+
+    One-level assignment collects the whole centroid model to the driver
+    and ships it to every task; under the auto cell rule
+    (n_cells ~ rows/target_cell_size) the model is LINEAR in corpus size
+    (~8M centroids at 1e9 embeddings) — the model itself becomes
+    corpus-scale driver traffic. This tier keeps the driver's copy
+    sublinear:
+
+    - COARSE level: max(16, isqrt(n_cells)) centroids picked FROM the
+      fine set by the same deterministic hash rule (seed+101) — the ONLY
+      driver-collected model (8M cells -> ~2.8k coarse rows).
+    - FINE level: the full centroid frame stays a DataFrame. Each fine
+      centroid is assigned its one nearest coarse owner (a distributed
+      n_cells-row pass on the existing vectorized tier), partitioning
+      the fine model by coarse cell.
+    - Each input row probes its `coarse_probe` nearest coarse cells
+      (narrow Arrow pass; only the sqrt-sized coarse matrix is
+      closure-shipped) and meets only those cells' fine centroids in a
+      cogrouped GEMM: the row side shuffles by coarse (x coarse_probe),
+      the fine side is model-sized. Per-group argmax-of-cosine, then a
+      per-row top-t window trim (desc cosine, asc cell — the literal
+      tier's exact tie-break).
+
+    Approximation contract (the Arrow-tier precedent at _assign_nearest:
+    recall-gated, not bit-gated): a row finds its true nearest fine
+    centroid iff that centroid's coarse owner is among the row's probes;
+    with coarse_probe >= n_coarse the tier is exhaustive and must agree
+    with one-level assignment (the tier-equality pytest). Cell ids,
+    membership semantics, and downstream plans are unchanged — only the
+    assignment transport differs.
+
+    Returns ({prefix}_id, {prefix}_vec, {prefix}_norm, cell
+    [, {prefix}_cos]) with up to t rows per input row (t=1: assignment;
+    t=n_probe: query-side probes)."""
+    import math
+
+    global _LAST_DRIVER_MODEL_ROWS
+    n_coarse = min(
+        max(16, math.isqrt(int(n_cells))), _DRIVER_MODEL_CELL_BUDGET
+    )
+    coarse_probe = max(2, min(coarse_probe, n_coarse))
+    coarse_rows = (
+        cents.select(
+            "centroid",
+            F.xxhash64(F.col("cell").cast("string"), F.lit(seed + 101)).alias(
+                "h"
+            ),
+        )
+        .orderBy("h")
+        .limit(n_coarse)
+        .withColumn(
+            "coarse",
+            F.row_number().over(W.partitionBy(F.lit(0)).orderBy("h")) - 1,
+        )
+        .select("coarse", "centroid")
+        .collect()
+    )
+    _LAST_DRIVER_MODEL_ROWS = len(coarse_rows)
+    coarse_sorted = sorted(coarse_rows, key=lambda r: r["coarse"])
+    cmat = np.asarray(
+        [[float(x) for x in r["centroid"]] for r in coarse_sorted],
+        dtype=np.float64,
+    )
+    coarse_ids = np.asarray(
+        [int(r["coarse"]) for r in coarse_sorted], dtype=np.int32
+    )
+    cmat_unit_t = (cmat / np.linalg.norm(cmat, axis=1)[:, None]).T
+
+    # fine centroids -> one coarse owner each. The fine frame is n_cells
+    # rows (model-sized relative to the corpus); _assign_nearest's own
+    # dispatch picks the Arrow tier when n_coarse x dim warrants it.
+    fine = _assign_nearest(
+        cents,
+        [
+            {"cell": int(r["coarse"]), "centroid": r["centroid"]}
+            for r in coarse_sorted
+        ],
+        "cell",
+        "centroid",
+        "f",
+    ).select(
+        F.col("cell").alias("coarse"),
+        F.col("f_id").alias("fcell"),
+        F.col("f_vec").alias("fcent"),
+        F.col("f_norm").alias("fnorm"),
+    )
+
+    p = coarse_probe
+
+    @F.pandas_udf("struct<probes:array<int>, vnorm:double>")
+    def _coarse_assign(vecs: pd.Series) -> pd.DataFrame:
+        m = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
+        )
+        vnorm = np.sqrt((m * m).sum(axis=1))
+        scores = m @ cmat_unit_t
+        # stable sort on -score: lowest coarse id wins exact ties (ids
+        # ascend), matching the literal tier's struct-min tie-break
+        idx = np.argsort(-scores, axis=1, kind="stable")[:, :p]
+        return pd.DataFrame(
+            {
+                "probes": [coarse_ids[r].tolist() for r in idx],
+                "vnorm": vnorm,
+            }
+        )
+
+    probed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        _coarse_assign(F.col(vec_col)).alias("_a"),
+    ).select(
+        "_id",
+        "_vec",
+        F.col("_a.vnorm").alias("_vnorm"),
+        F.explode(F.col("_a.probes")).alias("coarse"),
+    )
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    out_schema = (
+        f"_id {id_t}, _vec {vec_t}, _vnorm double, cell int, _cos double"
+    )
+    empty_cols = ["_id", "_vec", "_vnorm", "cell", "_cos"]
+
+    def _best_in_coarse(left: pd.DataFrame, right: pd.DataFrame):
+        # a coarse cell can own zero fine centroids only via an exact
+        # centroid tie; rows probing it get candidates from their other
+        # probes (coarse_probe >= 2 by construction)
+        if left.empty or right.empty:
+            return pd.DataFrame({c: [] for c in empty_cols})
+        order = np.argsort(right["fcell"].to_numpy(), kind="stable")
+        fmat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in right["fcent"]],
+            dtype=np.float64,
+        )[order]
+        fnorm = right["fnorm"].to_numpy()[order]
+        fcell = right["fcell"].to_numpy()[order]
+        rows = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in left["_vec"]],
+            dtype=np.float64,
+        )
+        vnorm = left["_vnorm"].to_numpy()
+        cos = (rows @ fmat.T) / (vnorm[:, None] * fnorm[None, :])
+        tt = min(t, cos.shape[1])
+        if tt == 1:
+            # first-max rule = lowest fcell on exact ties (sorted ascending)
+            best = np.argmax(cos, axis=1)
+            return pd.DataFrame(
+                {
+                    "_id": left["_id"].to_numpy(),
+                    "_vec": left["_vec"].to_numpy(),
+                    "_vnorm": vnorm,
+                    "cell": fcell[best].astype("int32"),
+                    "_cos": cos[np.arange(len(rows)), best],
+                }
+            )
+        idx = np.argsort(-cos, axis=1, kind="stable")[:, :tt]
+        reps = np.repeat(np.arange(len(rows)), tt)
+        cols = idx.ravel()
+        return pd.DataFrame(
+            {
+                "_id": left["_id"].to_numpy()[reps],
+                "_vec": left["_vec"].to_numpy()[reps],
+                "_vnorm": vnorm[reps],
+                "cell": fcell[cols].astype("int32"),
+                "_cos": cos[reps, cols],
+            }
+        )
+
+    cand = (
+        probed.groupBy("coarse")
+        .cogroup(fine.groupBy("coarse"))
+        .applyInPandas(_best_in_coarse, out_schema)
+    )
+    w = W.partitionBy("_id").orderBy(F.desc("_cos"), "cell")
+    best = cand.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= t
+    )
+    out_cols = [
+        F.col("_id").alias(f"{prefix}_id"),
+        F.col("_vec").alias(f"{prefix}_vec"),
+        F.col("_vnorm").alias(f"{prefix}_norm"),
+        F.col("cell"),
+    ]
+    if with_cos:
+        out_cols.append(F.col("_cos").alias(f"{prefix}_cos"))
+    return best.select(*out_cols)
+
+
+def _assign_cells_auto(
+    df: DataFrame,
+    cents: DataFrame,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+    prefix: str,
+    seed: int = 42,
+):
+    """Budget dispatch between one-level assignment (driver-collected
+    model; the literal/Arrow tiers where every golden pin lives) and the
+    two-level distributed-model tier. Returns (assigned, cent_rows):
+    cent_rows is None on the two-level tier — callers needing per-cell
+    centroid VALUES there must join `cents` instead of indexing a driver
+    literal."""
+    global _LAST_DRIVER_MODEL_ROWS
+    if n_cells <= _DRIVER_MODEL_CELL_BUDGET:
+        cent_rows = cents.collect()
+        _LAST_DRIVER_MODEL_ROWS = len(cent_rows)
+        return _assign_nearest(df, cent_rows, id_col, vec_col, prefix), cent_rows
+    return (
+        _two_level_assign(
+            df, cents, n_cells, id_col, vec_col, prefix, seed=seed
+        ),
+        None,
+    )
+
+
 def _rank_cell_candidates(ca: DataFrame, qa: DataFrame, k: int) -> DataFrame:
     cand = (
         ca.join(F.broadcast(qa), "cell")
@@ -735,17 +1003,31 @@ def ivf_build_index(
     scale you rebuild when centroid drift degrades recall, not per
     query."""
     cents = _ivf_centroid_frame(corpus, n_cells, id_col, vec_col, seed)
-    cent_rows = cents.collect()
-    if refine_iters:
-        cent_rows = ivf_refine_centroids(
-            corpus, cent_rows, refine_iters, id_col, vec_col,
-            sample_mod=refine_sample_mod,
+    if n_cells > _DRIVER_MODEL_CELL_BUDGET:
+        if refine_iters:
+            raise ValueError(
+                "refine_iters is a driver-side model iteration; above "
+                f"_DRIVER_MODEL_CELL_BUDGET ({_DRIVER_MODEL_CELL_BUDGET} "
+                "cells) build unrefined or lower n_cells"
+            )
+        assigned = _two_level_assign(
+            corpus, cents, n_cells, id_col, vec_col, "neighbor", seed=seed
         )
-        cents = corpus.sparkSession.createDataFrame(
-            [(c["cell"], [float(x) for x in c["centroid"]]) for c in cent_rows],
-            "cell int, centroid array<double>",
-        )
-    assigned = _assign_nearest(corpus, cent_rows, id_col, vec_col, "neighbor")
+    else:
+        cent_rows = cents.collect()
+        if refine_iters:
+            cent_rows = ivf_refine_centroids(
+                corpus, cent_rows, refine_iters, id_col, vec_col,
+                sample_mod=refine_sample_mod,
+            )
+            cents = corpus.sparkSession.createDataFrame(
+                [
+                    (c["cell"], [float(x) for x in c["centroid"]])
+                    for c in cent_rows
+                ],
+                "cell int, centroid array<double>",
+            )
+        assigned = _assign_nearest(corpus, cent_rows, id_col, vec_col, "neighbor")
     (
         assigned.withColumnRenamed("neighbor_id", id_col)
         .withColumnRenamed("neighbor_vec", vec_col)
@@ -843,8 +1125,11 @@ def ivf_index_append(
     accumulated per-append files down when probe cost starts tracking
     file opens instead of bytes."""
     spark = new_vectors.sparkSession
-    cent_rows = spark.read.parquet(path + "/_centroids").collect()
-    assigned = _assign_nearest(new_vectors, cent_rows, id_col, vec_col, "neighbor")
+    cents = spark.read.parquet(path + "/_centroids")
+    n_cells = cents.count()
+    assigned, _ = _assign_cells_auto(
+        new_vectors, cents, n_cells, id_col, vec_col, "neighbor"
+    )
     (
         assigned.withColumnRenamed("neighbor_id", id_col)
         .withColumnRenamed("neighbor_vec", vec_col)
@@ -961,7 +1246,15 @@ def ivf_topk_indexed(
     base ∪ increments probe the dedup index serves
     (dedup_fuzzy._read_store)."""
     cents = spark.read.parquet(path + "/_centroids")
-    qa = _assign_probes(queries, cents, id_col, vec_col, "query", n_probe)
+    stored_cells = cents.count()
+    if stored_cells > _DRIVER_MODEL_CELL_BUDGET:
+        # two-level query probes (r10): the stored model stays distributed
+        qa = _two_level_assign(
+            queries, cents, stored_cells, id_col, vec_col, "query",
+            t=n_probe,
+        )
+    else:
+        qa = _assign_probes(queries, cents, id_col, vec_col, "query", n_probe)
     # The probed-cell set is tiny (<= n_queries x n_probe distinct ints);
     # collecting it makes the pruning predicate a literal IN-list the
     # parquet source can evaluate against partition directories.
@@ -1088,10 +1381,20 @@ def semdedup_pairs(
     if n_cells is None:
         n_cells = max(16, corpus.count() // target_cell_size)
     cents = _ivf_centroid_frame(corpus, n_cells, id_col, vec_col, seed)
-    cent_rows = cents.collect()
-    ca = _assign_nearest(corpus, cent_rows, id_col, vec_col, "m")
+    # budget dispatch (r10): above _DRIVER_MODEL_CELL_BUDGET the centroid
+    # model is never driver-collected — assignment goes two-level, so the
+    # auto cell rule (linear in corpus) no longer makes the MODEL linear
+    # driver/task traffic. Pins pass explicit small n_cells and stay on
+    # the one-level literal tier.
+    ca, cent_rows = _assign_cells_auto(
+        corpus, cents, n_cells, id_col, vec_col, "m", seed
+    )
     if grouped:
-        dim = len(cent_rows[0]["centroid"])
+        dim = (
+            len(cent_rows[0]["centroid"])
+            if cent_rows
+            else len(corpus.select(vec_col).head(1)[0][0])
+        )
 
         def _pairs_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
             n = len(pdf)
@@ -1213,17 +1516,34 @@ def prototype_prune(
     if n_cells is None:
         n_cells = max(16, corpus.count() // target_cell_size)
     cents = _ivf_centroid_frame(corpus, n_cells, id_col, vec_col, seed)
-    cent_rows = cents.collect()
-    ca = _assign_nearest(corpus, cent_rows, id_col, vec_col, "m")
-    s = F.element_at(_centroid_literal(cent_rows), F.col("cell") + 1)
-    scored = ca.select(
-        F.col("m_id").alias(id_col),
-        "cell",
-        (
-            _dot(F.col("m_vec"), s["centroid"])
-            / (F.col("m_norm") * s["norm"])
-        ).alias("_pc"),
-    ).localCheckpoint()  # two consumers: the counts agg and the ranking
+    if n_cells <= _DRIVER_MODEL_CELL_BUDGET:
+        cent_rows = cents.collect()
+        global _LAST_DRIVER_MODEL_ROWS
+        _LAST_DRIVER_MODEL_ROWS = len(cent_rows)
+        ca = _assign_nearest(corpus, cent_rows, id_col, vec_col, "m")
+        s = F.element_at(_centroid_literal(cent_rows), F.col("cell") + 1)
+        scored = ca.select(
+            F.col("m_id").alias(id_col),
+            "cell",
+            (
+                _dot(F.col("m_vec"), s["centroid"])
+                / (F.col("m_norm") * s["norm"])
+            ).alias("_pc"),
+        )
+    else:
+        # two-level tier (r10): the assignment's winning cosine IS the
+        # prototype score, so no centroid lookup is needed — the model
+        # never reaches the driver above the budget
+        scored = _two_level_assign(
+            corpus, cents, n_cells, id_col, vec_col, "m",
+            seed=seed, with_cos=True,
+        ).select(
+            F.col("m_id").alias(id_col),
+            "cell",
+            F.col("m_cos").alias("_pc"),
+        )
+    # two consumers: the counts agg and the ranking
+    scored = scored.localCheckpoint()
     counts = scored.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("cell_n")
     )
@@ -2036,11 +2356,12 @@ def cluster_balanced_sample(
     # materialized: mixture_rebalance joins the frame back to its own
     # per-cell counts, and a self-join of an Arrow-UDF-derived frame
     # re-executes the assignment on both sides (no exchange reuse under
-    # AQE broadcast) — measured ~2x the wall at the x10 soak rung
-    assigned = (
-        _assign_nearest(emb, cents.collect(), id_col, vec_col, "v")
-        .select(F.col("v_id").alias(id_col), "cell")
-        .localCheckpoint(eager=True)
+    # AQE broadcast) — measured ~2x the wall at the x10 soak rung.
+    # _assign_cells_auto keeps the driver model sublinear above the
+    # cell budget (r10 two-level tier).
+    av, _ = _assign_cells_auto(emb, cents, n_cells, id_col, vec_col, "v", seed)
+    assigned = av.select(F.col("v_id").alias(id_col), "cell").localCheckpoint(
+        eager=True
     )
     shares = (
         None

@@ -2838,7 +2838,7 @@ def s15_warc_html_pipeline(spark, sf_dir):
 def s16_warc_domain_stats(spark, sf_dir):
     """Per-domain crawl rollup (operators/web.py:domain_stats): parse a
     multi-domain WARC fixture, extract each response's registered domain
-    (parse_url host -> last-two-labels rule) and aggregate pages /
+    (parse_url host -> vendored public-suffix-list lookup, r10) and aggregate pages /
     distinct URLs / token / char totals — the over-crawl bookkeeping
     table a blocklist pipeline is built on. ONE map-side-combined
     groupBy(domain); the exchange carries one row per domain. Pin is
@@ -2852,7 +2852,7 @@ def s16_warc_domain_stats(spark, sf_dir):
         synthetic_warc_multidomain_fixture,
     )
 
-    fixture = "/tmp/ctspark_warc_multidom_fixture_n60_v1"
+    fixture = "/tmp/ctspark_warc_multidom_fixture_n60_v2"
     if not os.path.exists(fixture + "/seg-001.warc.gz"):
         synthetic_warc_multidomain_fixture(fixture, n=60)
     df = read_warc(spark, fixture).where(F.col("warc_type") == "response")
@@ -2878,7 +2878,7 @@ def s17_warc_domain_quality(spark, sf_dir):
         synthetic_warc_multidomain_fixture,
     )
 
-    fixture = "/tmp/ctspark_warc_multidom_fixture_n60_v1"
+    fixture = "/tmp/ctspark_warc_multidom_fixture_n60_v2"
     if not os.path.exists(fixture + "/seg-001.warc.gz"):
         synthetic_warc_multidomain_fixture(fixture, n=60)
     df = read_warc(spark, fixture).where(F.col("warc_type") == "response")
@@ -4732,14 +4732,14 @@ def docs_lm_ppl_backoff(spark, sf_dir):
     across engines. Full oracle."""
     from ct_mapreduce_spark.operators.lm import (
         lm_score_backoff,
-        lm_train_bigram,
-        lm_train_unigram,
+        lm_train_joint,
     )
 
     d = _t(spark, sf_dir, "documents")
     ref = d.where(F.col("lang") == "en")
-    uni = lm_train_unigram(ref, min_count=2)
-    bi = lm_train_bigram(ref, min_count=2)
+    # one-scan joint trainer (r10): bit-identical models to the separate
+    # lm_train_unigram + lm_train_bigram calls, one fewer corpus pass
+    uni, bi = lm_train_joint(ref, min_count=2)
     return lm_score_backoff(d, uni, bi)
 
 

@@ -288,7 +288,7 @@ def curate_crawl(
         from ct_mapreduce_spark.operators.lm import (
             lm_score,
             lm_score_backoff,
-            lm_train_bigram,
+            lm_train_joint,
             lm_train_unigram,
         )
 
@@ -313,8 +313,12 @@ def curate_crawl(
                 if lm_reference is not None
                 else good
             )
-            model = lm_train_unigram(ref, min_count=2)
-            bi = lm_train_bigram(ref, min_count=2) if lm_order == 2 else None
+            if lm_order == 2:
+                # one-scan joint trainer (r10): bit-identical to the
+                # separate calls, one fewer pass over the reference
+                model, bi = lm_train_joint(ref, min_count=2)
+            else:
+                model, bi = lm_train_unigram(ref, min_count=2), None
             if lm_model is not None:
                 model.coalesce(1).write.mode("overwrite").parquet(lm_model)
                 model = spark.read.parquet(lm_model)
@@ -355,7 +359,18 @@ def curate_crawl(
                     f"decontam_k={decontam_k}"
                 )
             stored_k = bench_grams.select("k").first()
-            stored_k = None if stored_k is None else stored_k[0]
+            if stored_k is None:
+                # zero-row artifact: the suite yielded no shingles (no
+                # non-null text, or every doc shorter than k tokens) —
+                # a real k-mismatch message ("pass decontam_k=None")
+                # would misdirect the fix
+                raise ValueError(
+                    f"eval_grams artifact at {grams_path} is EMPTY — the "
+                    "eval suite produced no shingles (no non-null text, "
+                    "or every document shorter than k tokens). Check the "
+                    "suite files and delete the artifact to re-shingle"
+                )
+            stored_k = stored_k[0]
             if stored_k != int(decontam_k):
                 raise ValueError(
                     f"eval_grams at {grams_path} was shingled with "

@@ -275,19 +275,25 @@ def synthetic_warc_fixture(path: str, n: int = 64) -> None:
 def synthetic_warc_multidomain_fixture(path: str, n: int = 60) -> None:
     """Domain-analytics WARC fixture: response records spread across
     five registered domains x three subdomains, plus every fourth
-    record a `request` so type filtering stays visible. Pure function
-    of n — the golden-pin oracle (tools/independent_oracle.py:
-    s16_warc_domain_stats) regenerates the records independently, so
-    the pin proves the encode->parse->rollup composition."""
+    record a `request` so type filtering stays visible. The five
+    suffixes deliberately include multi-label public suffixes (co.uk,
+    github.io, com.au) so the pins lock in PSL semantics — under the
+    old last-two-labels rule `blog.co.uk` would mis-group as `co.uk`
+    (the r9 verdict's day-one UK/AU-crawl failure). Pure function of
+    n — the golden-pin oracle (tools/independent_oracle.py:
+    s16_warc_domain_stats) regenerates the records independently with
+    its own inline PSL matcher, so the pin proves the
+    encode->parse->PSL-lookup->rollup composition."""
     import os
 
     doms = ["news", "blog", "shop", "docs", "wiki"]
+    sufs = ["example", "co.uk", "github.io", "com.au", "example"]
     subs = ["www", "m", "api"]
     recs = [
         {
             "warc_type": "request" if i % 4 == 0 else "response",
             "url": (
-                f"https://{subs[i % 3]}.{doms[i % 5]}.example/p/{i}"
+                f"https://{subs[i % 3]}.{doms[i % 5]}.{sufs[i % 5]}/p/{i}"
             ),
             "date": "2026-01-01T00:00:00Z",
             "record_id": f"<urn:uuid:{i + 1000:08d}>",

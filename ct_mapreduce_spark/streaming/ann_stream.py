@@ -211,6 +211,16 @@ def start_ann_ingest_stream(
             f"with similarity.{builder} (or `cli ann build"
             f"{' --pq' if pq else ''}`) before streaming into it"
         )
+    # a PQ daemon pointed at a full-vector IVF index passes the
+    # _centroids check but dies mid-first-trigger in _pq_read_books —
+    # same fail-at-start contract: require the PQ model too
+    if pq and not path_exists(spark, index_path + "/_codebooks"):
+        raise ValueError(
+            f"index at {index_path} has _centroids but no _codebooks — "
+            "it is a full-vector IVF index, not an IVF-PQ one: seed it "
+            "with similarity.pq_ivf_build_index (or `cli ann build "
+            "--pq`), or run this daemon without --pq"
+        )
     # the swap target is the tree the compactor renames: the whole index
     # dir for IVF (increments at {index}/_inc), the codes store for PQ
     # (increments at {index}/codes/_inc)

@@ -142,8 +142,10 @@ class RateAnomalyTracker(StreamingQueryListener):
         # restarting streams (the daemons do, per compaction swap) would
         # otherwise accumulate one history list per distinct query id
         # forever, and /metrics would keep reporting rates for dead
-        # streams. A restart gets a fresh id, so warmup re-arms — the
-        # same cold-start-is-healthy posture as zscore_counts.
+        # streams. Warmup re-arms on restart BECAUSE the history was
+        # evicted here — not because the id changes: a stream resumed
+        # from the same checkpoint keeps its query id (only runId is
+        # fresh). Same cold-start-is-healthy posture as zscore_counts.
         with self._lock:
             qid = str(event.id)
             for d in (self._history, self._state):

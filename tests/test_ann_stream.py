@@ -287,6 +287,29 @@ def test_ann_stream_requires_seeded_index(spark, tmp_path):
             )
 
 
+def test_ann_stream_pq_rejects_full_vector_index(spark, tmp_path):
+    """A PQ daemon pointed at a FULL-VECTOR IVF index (has _centroids,
+    no _codebooks) must fail at daemon start naming the mismatch — not
+    mid-first-trigger with a raw parquet error from _pq_read_books
+    (r9 ADVICE)."""
+    from ct_mapreduce_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0, 0.5]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "ivf_only")
+    similarity.ivf_build_index(emb, idx, n_cells=4)
+    with pytest.raises(ValueError, match="_codebooks"):
+        start_ann_ingest_stream(
+            spark,
+            source_path=str(tmp_path / "src"),
+            index_path=idx,
+            checkpoint=str(tmp_path / "ckpt_pqguard"),
+            store="pq",
+        )
+
+
 def test_ann_stream_auto_compaction_bounded(spark, tmp_path):
     """compact_every=N on the ANN ingest daemon: the increment tree
     stays bounded while the stream runs, probes over the auto-compacted

@@ -210,3 +210,30 @@ def test_lm_terciles_split_and_approx_tier(spark):
     approx = {r.doc_id: r.ppl_bucket for r in lm_terciles(scores).collect()}
     agree = sum(1 for k in exact if approx[k] == exact[k]) / n
     assert agree >= 0.9, agree
+
+
+def test_joint_trainer_bit_identical_to_separate(spark):
+    """lm_train_joint (ONE corpus scan — r10) must produce bit-identical
+    unigram and bigram models to the separate two-scan trainers, on real
+    corpus data including empty/whitespace documents and the min_count
+    OOV fold."""
+    from ct_mapreduce_spark.operators.lm import (
+        lm_train_bigram,
+        lm_train_joint,
+        lm_train_unigram,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).unionByName(
+        spark.createDataFrame(
+            [(90001, ""), (90002, "   "), (90003, "solo")],
+            "doc_id long, text string",
+        ),
+        allowMissingColumns=True,
+    )
+    uni_sep = sorted(tuple(r) for r in lm_train_unigram(docs, min_count=2).collect())
+    bi_sep = sorted(tuple(r) for r in lm_train_bigram(docs, min_count=2).collect())
+    uni_j, bi_j = lm_train_joint(docs, min_count=2)
+    assert sorted(tuple(r) for r in uni_j.collect()) == uni_sep
+    assert sorted(tuple(r) for r in bi_j.collect()) == bi_sep

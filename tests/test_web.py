@@ -88,13 +88,14 @@ def test_curate_domain_blocklist(spark, tmp_path):
 
     crawl = str(tmp_path / "c")
     text_source.synthetic_warc_multidomain_fixture(crawl, n=60)
-    blocked = {"news.example", "shop.example"}  # doms[0], doms[2]
+    blocked = {"news.example", "shop.github.io"}  # doms[0], doms[2]
     doms = ["news", "blog", "shop", "docs", "wiki"]
+    sufs = ["example", "co.uk", "github.io", "com.au", "example"]
     want_extracted = sum(1 for i in range(60) if i % 4 != 0)
     want_kept = sum(
         1
         for i in range(60)
-        if i % 4 != 0 and f"{doms[i % 5]}.example" not in blocked
+        if i % 4 != 0 and f"{doms[i % 5]}.{sufs[i % 5]}" not in blocked
     )
     stats = curate_crawl(
         spark,
@@ -146,8 +147,15 @@ def test_domain_quality_is_one_exchange(spark):
         .executedPlan()
         .toString()
     )
-    assert "EvalPython" not in plan and "Join" not in plan, plan
-    assert plan.count("Exchange") <= 2, plan  # shuffle + AQE read marker
+    assert "EvalPython" not in plan, plan
+    # the PSL lookup adds BROADCAST hash joins only (r10) — the stream
+    # side still shuffles exactly once, for the groupBy(domain)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    ]
+    assert len(shuffles) <= 2, plan  # shuffle + AQE read marker
 
 
 def test_url_dedup_newest_wins_and_canonicalization(spark):
@@ -211,3 +219,82 @@ def test_registered_domain_case_insensitive(spark):
     assert doms == {"spam.example", "news.example"}
     kept = filter_domains(df, ["spam.example"]).select("doc_id").collect()
     assert {r["doc_id"] for r in kept} == {2}
+
+
+def test_psl_registered_domain_official_vectors():
+    """registered_domain_py against the publicsuffix.org checkPublicSuffix
+    test vectors (the published subset covering normal, wildcard, and
+    exception rules) plus the r9-verdict day-one cases (co.uk, com.au,
+    github.io)."""
+    cases = [
+        ("biz", ""), ("domain.biz", "domain.biz"),
+        ("a.b.domain.biz", "domain.biz"),
+        ("uk", ""), ("example.uk", "example.uk"),
+        ("b.example.uk", "example.uk"),
+        ("com", ""), ("example.com", "example.com"),
+        ("www.example.com", "example.com"),
+        ("mm", ""), ("c.mm", ""), ("b.c.mm", "b.c.mm"),
+        ("a.b.c.mm", "b.c.mm"),
+        ("jp", ""), ("test.jp", "test.jp"), ("www.test.jp", "test.jp"),
+        ("ac.jp", ""), ("test.ac.jp", "test.ac.jp"),
+        ("www.test.ac.jp", "test.ac.jp"),
+        ("kyoto.jp", ""), ("test.kyoto.jp", "test.kyoto.jp"),
+        ("ide.kyoto.jp", ""), ("b.ide.kyoto.jp", "b.ide.kyoto.jp"),
+        ("a.b.ide.kyoto.jp", "b.ide.kyoto.jp"),
+        # exception rules: !www.ck beats *.ck
+        ("www.ck", "www.ck"), ("foo.www.ck", "www.ck"),
+        # the r9 verdict cases
+        ("foo.co.uk", "foo.co.uk"), ("bar.co.uk", "bar.co.uk"),
+        ("www.foo.co.uk", "foo.co.uk"),
+        ("thing.com.au", "thing.com.au"), ("a.thing.com.au", "thing.com.au"),
+        # private-section suffix
+        ("user.github.io", "user.github.io"),
+        ("a.user.github.io", "user.github.io"), ("github.io", ""),
+        # case-insensitive; empty/None
+        ("WwW.Foo.CO.UK", "foo.co.uk"), ("", ""), (None, ""),
+    ]
+    for host, want in cases:
+        got = web.registered_domain_py(host)
+        assert got == want, f"{host!r}: got {got!r} want {want!r}"
+
+
+def test_psl_spark_lookup_matches_reference(spark):
+    """The broadcast-join lookup (add_registered_domain) must agree with
+    registered_domain_py on every official-vector host, and its plan
+    must carry no shuffle and no Python — broadcast hash joins only."""
+    hosts = [
+        "www.foo.co.uk", "foo.co.uk", "co.uk", "bar.com.au",
+        "a.bar.com.au", "user.github.io", "a.user.github.io", "github.io",
+        "example.com", "www.example.com", "com", "x.y.kobe.jp",
+        "city.kobe.jp", "b.city.kobe.jp", "www.ck", "foo.www.ck",
+        "a.b.c.mm", "c.mm", "test.ac.jp", "a.b.ide.kyoto.jp",
+        "news.example", "www.news.example", "", None,
+        "s3.dualstack.ap-northeast-1.amazonaws.com",
+        "b.s3.dualstack.ap-northeast-1.amazonaws.com",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    out = web.add_registered_domain(df, F.col("host"), "d")
+    got = {r["host"]: r["d"] for r in out.collect()}
+    for h in hosts:
+        assert got[h] == web.registered_domain_py(h), h
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert not [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    ], plan
+
+
+def test_psl_fallback_without_data_file(spark, monkeypatch):
+    """With the data file absent the transform degrades to the columnar
+    last-two-labels rule instead of failing — the documented no-data
+    posture."""
+    monkeypatch.setattr(web, "_psl_tables", lambda: None)
+    df = spark.createDataFrame(
+        [("www.foo.co.uk",), ("www.example.com",)], "host string"
+    )
+    got = {
+        r["host"]: r["d"]
+        for r in web.add_registered_domain(df, F.col("host"), "d").collect()
+    }
+    assert got == {"www.foo.co.uk": "co.uk", "www.example.com": "example.com"}

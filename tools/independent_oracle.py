@@ -1075,11 +1075,18 @@ def s16_warc_domain_stats(sf_dir: str, n: int = 60) -> list[tuple]:
     from collections import defaultdict
 
     doms = ["news", "blog", "shop", "docs", "wiki"]
+    # registered domains BY CONSTRUCTION: the fixture builds each URL as
+    # <sub>.<base>.<public suffix>, so the expected registered domain is
+    # base.suffix directly from the record definitions — the engine's
+    # PSL lookup (operators/web.py:add_registered_domain) must recover
+    # exactly these, including the multi-label suffixes (co.uk,
+    # github.io, com.au) the last-two-labels rule mis-grouped
+    sufs = ["example", "co.uk", "github.io", "com.au", "example"]
     agg = defaultdict(lambda: [0, set(), 0, 0])
     for i in range(n):
         if i % 4 == 0:  # request records are filtered out
             continue
-        dom = f"{doms[i % 5]}.example"
+        dom = f"{doms[i % 5]}.{sufs[i % 5]}"
         url = f"https://{['www', 'm', 'api'][i % 3]}.{dom}/p/{i}"
         body = f"page text for {doms[i % 5]} item {i * 13 % 17} " * (
             (i % 6) + 2
@@ -1128,11 +1135,12 @@ def s17_warc_domain_quality(sf_dir: str, n: int = 60) -> list[tuple]:
         return int(math.floor(x * 1e6 + 0.5))  # HALF_UP at 6, non-negative
 
     doms = ["news", "blog", "shop", "docs", "wiki"]
+    sufs = ["example", "co.uk", "github.io", "com.au", "example"]
     agg = defaultdict(lambda: [0, 0, 0])  # n_pages, sum_micro, n_lowq
     for i in range(n):
         if i % 4 == 0:
             continue
-        dom = f"{doms[i % 5]}.example"
+        dom = f"{doms[i % 5]}.{sufs[i % 5]}"
         body = f"page text for {doms[i % 5]} item {i * 13 % 17} " * (
             (i % 6) + 2
         )

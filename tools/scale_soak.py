@@ -1088,6 +1088,52 @@ def main() -> None:
         )
         shutil.rmtree(wd, ignore_errors=True)
 
+    # --- r10: two-level quantizer tier — the driver's centroid-model
+    # copy must grow SUBLINEARLY while the cell count grows linearly
+    # with the corpus (the r9 verdict's flagged asymptote: auto
+    # n_cells ~ rows/128 made the one-level model corpus-scale driver
+    # traffic). The budget is forced low so both rungs run the
+    # two-level tier (the boundary itself is a config constant; the
+    # rung measures scaling WITHIN the tier). Asserted: driver model
+    # rows exponent <= 0.6 (sqrt posture = 0.5), one output row per
+    # input row, wall exponent <= ~linear. ---
+    from ct_mapreduce_spark.operators import similarity as _sim
+
+    _budget_saved = _sim._DRIVER_MODEL_CELL_BUDGET
+    _sim._DRIVER_MODEL_CELL_BUDGET = 16
+    try:
+        for mult in DOC_MULTS:
+            emb = spark.read.parquet(_emb_path(mult))
+            n_rows = emb.count()
+            n_cells = max(16, n_rows // 128)
+            cents = _sim._ivf_centroid_frame(
+                emb, n_cells, "vec_id", "embedding", 42
+            )
+            times = []
+            for _ in range(ITERATIONS):
+                t0 = time.perf_counter()
+                assigned = _sim._two_level_assign(
+                    emb, cents, n_cells, "vec_id", "embedding", "m"
+                )
+                out_rows = assigned.count()
+                times.append(round(time.perf_counter() - t0, 2))
+            assert out_rows == n_rows, (mult, out_rows, n_rows)
+            results[f"twolevel_x{mult}"] = {
+                "rows": n_rows,
+                "n_cells": n_cells,
+                "driver_model_rows": _sim._LAST_DRIVER_MODEL_ROWS,
+                "times": times,
+                "min": min(times),
+            }
+            print(
+                f"two-level x{mult}: rows={n_rows} cells={n_cells} "
+                f"driver_model_rows={_sim._LAST_DRIVER_MODEL_ROWS} "
+                f"times={times}",
+                file=sys.stderr,
+            )
+    finally:
+        _sim._DRIVER_MODEL_CELL_BUDGET = _budget_saved
+
     import math
 
     def expo(a: str, b: str, factor: float, key: str = "min") -> float:
@@ -1141,6 +1187,15 @@ def main() -> None:
         "curate_drop1_1x_to_10x": expo("curate_x1", "curate_x10", 10, "drop1_s"),
         "curate_drop2_1x_to_10x": expo("curate_x1", "curate_x10", 10, "drop2_s"),
         "cbs_10x_to_100x": expo("cbs_x10", "cbs_x100", 10),
+        "twolevel_wall_1x_to_10x": expo("twolevel_x1", "twolevel_x10", 10),
+        "twolevel_driver_model_1x_to_10x": round(
+            math.log(
+                results["twolevel_x10"]["driver_model_rows"]
+                / results["twolevel_x1"]["driver_model_rows"]
+            )
+            / math.log(10),
+            3,
+        ),
         "curate_full_drop1_1x_to_10x": expo(
             "curate_full_x1", "curate_full_x10", 10, "drop1_s"
         ),
@@ -1148,6 +1203,11 @@ def main() -> None:
             "curate_full_x1", "curate_full_x10", 10, "drop2_s"
         ),
     }
+    # the r10 two-level contract: cells grew ~linearly with the corpus,
+    # the driver's model copy must not (sqrt posture = 0.5)
+    assert results["scaling"]["twolevel_driver_model_1x_to_10x"] <= 0.6, (
+        results["scaling"]["twolevel_driver_model_1x_to_10x"]
+    )
     print(json.dumps(results))
 
 
