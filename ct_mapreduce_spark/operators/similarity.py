@@ -916,10 +916,39 @@ def _two_level_assign(
         .cogroup(fine.groupBy("coarse"))
         .applyInPandas(_best_in_coarse, out_schema)
     )
-    w = W.partitionBy("_id").orderBy(F.desc("_cos"), "cell")
-    best = cand.withColumn("_rn", F.row_number().over(w)).where(
-        F.col("_rn") <= t
-    )
+    if t == 1:
+        # assignment: a map-side-combinable min over (negated cosine,
+        # cell) — partial per-task minima collapse BEFORE the exchange,
+        # so the per-row shuffle carries ~1 row per (task, row) instead
+        # of all coarse_probe candidates (a row_number window cannot
+        # partial-aggregate). Tie-break identical: lowest cell on equal
+        # cosine; sign flip of a double is exact, so _cos round-trips
+        # bit-identically.
+        best = (
+            cand.groupBy("_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_cos")).alias("negcos"),
+                        F.col("cell").alias("cell"),
+                        F.col("_vec").alias("vec"),
+                        F.col("_vnorm").alias("vnorm"),
+                    )
+                ).alias("b")
+            )
+            .select(
+                "_id",
+                F.col("b.vec").alias("_vec"),
+                F.col("b.vnorm").alias("_vnorm"),
+                F.col("b.cell").alias("cell"),
+                (-F.col("b.negcos")).alias("_cos"),
+            )
+        )
+    else:
+        w = W.partitionBy("_id").orderBy(F.desc("_cos"), "cell")
+        best = cand.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") <= t
+        )
     out_cols = [
         F.col("_id").alias(f"{prefix}_id"),
         F.col("_vec").alias(f"{prefix}_vec"),
