@@ -237,3 +237,18 @@ def test_joint_trainer_bit_identical_to_separate(spark):
     uni_j, bi_j = lm_train_joint(docs, min_count=2)
     assert sorted(tuple(r) for r in uni_j.collect()) == uni_sep
     assert sorted(tuple(r) for r in bi_j.collect()) == bi_sep
+
+
+def test_joint_trainer_scans_corpus_once(spark):
+    """Both models must derive from the ONE checkpointed pair-count
+    pass: downstream plans read the checkpoint RDD, never the corpus
+    files — the r10 one-scan contract (previously unigram and bigram
+    each paid a full corpus scan)."""
+    from ct_mapreduce_spark.operators.lm import lm_train_joint
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    uni, bi = lm_train_joint(docs, min_count=2)
+    for name, frame in (("unigram", uni), ("bigram", bi)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "parquet" not in plan.lower(), (name, plan)
+        assert "ExistingRDD" in plan, (name, plan)

@@ -232,3 +232,28 @@ def test_flagged_weights_match_two_frame_form(spark, docs):
     ) == sorted(
         ((r["bucket"], r["target_n"], r["raw_n"], r["weight_micro"]) for r in one)
     )
+
+
+def test_token_budget_bounded_job_structure(spark):
+    """The DSIR selection pipeline's driver-action structure is bounded
+    and the scoring pipeline runs ONCE (localCheckpointed): the final
+    pass reads the checkpoint, not the corpus, and the whole query
+    executes in a bounded number of Spark jobs (AQE stage
+    materializations included — a re-executed scoring pipeline would
+    roughly double this)."""
+    from ct_mapreduce_spark.plans.corpus import REGISTRY
+
+    fn = REGISTRY["docs_token_budget"].fn
+    # warm once: artifact caches + codegen
+    fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup(None) or [])
+    out = fn(spark, "/root/testdata/sf0.001")
+    out.write.format("noop").mode("overwrite").save()
+    after = set(st.getJobIdsForGroup(None) or [])
+    n_jobs = len(after - before)
+    assert n_jobs <= 16, f"docs_token_budget ran {n_jobs} Spark jobs"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan.lower(), plan  # reads the checkpoint
