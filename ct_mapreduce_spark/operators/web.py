@@ -164,7 +164,12 @@ def add_registered_domain(
         return df.withColumn(out_col, registered_domain(host))
     normal, wildcard, exception = tables
     spark = df.sparkSession
-    h = F.lower(F.coalesce(host, F.lit("")))
+    # normalize exactly like registered_domain_py: trim, lowercase, and
+    # drop trailing dots (the FQDN root form 'example.com.' — parse_url
+    # preserves it, and 'com.' would miss every rule bucket otherwise)
+    h = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(host, F.lit("")))), r"\.+$", ""
+    )
     out = df.withColumn("_rd_labels", F.split(h, r"\.")).withColumn(
         "_rd_n", F.size(F.col("_rd_labels"))
     )

@@ -271,6 +271,9 @@ def test_psl_spark_lookup_matches_reference(spark):
         "news.example", "www.news.example", "", None,
         "s3.dualstack.ap-northeast-1.amazonaws.com",
         "b.s3.dualstack.ap-northeast-1.amazonaws.com",
+        # FQDN-root / case / whitespace normalization parity with the
+        # pure-Python reference (strip + lower + rstrip('.'))
+        "www.example.com.", "foo.co.uk.", "WwW.Foo.CO.UK", " example.com ",
     ]
     df = spark.createDataFrame([(h,) for h in hosts], "host string")
     out = web.add_registered_domain(df, F.col("host"), "d")
