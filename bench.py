@@ -20,6 +20,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Sidecar for the full audit trail (iterations, stage walls, sentinel
+# readings). Module-level so tests can repoint it at a tmp dir instead
+# of clobbering the repo's real artifact.
+DETAIL_PATH = Path(__file__).resolve().parent / "bench_detail.json"
+
 # Headliners: one per engine capability pillar (agg, dedup, join, window,
 # time, scan). Keep this list in sync with BASELINE.md.
 HEADLINE = [
@@ -453,9 +458,8 @@ def main() -> None:
     )
     if stage_walls:
         detail["curate_stage_walls"] = stage_walls
-    detail_path = Path(__file__).resolve().parent / "bench_detail.json"
     try:
-        detail_path.write_text(json.dumps(detail, indent=1))
+        DETAIL_PATH.write_text(json.dumps(detail, indent=1))
     except OSError as e:
         compact["detail"] = f"unwritable: {e}"[:120]
     # The compact JSON must be the LAST stdout line (driver parses the
