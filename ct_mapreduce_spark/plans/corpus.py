@@ -88,6 +88,45 @@ def _dec(c, scale: int = 4):
     )
 
 
+# Artifact-backed queries: serving-path entries whose first run builds a
+# materialized index (disk, fingerprint-tagged under /tmp) or trains a
+# model (in-process merge cache). bench.py splits these into explicit
+# *_build (cold, one timed run right after artifact_reset) and serve
+# (steady-state min-of-N with the artifact guaranteed warm) entries so a
+# fresh-container sweep can't book build cost against the serve baseline
+# (the r10 12.2x docs_bpe_token_stats false alarm). The (prefix, table,
+# gen) triples here are the single source of truth for the /tmp index
+# paths — the query bodies resolve through _artifact_path so a reset can
+# never drift from the path the query actually caches under.
+_ARTIFACT_IDX: dict[str, tuple[str, str, str]] = {
+    "docs_incremental_dedup": ("ctspark_mh_idx", "documents", "v4"),
+    "emb_pq_indexed_topk": ("ctspark_pq_idx", "embeddings", "v1"),
+    "emb_pq_ivf_topk": ("ctspark_pqivf_idx", "embeddings", "v1"),
+}
+
+ARTIFACT_BACKED: tuple[str, ...] = tuple(_ARTIFACT_IDX) + (
+    "docs_bpe_token_stats",
+)
+
+
+def _artifact_path(query: str, sf_dir: str) -> str:
+    prefix, table, gen = _ARTIFACT_IDX[query]
+    return f"/tmp/{prefix}_{_cache_tag(sf_dir, table, gen)}"
+
+
+def artifact_reset(query: str, sf_dir: str) -> None:
+    """Force the next run of an artifact-backed query to rebuild its
+    artifact: rm the fingerprint-tagged /tmp index, or clear the
+    in-process BPE merge cache. No-op for other queries."""
+    if query == "docs_bpe_token_stats":
+        _BPE_MERGE_CACHE.clear()
+        return
+    if query in _ARTIFACT_IDX:
+        import shutil
+
+        shutil.rmtree(_artifact_path(query, sf_dir), ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # A. Aggregations (reference: storage-statistics, SURVEY §2.4)
 # ---------------------------------------------------------------------------
@@ -1656,7 +1695,7 @@ def docs_incremental_dedup(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     batch = docs.where(F.col("doc_id") % 10 == 0)
     # v4: hash store generalized to (kind, hash) — content + sig tiers
-    idx = f"/tmp/ctspark_mh_idx_{_cache_tag(sf_dir, 'documents', 'v4')}"
+    idx = _artifact_path("docs_incremental_dedup", sf_dir)
     if not os.path.exists(idx + "/sigs/_SUCCESS"):
         dedup_fuzzy.minhash_index_build(corpus, idx)
     return dedup_fuzzy.minhash_probe_index(spark, idx, batch)
@@ -5379,7 +5418,7 @@ def emb_pq_indexed_topk(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    idx = f"/tmp/ctspark_pq_idx_{_cache_tag(sf_dir, 'embeddings', 'v1')}"
+    idx = _artifact_path("emb_pq_indexed_topk", sf_dir)
     if not os.path.exists(idx + "/codes/_SUCCESS"):
         pq_build_index(emb, idx)
     return pq_topk_indexed(
@@ -5406,7 +5445,7 @@ def emb_pq_ivf_topk(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    idx = f"/tmp/ctspark_pqivf_idx_{_cache_tag(sf_dir, 'embeddings', 'v1')}"
+    idx = _artifact_path("emb_pq_ivf_topk", sf_dir)
     if not os.path.exists(idx + "/codes/_SUCCESS"):
         pq_ivf_build_index(emb, idx)
     out = pq_ivf_topk_indexed(
