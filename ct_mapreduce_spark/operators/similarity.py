@@ -1949,7 +1949,37 @@ def pq_build_index(
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_codebooks")
 
 
+# Model-sidecar memo (r10 verdict task 6): a serve call previously paid
+# a full collect job for the _codebooks sidecar (and one for _meta) on
+# EVERY probe — fixed model data, m_sub x n_codes rows, but ~0.1-0.5 s of
+# scheduling per read that dominates a warm sub-second probe. Keyed by
+# the sidecar directory's (name, mtime_ns, size) listing so a rebuild
+# (mode=overwrite rewrites the files) invalidates; a non-local path
+# (no os.listdir — S3/HDFS at cluster scale) skips the memo and keeps
+# the per-call read, the previous behavior.
+_SIDECAR_MEMO: dict[tuple, object] = {}
+
+
+def _sidecar_fingerprint(path: str) -> tuple | None:
+    import os
+
+    try:
+        return tuple(
+            sorted(
+                (f, s.st_mtime_ns, s.st_size)
+                for f in os.listdir(path)
+                if (s := os.stat(os.path.join(path, f)))
+            )
+        )
+    except OSError:
+        return None
+
+
 def _pq_read_books(spark, path: str) -> list[list[list[float]]]:
+    fp = _sidecar_fingerprint(path + "/_codebooks")
+    key = ("books", path, fp)
+    if fp is not None and key in _SIDECAR_MEMO:
+        return _SIDECAR_MEMO[key]  # type: ignore[return-value]
     rows = spark.read.parquet(path + "/_codebooks").collect()
     m_sub = 1 + max(r["j"] for r in rows)
     n_codes = 1 + max(r["code"] for r in rows)
@@ -1958,6 +1988,8 @@ def _pq_read_books(spark, path: str) -> list[list[list[float]]]:
     ]
     for r in rows:
         books[r["j"]][r["code"]] = list(r["cvec"])
+    if fp is not None:
+        _SIDECAR_MEMO[key] = books
     return books
 
 
@@ -2158,14 +2190,23 @@ def pq_ivf_build_index(
 
 
 def _pq_ivf_is_residual(spark, path: str) -> bool:
-    """Read the _meta sidecar; a pre-r8 index without one is raw."""
+    """Read the _meta sidecar; a pre-r8 index without one is raw.
+    Memoized per on-disk fingerprint like _pq_read_books."""
     from ct_mapreduce_spark.operators.dedup_fuzzy import _try_read_parquet
 
+    fp = _sidecar_fingerprint(path + "/_meta")
+    key = ("residual", path, fp)
+    if fp is not None and key in _SIDECAR_MEMO:
+        return _SIDECAR_MEMO[key]  # type: ignore[return-value]
     meta = _try_read_parquet(spark, path + "/_meta")
     if meta is None:
-        return False
-    rows = meta.collect()
-    return bool(rows and rows[0]["residual"])
+        got = False
+    else:
+        rows = meta.collect()
+        got = bool(rows and rows[0]["residual"])
+    if fp is not None:
+        _SIDECAR_MEMO[key] = got
+    return got
 
 
 def pq_ivf_index_append(

@@ -657,6 +657,26 @@ def test_pq_index_serves_identically(spark, emb, tmp_path):
     assert got2 == want2
 
 
+def test_pq_sidecar_memo_invalidates_on_rebuild(spark, emb, tmp_path):
+    """r11: the model-sidecar memo must serve the cached books for an
+    unchanged index (no per-probe collect job) and invalidate when a
+    rebuild rewrites the sidecar files."""
+    idx = str(tmp_path / "pqmemo")
+    similarity.pq_build_index(emb, idx)
+    b1 = similarity._pq_read_books(spark, idx)
+    b2 = similarity._pq_read_books(spark, idx)
+    assert b2 is b1  # memo hit: identical object, no re-read
+    # rebuild over a different corpus slice -> new sidecar bytes/mtimes
+    similarity.pq_build_index(emb.where(F.col("vec_id") % 2 == 0), idx)
+    b3 = similarity._pq_read_books(spark, idx)
+    assert b3 is not b1
+    # the memo must return the NEW model, not the stale one
+    fresh = similarity._SIDECAR_MEMO.copy()
+    similarity._SIDECAR_MEMO.clear()
+    assert similarity._pq_read_books(spark, idx) == b3
+    similarity._SIDECAR_MEMO.update(fresh)
+
+
 def test_pq_encode_tiers_bit_equal(spark, emb):
     books = similarity.pq_codebooks(emb)
     a = {

@@ -1102,7 +1102,7 @@ def main() -> None:
     _budget_saved = _sim._DRIVER_MODEL_CELL_BUDGET
     _sim._DRIVER_MODEL_CELL_BUDGET = 16
     try:
-        for mult in DOC_MULTS:
+        for mult in EMB_MULTS:
             emb = spark.read.parquet(_emb_path(mult))
             n_rows = emb.count()
             n_cells = max(16, n_rows // 128)
@@ -1118,19 +1118,89 @@ def main() -> None:
                 out_rows = assigned.count()
                 times.append(round(time.perf_counter() - t0, 2))
             assert out_rows == n_rows, (mult, out_rows, n_rows)
-            results[f"twolevel_x{mult}"] = {
+            entry = {
                 "rows": n_rows,
                 "n_cells": n_cells,
                 "driver_model_rows": _sim._LAST_DRIVER_MODEL_ROWS,
                 "times": times,
                 "min": min(times),
             }
+            # r11 (r10 verdict task 5): default-probe AGREEMENT vs the
+            # one-level tier at soak scale — the pytest gates >=0.9 only
+            # at toy size. Distributed count-of-matches join; the only
+            # driver copy is the control's centroid collect (bounded:
+            # n_cells <= rows/128 at these rungs).
+            if mult >= 10:
+                one = _sim._assign_nearest(
+                    emb, cents.collect(), "vec_id", "embedding", "o",
+                    vectorize=True,
+                ).select(F.col("o_id").alias("rid"), F.col("cell").alias("ocell"))
+                two = assigned.select(
+                    F.col("m_id").alias("rid"), F.col("cell").alias("tcell")
+                )
+                agree = (
+                    one.join(two, "rid")
+                    .where(F.col("ocell") == F.col("tcell"))
+                    .count()
+                    / n_rows
+                )
+                entry["default_probe_agreement"] = round(agree, 4)
+                assert agree >= 0.9, (mult, agree)
+            results[f"twolevel_x{mult}"] = entry
             print(
                 f"two-level x{mult}: rows={n_rows} cells={n_cells} "
                 f"driver_model_rows={_sim._LAST_DRIVER_MODEL_ROWS} "
-                f"times={times}",
+                f"times={times} "
+                f"agree={entry.get('default_probe_agreement')}",
                 file=sys.stderr,
             )
+
+        # r11 e2e rung: the two consumers that auto-route through the
+        # tier above the cell budget — semdedup keep-list and
+        # cluster-balanced sampling at x100 (forced budget: auto
+        # n_cells ~1.5k >> 16). Dispatch is decided at plan-BUILD time,
+        # so the tier frames are constructed here and the one-level
+        # controls after the budget is restored; overlap is a
+        # distributed join, no corpus collect. Recall-style gate: the
+        # tier's kept set must overlap the control's (Jaccard >= 0.75 —
+        # ~90% assignment agreement compounds with per-cell hash-rank
+        # keep decisions).
+        emb_big = spark.read.parquet(_emb_path(EMB_MULTS[-1]))
+        big_rows = emb_big.count()
+        big_cells = max(16, big_rows // 128)
+        t0 = time.perf_counter()
+        sd_tier = _sim.semdedup_keep(emb_big).select("vec_id")
+        sd_tier_n = sd_tier.count()
+        sd_wall = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        cbs_tier = _sim.cluster_balanced_sample(
+            emb_big, n_cells=big_cells
+        ).select("vec_id")
+        cbs_tier_n = cbs_tier.count()
+        cbs_wall = round(time.perf_counter() - t0, 2)
+        _sim._DRIVER_MODEL_CELL_BUDGET = _budget_saved
+        sd_ctrl = _sim.semdedup_keep(emb_big).select("vec_id")
+        sd_ctrl_n = sd_ctrl.count()
+        cbs_ctrl = _sim.cluster_balanced_sample(
+            emb_big, n_cells=big_cells
+        ).select("vec_id")
+        cbs_ctrl_n = cbs_ctrl.count()
+        for tag, tier_df, tier_n, ctrl_df, ctrl_n, wall in (
+            ("semdedup_e2e_tier_x100", sd_tier, sd_tier_n, sd_ctrl, sd_ctrl_n, sd_wall),
+            ("cbs_e2e_tier_x100", cbs_tier, cbs_tier_n, cbs_ctrl, cbs_ctrl_n, cbs_wall),
+        ):
+            inter = tier_df.join(ctrl_df, "vec_id").count()
+            jacc = inter / max(1, tier_n + ctrl_n - inter)
+            results[tag] = {
+                "rows": big_rows,
+                "n_cells": big_cells,
+                "kept_tier": tier_n,
+                "kept_onelevel": ctrl_n,
+                "keep_jaccard": round(jacc, 4),
+                "wall_s": wall,
+            }
+            assert jacc >= 0.75, (tag, jacc)
+            print(f"{tag}: {results[tag]}", file=sys.stderr)
     finally:
         _sim._DRIVER_MODEL_CELL_BUDGET = _budget_saved
 
