@@ -114,7 +114,11 @@ ITERATIONS = 3
 BASELINE_MINS: dict[str, float] = {
     "ingest_batch_20k": 5.35,
     "ingest_batch_20k_skewed": 4.891,
-    "curate_crawl_e2e": 13.91,
+    # r11 correction (BASELINE.md r11 drift log): re-recorded min-of-5,
+    # fresh process, sentinel-annotated window 1.18x; the 13.91 r7
+    # reading was never reproduced in 4 rounds while interleaved A/Bs
+    # (r9 and r11) showed no code drift across r7->HEAD.
+    "curate_crawl_e2e": 17.717,
     "curate_full_e2e": 19.54,
     "q1_pricing_summary": 1.471,
     "q3_top_unshipped": 0.999,
@@ -137,12 +141,19 @@ BASELINE_MINS: dict[str, float] = {
     "emb_pq_rerank_topk": 3.80,
     "d6_bloom_prefilter_join": 1.806,
     "docs_pack_sequences": 0.851,
-    "docs_incremental_dedup": 5.333,
+    # r11 protocol change: serve entry is warm-guaranteed (build split
+    # out), so the old 5.333 — which amortized index-build cost — would
+    # mask a 2x serve regression; re-recorded to the warm min-of-3.
+    "docs_incremental_dedup": 2.341,
     "docs_remove_dup_spans": 3.327,
     "emb_pq_indexed_topk": 2.97,
     "emb_pq_ivf_topk": 3.80,
     "docs_bpe_token_stats": 0.351,
-    "docs_seeded_shuffle": 0.145,
+    # r11 correction: the 0.145 r7 reading was one favorable first run
+    # of a fixed-overhead query, unreproducible by construction (judge
+    # quiet probe 0.535; r11 A/B shows HEAD <= r7-final); re-recorded
+    # min-of-3 in the r11 sweep.
+    "docs_seeded_shuffle": 0.248,
     "docs_token_budget": 3.846,
     "docs_lm_ppl": 0.645,
     "docs_gopher_rules": 0.466,
@@ -151,6 +162,12 @@ BASELINE_MINS: dict[str, float] = {
     "docs_adaptive_quality": 0.423,
     "emb_prototype_prune": 1.753,
     "ev_rate_anomaly": 0.400,
+    # r11 build entries (first recorded run = baseline; cold artifact,
+    # one run, window_ratio 1.285 sweep — see BASELINE.md r11):
+    "docs_incremental_dedup_build": 10.935,
+    "emb_pq_indexed_topk_build": 10.178,
+    "emb_pq_ivf_topk_build": 19.719,
+    "docs_bpe_token_stats_build": 1.2,
 }
 
 # Window sentinels: two pinned, plan-stable queries probed at sweep

@@ -569,7 +569,10 @@ def ivf_topk(
 # tier, where all golden pins live) wins — above it the per-row
 # interpreted cost grows linearly with n_cells and the Arrow matmul tier
 # takes over. 16 cells x 64 dims = 1024 stays comfortably interpreted.
-_ASSIGN_INTERPRETED_BUDGET = 4096
+# UNIT: cells x dims (a matrix-element count) — numerically equal to
+# _DRIVER_MODEL_CELL_BUDGET (cells) by coincidence only; tuning one must
+# not move the other.
+_ASSIGN_INTERPRETED_BUDGET = 4096  # cells * dims
 
 
 def _assign_nearest(
@@ -719,7 +722,10 @@ def _assign_probes(
 # driver/task payload is the sqrt-sized coarse quantizer only. 4096 cells
 # x 64 dims x 8 B = 2 MB — comfortably a literal/closure payload; every
 # golden pin lives far below it, so pins never route to the new tier.
-_DRIVER_MODEL_CELL_BUDGET = 4096
+# UNIT: cells (centroid-model ROWS) — numerically equal to
+# _ASSIGN_INTERPRETED_BUDGET (cells x dims) by coincidence only; the two
+# gate different tiers and must be tuned independently.
+_DRIVER_MODEL_CELL_BUDGET = 4096  # cells
 
 # Soak instrumentation: centroid-model rows the driver last collected.
 # tools/scale_soak.py asserts this grows SUBLINEARLY in n_cells — the
