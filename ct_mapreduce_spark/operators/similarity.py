@@ -745,6 +745,7 @@ def _two_level_assign(
     coarse_probe: int = 4,
     seed: int = 42,
     with_cos: bool = False,
+    fine_rep: int = 4,
 ) -> DataFrame:
     """Two-level nearest-cell assignment — the scale tier for
     corpus-scale centroid models (r9 verdict "What's wrong #2").
@@ -760,24 +761,36 @@ def _two_level_assign(
       fine set by the same deterministic hash rule (seed+101) — the ONLY
       driver-collected model (8M cells -> ~2.8k coarse rows).
     - FINE level: the full centroid frame stays a DataFrame. Each fine
-      centroid is assigned its one nearest coarse owner (a distributed
-      n_cells-row pass on the existing vectorized tier), partitioning
-      the fine model by coarse cell.
+      centroid is REPLICATED under its `fine_rep` nearest coarse owners
+      (narrow Arrow pass over the model-sized frame against the same
+      driver-held coarse matrix), partitioning the fine model by coarse
+      cell with redundancy. Replicating the MODEL is the cheap recall
+      lever: fine_rep multiplies an n_cells-row frame, while raising
+      coarse_probe multiplies the CORPUS shuffle (r11 — single-owner
+      fine assignment measured 0.56 agreement on the overlapping-
+      cluster soak corpus; the toy-cluster pytest's 0.9+ did not
+      transfer; fine_rep 3/4/5/6 measured 0.86/0.91/0.95/0.98 at the
+      x10 rung — default 4 clears the 0.9 recall bar with the GEMM
+      still a sqrt-factor below one-level).
     - Each input row probes its `coarse_probe` nearest coarse cells
       (narrow Arrow pass; only the sqrt-sized coarse matrix is
       closure-shipped) and meets only those cells' fine centroids in a
       cogrouped GEMM: the row side shuffles by coarse (x coarse_probe),
-      the fine side is model-sized. Per-group argmax-of-cosine, then a
-      per-row top-t window trim (desc cosine, asc cell — the literal
-      tier's exact tie-break).
+      the fine side is model-sized (x fine_rep). Per-group
+      argmax-of-cosine, then a per-row top-t trim (desc cosine, asc
+      cell — the literal tier's exact tie-break).
 
     Approximation contract (the Arrow-tier precedent at _assign_nearest:
     recall-gated, not bit-gated): a row finds its true nearest fine
-    centroid iff that centroid's coarse owner is among the row's probes;
-    with coarse_probe >= n_coarse the tier is exhaustive and must agree
-    with one-level assignment (the tier-equality pytest). Cell ids,
-    membership semantics, and downstream plans are unchanged — only the
-    assignment transport differs.
+    centroid iff ANY of that centroid's fine_rep coarse owners is among
+    the row's probes; with coarse_probe >= n_coarse the tier is
+    exhaustive and must agree with one-level assignment (the
+    tier-equality pytest). Cell ids, membership semantics, and
+    downstream plans are unchanged — only the assignment transport
+    differs. A fine centroid reachable through several probed owners
+    yields bit-identical duplicate candidates (same doubles, same
+    arithmetic); the t=1 min-aggregate absorbs them and the t>1 path
+    dedups per (row, cell) before the trim.
 
     Returns ({prefix}_id, {prefix}_vec, {prefix}_norm, cell
     [, {prefix}_cos]) with up to t rows per input row (t=1: assignment;
@@ -816,48 +829,53 @@ def _two_level_assign(
     )
     cmat_unit_t = (cmat / np.linalg.norm(cmat, axis=1)[:, None]).T
 
-    # fine centroids -> one coarse owner each. The fine frame is n_cells
-    # rows (model-sized relative to the corpus); _assign_nearest's own
-    # dispatch picks the Arrow tier when n_coarse x dim warrants it.
-    fine = _assign_nearest(
-        cents,
-        [
-            {"cell": int(r["coarse"]), "centroid": r["centroid"]}
-            for r in coarse_sorted
-        ],
-        "cell",
-        "centroid",
-        "f",
-    ).select(
-        F.col("cell").alias("coarse"),
-        F.col("f_id").alias("fcell"),
-        F.col("f_vec").alias("fcent"),
-        F.col("f_norm").alias("fnorm"),
+    def _topk_coarse_udf(k: int):
+        # top-k coarse cells by cosine against the driver-held coarse
+        # matrix; stable sort on -score => lowest coarse id wins exact
+        # ties (ids ascend), matching the literal tier's struct-min
+        # tie-break. Row norms are positive scalars, so argsort over
+        # un-normalized dot products is the cosine order.
+        @F.pandas_udf("struct<probes:array<int>, vnorm:double>")
+        def _f(vecs: pd.Series) -> pd.DataFrame:
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vecs],
+                dtype=np.float64,
+            )
+            vnorm = np.sqrt((m * m).sum(axis=1))
+            scores = m @ cmat_unit_t
+            idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+            return pd.DataFrame(
+                {
+                    "probes": [coarse_ids[r].tolist() for r in idx],
+                    "vnorm": vnorm,
+                }
+            )
+
+        return _f
+
+    # fine centroids -> their fine_rep nearest coarse owners each,
+    # replicated (model-sized frame x fine_rep; same narrow Arrow pass
+    # as the row-side probe, no distributed assignment round-trip).
+    fine_rep = max(1, min(fine_rep, n_coarse))
+    fine = (
+        cents.select(
+            F.col("cell").alias("fcell"),
+            F.col("centroid").alias("fcent"),
+            _topk_coarse_udf(fine_rep)(F.col("centroid")).alias("_o"),
+        )
+        .select(
+            "fcell",
+            "fcent",
+            F.col("_o.vnorm").alias("fnorm"),
+            F.explode(F.col("_o.probes")).alias("coarse"),
+        )
+        .select("coarse", "fcell", "fcent", "fnorm")
     )
-
-    p = coarse_probe
-
-    @F.pandas_udf("struct<probes:array<int>, vnorm:double>")
-    def _coarse_assign(vecs: pd.Series) -> pd.DataFrame:
-        m = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
-        )
-        vnorm = np.sqrt((m * m).sum(axis=1))
-        scores = m @ cmat_unit_t
-        # stable sort on -score: lowest coarse id wins exact ties (ids
-        # ascend), matching the literal tier's struct-min tie-break
-        idx = np.argsort(-scores, axis=1, kind="stable")[:, :p]
-        return pd.DataFrame(
-            {
-                "probes": [coarse_ids[r].tolist() for r in idx],
-                "vnorm": vnorm,
-            }
-        )
 
     probed = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        _coarse_assign(F.col(vec_col)).alias("_a"),
+        _topk_coarse_udf(coarse_probe)(F.col(vec_col)).alias("_a"),
     ).select(
         "_id",
         "_vec",
@@ -951,9 +969,20 @@ def _two_level_assign(
             )
         )
     else:
+        # fine_rep can surface the same (row, cell) candidate through
+        # several probed owners — bit-identical duplicates (same
+        # doubles, same GEMM arithmetic). Dedup before the top-t trim
+        # or a duplicated cell would occupy two of the t slots.
         w = W.partitionBy("_id").orderBy(F.desc("_cos"), "cell")
-        best = cand.withColumn("_rn", F.row_number().over(w)).where(
-            F.col("_rn") <= t
+        best = (
+            cand.groupBy("_id", "cell")
+            .agg(
+                F.max("_cos").alias("_cos"),
+                F.first("_vec").alias("_vec"),
+                F.first("_vnorm").alias("_vnorm"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= t)
         )
     out_cols = [
         F.col("_id").alias(f"{prefix}_id"),
