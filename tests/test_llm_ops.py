@@ -2359,6 +2359,45 @@ def test_two_level_refine_guard(spark, monkeypatch):
         )
 
 
+def test_two_level_topt_probes_dedup_and_match(spark):
+    """t>1 probe path under fine_rep replication (r11): the same
+    (row, cell) candidate surfaces through several probed coarse owners;
+    the per-(row, cell) dedup must keep each cell in at most ONE of the
+    t slots, and under exhaustive coarse probes the t cells per row must
+    equal the brute-force cosine top-t (desc cosine, asc cell on ties) —
+    a duplicated cell eating two slots would drop the true t-th cell."""
+    import numpy as np
+
+    t = 3
+    corpus, _per = _planted_cluster_corpus(spark, n_clusters=16, per=20)
+    cents = similarity._ivf_centroid_frame(
+        corpus, 64, "vec_id", "embedding", 42
+    )
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cell"])
+    cmat = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
+    cells = np.asarray([r["cell"] for r in cent_rows])
+    cunit = cmat / np.linalg.norm(cmat, axis=1)[:, None]
+
+    got: dict[int, list[int]] = {}
+    for r in similarity._two_level_assign(
+        corpus, cents, 64, "vec_id", "embedding", "n",
+        t=t, coarse_probe=10**9, with_cos=True,
+    ).collect():
+        got.setdefault(r.n_id, []).append((r.n_cos, r.cell))
+
+    rows = {r.vec_id: r.embedding for r in corpus.collect()}
+    assert set(got) == set(rows)
+    for vid, pairs in got.items():
+        probe_cells = [c for _cos, c in sorted(pairs, key=lambda p: (-p[0], p[1]))]
+        assert len(probe_cells) == t
+        assert len(set(probe_cells)) == t, f"row {vid}: duplicate cell in top-{t}"
+        v = np.asarray(rows[vid], dtype=np.float64)
+        cos = (cunit @ v) / np.linalg.norm(v)
+        order = sorted(range(len(cells)), key=lambda i: (-cos[i], cells[i]))
+        want = [int(cells[i]) for i in order[:t]]
+        assert probe_cells == want, f"row {vid}: {probe_cells} != {want}"
+
+
 # ---------------------------------------------------------------------------
 # Pillow seam (r10): routing + contract proven via a PIL-compatible fake;
 # the real-Pillow test below runs wherever the library is installed.
