@@ -20,6 +20,7 @@ across engines and the single-pass accumulation order is fixed
 from __future__ import annotations
 
 import random
+from collections import OrderedDict
 
 import numpy as np
 import pandas as pd
@@ -1992,7 +1993,33 @@ def pq_build_index(
 # (mode=overwrite rewrites the files) invalidates; a non-local path
 # (no os.listdir — S3/HDFS at cluster scale) skips the memo and keeps
 # the per-call read, the previous behavior.
-_SIDECAR_MEMO: dict[tuple, object] = {}
+
+
+class _BoundedMemo(OrderedDict):
+    """LRU-bounded driver memo (r11 verdict task 4): entries are keyed
+    by artifact fingerprint, so a long-lived serving daemon that cycles
+    many indexes would otherwise grow driver memory per distinct
+    fingerprint forever. Reads refresh recency; an insert past `cap`
+    evicts the least-recently-used entry (an evicted model just re-reads
+    its sidecar on next use — the pre-memo behavior). Values are
+    model-sized (codebooks, meta booleans), so the cap bounds resident
+    model memory at cap x model size."""
+
+    cap = 64
+
+    def __getitem__(self, key):
+        val = super().__getitem__(key)
+        self.move_to_end(key)
+        return val
+
+    def __setitem__(self, key, value):
+        super().__setitem__(key, value)
+        self.move_to_end(key)
+        while len(self) > self.cap:
+            self.popitem(last=False)
+
+
+_SIDECAR_MEMO: _BoundedMemo = _BoundedMemo()
 
 
 def _sidecar_fingerprint(path: str) -> tuple | None:

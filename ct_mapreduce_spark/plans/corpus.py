@@ -81,6 +81,41 @@ def _cache_tag(sf_dir: str, table: str, gen: str) -> str:
     return hashlib.md5(f"{sf_dir}|{gen}|{fp}".encode()).hexdigest()[:12]
 
 
+# How many fingerprint generations of one tagged /tmp artifact to keep.
+# 2, not 1: the interleaved perf-A/B protocol alternates two worktrees
+# whose gens may differ — keeping a pair means neither side evicts the
+# other's warm artifact between runs.
+_TMP_TAG_KEEP = 2
+
+
+def _evict_stale_tagged(path: str) -> None:
+    """Disk-side LRU for fingerprint-tagged /tmp artifacts (r11 verdict
+    task 4): `path` is `/tmp/<prefix>_<12-hex tag>`; siblings with the
+    same prefix but a different tag are stale generations (testdata
+    regenerated in place, or the derived-schema gen bumped) that nothing
+    will ever read again — a long-lived process cycling fingerprints
+    would otherwise leak /tmp disk per generation. Keeps the
+    `_TMP_TAG_KEEP` most-recently-modified tagged dirs (including the
+    live one); called only from build sites, so a tag that is merely
+    cold is never removed mid-serve."""
+    import glob
+    import os
+    import re
+    import shutil
+
+    prefix, _, tag = path.rpartition("_")
+    if not re.fullmatch(r"[0-9a-f]{12}", tag):
+        return
+    sibs = [
+        p
+        for p in glob.glob(prefix + "_" + "[0-9a-f]" * 12)
+        if p != path and os.path.isdir(p)
+    ]
+    sibs.sort(key=lambda p: os.path.getmtime(p), reverse=True)
+    for p in sibs[_TMP_TAG_KEEP - 1 :]:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def _dec(c, scale: int = 4):
     """Exact-sum staging: DOUBLE -> DECIMAL(25,scale)."""
     return F.col(c).cast(f"decimal(25,{scale})") if isinstance(c, str) else c.cast(
@@ -1698,6 +1733,7 @@ def docs_incremental_dedup(spark, sf_dir):
     idx = _artifact_path("docs_incremental_dedup", sf_dir)
     if not os.path.exists(idx + "/sigs/_SUCCESS"):
         dedup_fuzzy.minhash_index_build(corpus, idx)
+        _evict_stale_tagged(idx)
     return dedup_fuzzy.minhash_probe_index(spark, idx, batch)
 
 
@@ -1901,6 +1937,7 @@ def emb_ann_ivf_indexed(spark, sf_dir):
     idx = f"/tmp/ctspark_ivf_idx_{_cache_tag(sf_dir, 'embeddings', 'v2')}"
     if not os.path.exists(idx + "/_centroids/_SUCCESS"):
         similarity.ivf_build_index(emb, idx)
+        _evict_stale_tagged(idx)
     out = similarity.ivf_topk_indexed(
         spark, idx, emb.where(F.col("vec_id") < 8), k=5
     )
@@ -2719,6 +2756,7 @@ def _stream_src(spark, sf_dir: str) -> str:
     path = f"/tmp/ctspark_stream_src_{_cache_tag(sf_dir, 'events', 'v2')}"
     if not os.path.exists(path + "/_SUCCESS"):
         _t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(path)
+        _evict_stale_tagged(path)
     return path
 
 
@@ -5421,6 +5459,7 @@ def emb_pq_indexed_topk(spark, sf_dir):
     idx = _artifact_path("emb_pq_indexed_topk", sf_dir)
     if not os.path.exists(idx + "/codes/_SUCCESS"):
         pq_build_index(emb, idx)
+        _evict_stale_tagged(idx)
     return pq_topk_indexed(
         spark, idx, emb.where(F.col("vec_id") < 8), k=5
     )
@@ -5448,6 +5487,7 @@ def emb_pq_ivf_topk(spark, sf_dir):
     idx = _artifact_path("emb_pq_ivf_topk", sf_dir)
     if not os.path.exists(idx + "/codes/_SUCCESS"):
         pq_ivf_build_index(emb, idx)
+        _evict_stale_tagged(idx)
     out = pq_ivf_topk_indexed(
         spark, idx, emb.where(F.col("vec_id") < 8), k=5, n_probe=4,
         rerank_corpus=emb, rerank_factor=4,
@@ -5478,6 +5518,7 @@ def emb_pq_ivf_residual_topk(spark, sf_dir):
     idx = f"/tmp/ctspark_pqivfres_idx_{_cache_tag(sf_dir, 'embeddings', 'v1')}"
     if not os.path.exists(idx + "/codes/_SUCCESS"):
         pq_ivf_build_index(emb, idx, residual=True)
+        _evict_stale_tagged(idx)
     out = pq_ivf_topk_indexed(
         spark, idx, emb.where(F.col("vec_id") < 8), k=5, n_probe=4,
         rerank_corpus=emb, rerank_factor=4,
@@ -5511,6 +5552,7 @@ def emb_pq_ivf_refined_topk(spark, sf_dir):
         pq_ivf_build_index(
             emb, idx, residual=True, refine_iters=2, refine_sample_mod=4
         )
+        _evict_stale_tagged(idx)
     out = pq_ivf_topk_indexed(
         spark, idx, emb.where(F.col("vec_id") < 8), k=5, n_probe=4,
         rerank_corpus=emb, rerank_factor=4,
@@ -5566,7 +5608,10 @@ def a11_unpivot(spark, sf_dir):
 # pass, driver-side training on the model-sized capped table, distributed
 # memoized encode. No reference analog; extends the LLM-pipeline surface.
 
-_BPE_MERGE_CACHE: dict[str, list] = {}
+# LRU-bounded like similarity._SIDECAR_MEMO (r11 verdict task 4): keyed
+# by corpus fingerprint, so a long-lived process cycling regenerated
+# testdata would otherwise retain one trained merge list per generation.
+_BPE_MERGE_CACHE: similarity._BoundedMemo = similarity._BoundedMemo()
 
 
 def _bpe_merges(spark, sf_dir):

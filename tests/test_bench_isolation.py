@@ -110,3 +110,42 @@ def test_artifact_reset_disk_backed(spark):
     assert os.path.exists(p + "/sigs/_SUCCESS")
     corpus.artifact_reset("docs_incremental_dedup", sf)
     assert not os.path.exists(p)
+
+
+def test_evict_stale_tagged_bounds_tmp_generations(tmp_path):
+    """r12 (r11 verdict task 4): fingerprint-tagged artifact dirs are
+    bounded on disk — building a new generation removes all but the
+    _TMP_TAG_KEEP most-recent tagged siblings, and never touches dirs
+    that don't carry a 12-hex tag under the same prefix."""
+    import os
+    import time
+
+    from ct_mapreduce_spark.plans import corpus
+
+    tags = [f"{i:012x}" for i in range(5)]
+    live = str(tmp_path / f"ctspark_fake_{tags[-1]}")
+    for i, t in enumerate(tags):
+        p = str(tmp_path / f"ctspark_fake_{t}")
+        os.makedirs(p)
+        # staggered mtimes: tags[0] oldest ... tags[-1] newest
+        stamp = time.time() - (len(tags) - i) * 100
+        os.utime(p, (stamp, stamp))
+    unrelated = str(tmp_path / "ctspark_fake_notahexdigittag")
+    os.makedirs(unrelated)
+
+    corpus._evict_stale_tagged(live)
+    left = sorted(
+        d for d in os.listdir(tmp_path) if d.startswith("ctspark_fake_")
+    )
+    # live + (KEEP-1) newest siblings + the unrelated dir survive
+    want = sorted(
+        [f"ctspark_fake_{t}" for t in tags[-corpus._TMP_TAG_KEEP:]]
+        + ["ctspark_fake_notahexdigittag"]
+    )
+    assert left == want
+
+    # a non-tagged path is a no-op (never glob-deletes siblings)
+    corpus._evict_stale_tagged(unrelated)
+    assert sorted(
+        d for d in os.listdir(tmp_path) if d.startswith("ctspark_fake_")
+    ) == want

@@ -677,6 +677,40 @@ def test_pq_sidecar_memo_invalidates_on_rebuild(spark, emb, tmp_path):
     similarity._SIDECAR_MEMO.update(fresh)
 
 
+def test_sidecar_memo_bounded_lru(spark, tmp_path):
+    """r12 (r11 verdict task 4): cycling more distinct artifact
+    fingerprints than the cap holds the memo AT the cap — a long-lived
+    serving daemon cycling many indexes must not grow driver memory per
+    fingerprint. Evicted entries just re-read their sidecar (the
+    pre-memo behavior), so answers stay correct."""
+    old_cap = similarity._BoundedMemo.cap
+    snapshot = similarity._SIDECAR_MEMO.copy()
+    similarity._SIDECAR_MEMO.clear()
+    similarity._BoundedMemo.cap = 4
+    try:
+        paths = []
+        for i in range(7):
+            p = str(tmp_path / f"meta{i}")
+            spark.createDataFrame(
+                [(i % 2 == 0,)], "residual boolean"
+            ).coalesce(1).write.mode("overwrite").parquet(p + "/_meta")
+            paths.append(p)
+        for i, p in enumerate(paths):
+            assert similarity._pq_ivf_is_residual(spark, p) is (i % 2 == 0)
+            assert len(similarity._SIDECAR_MEMO) <= 4
+        assert len(similarity._SIDECAR_MEMO) == 4
+        # the newest entry is a memo hit; the evicted oldest re-reads
+        # from disk and re-enters — both must answer correctly
+        assert similarity._pq_ivf_is_residual(spark, paths[-1]) is True
+        assert similarity._pq_ivf_is_residual(spark, paths[5]) is False
+        assert similarity._pq_ivf_is_residual(spark, paths[0]) is True
+        assert len(similarity._SIDECAR_MEMO) == 4
+    finally:
+        similarity._BoundedMemo.cap = old_cap
+        similarity._SIDECAR_MEMO.clear()
+        similarity._SIDECAR_MEMO.update(snapshot)
+
+
 def test_pq_encode_tiers_bit_equal(spark, emb):
     books = similarity.pq_codebooks(emb)
     a = {
@@ -2376,9 +2410,12 @@ def test_two_level_topt_probes_dedup_and_match(spark):
     cent_rows = sorted(cents.collect(), key=lambda r: r["cell"])
     cmat = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
     cells = np.asarray([r["cell"] for r in cent_rows])
-    cunit = cmat / np.linalg.norm(cmat, axis=1)[:, None]
+    # expectation uses the IMPLEMENTATION's arithmetic (dot / (vnorm *
+    # fnorm), no pre-normalized centroid matrix) so near-tie cosines on
+    # this near-duplicate fixture can't flip the exact-order assertion
+    fnorm = np.sqrt((cmat * cmat).sum(axis=1))
 
-    got: dict[int, list[int]] = {}
+    got: dict[int, list[tuple[float, int]]] = {}
     for r in similarity._two_level_assign(
         corpus, cents, 64, "vec_id", "embedding", "n",
         t=t, coarse_probe=10**9, with_cos=True,
@@ -2392,7 +2429,8 @@ def test_two_level_topt_probes_dedup_and_match(spark):
         assert len(probe_cells) == t
         assert len(set(probe_cells)) == t, f"row {vid}: duplicate cell in top-{t}"
         v = np.asarray(rows[vid], dtype=np.float64)
-        cos = (cunit @ v) / np.linalg.norm(v)
+        vnorm = np.sqrt((v * v).sum())
+        cos = (cmat @ v) / (vnorm * fnorm)
         order = sorted(range(len(cells)), key=lambda i: (-cos[i], cells[i]))
         want = [int(cells[i]) for i in order[:t]]
         assert probe_cells == want, f"row {vid}: {probe_cells} != {want}"
