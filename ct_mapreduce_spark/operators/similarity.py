@@ -2148,13 +2148,25 @@ def pq_topk_indexed(
 # ---------------------------------------------------------------------------
 
 
-def _with_residual(assigned: DataFrame, cents: DataFrame, vec_col: str) -> DataFrame:
+def _with_residual(
+    assigned: DataFrame,
+    cents: DataFrame,
+    vec_col: str,
+    hint_broadcast: bool = True,
+) -> DataFrame:
     """Add `_resid` = x − centroid(cell(x)) element-wise (double): a
     16-row broadcast join on the cell key, then a narrow zip_with — no
     corpus shuffle. The residual is what IVFADC quantizes: inside a
     cell the shared centroid carries no information, so spending the
-    codebook on the residual is strictly more accurate per code."""
-    return assigned.join(F.broadcast(cents.select("cell", "centroid")), "cell").withColumn(
+    codebook on the residual is strictly more accurate per code.
+    hint_broadcast=False on the above-budget tier (r12): a centroid
+    model past _DRIVER_MODEL_CELL_BUDGET may exceed broadcast size, so
+    the join is left to AQE (shuffle hash join on the cell key at
+    worst — both sides already carry `cell`)."""
+    cframe = cents.select("cell", "centroid")
+    if hint_broadcast:
+        cframe = F.broadcast(cframe)
+    return assigned.join(cframe, "cell").withColumn(
         "_resid",
         F.zip_with(
             F.col(vec_col),
@@ -2205,23 +2217,47 @@ def pq_ivf_build_index(
     codebook on the within-cell part — is diluted. The published IVFADC
     coarse quantizer is k-means; pass refine_iters>=2 when building a
     residual index (see the two-fixture regime matrix in
-    tests/test_llm_ops.py::test_pq_ivf_residual_regime_matrix)."""
+    tests/test_llm_ops.py::test_pq_ivf_residual_regime_matrix).
+
+    Above _DRIVER_MODEL_CELL_BUDGET the build assigns through the
+    two-level tier (r12): the centroid model never reaches the driver,
+    the residual join drops its broadcast hint, and refine_iters — a
+    driver-side model iteration — fails fast, as in ivf_build_index."""
     cents = _ivf_centroid_frame(corpus, n_cells, id_col, vec_col, seed)
-    cent_rows = cents.collect()
-    if refine_iters:
-        cent_rows = ivf_refine_centroids(
-            corpus, cent_rows, refine_iters, id_col, vec_col,
-            sample_mod=refine_sample_mod,
+    over_budget = n_cells > _DRIVER_MODEL_CELL_BUDGET
+    if over_budget:
+        # two-level build assignment (r12): the centroid model stays a
+        # DataFrame; only the sqrt-sized coarse model reaches the driver
+        # (ivf_build_index's above-budget shape).
+        if refine_iters:
+            raise ValueError(
+                "refine_iters is a driver-side model iteration; above "
+                f"_DRIVER_MODEL_CELL_BUDGET ({_DRIVER_MODEL_CELL_BUDGET} "
+                "cells) build unrefined or lower n_cells"
+            )
+        assigned = _two_level_assign(
+            corpus, cents, n_cells, id_col, vec_col, "v", seed=seed
+        ).select(
+            F.col("v_id").alias(id_col), F.col("v_vec").alias(vec_col), "cell"
         )
-        cents = corpus.sparkSession.createDataFrame(
-            [(c["cell"], [float(x) for x in c["centroid"]]) for c in cent_rows],
-            "cell int, centroid array<double>",
+    else:
+        cent_rows = cents.collect()
+        if refine_iters:
+            cent_rows = ivf_refine_centroids(
+                corpus, cent_rows, refine_iters, id_col, vec_col,
+                sample_mod=refine_sample_mod,
+            )
+            cents = corpus.sparkSession.createDataFrame(
+                [(c["cell"], [float(x) for x in c["centroid"]]) for c in cent_rows],
+                "cell int, centroid array<double>",
+            )
+        assigned = _assign_nearest(corpus, cent_rows, id_col, vec_col, "v").select(
+            F.col("v_id").alias(id_col), F.col("v_vec").alias(vec_col), "cell"
         )
-    assigned = _assign_nearest(corpus, cent_rows, id_col, vec_col, "v").select(
-        F.col("v_id").alias(id_col), F.col("v_vec").alias(vec_col), "cell"
-    )
     if residual:
-        assigned = _with_residual(assigned, cents, vec_col)
+        assigned = _with_residual(
+            assigned, cents, vec_col, hint_broadcast=not over_budget
+        )
         books = pq_codebooks(
             assigned, m_sub, n_codes, id_col, "_resid", seed
         )
@@ -2271,6 +2307,20 @@ def _pq_ivf_is_residual(spark, path: str) -> bool:
     return got
 
 
+def _pq_ivf_n_cells(spark, path: str) -> int:
+    """Stored-cell count for the serve-side budget dispatch (r12):
+    memoized per on-disk fingerprint like _pq_read_books, so a warm
+    serve call doesn't pay a count job on the model sidecar."""
+    fp = _sidecar_fingerprint(path + "/_centroids")
+    key = ("ncells", path, fp)
+    if fp is not None and key in _SIDECAR_MEMO:
+        return _SIDECAR_MEMO[key]  # type: ignore[return-value]
+    got = int(spark.read.parquet(path + "/_centroids").count())
+    if fp is not None:
+        _SIDECAR_MEMO[key] = got
+    return got
+
+
 def pq_ivf_index_append(
     new_vectors: DataFrame,
     path: str,
@@ -2288,13 +2338,23 @@ def pq_ivf_index_append(
     same stored-model rule, one more broadcast join."""
     spark = new_vectors.sparkSession
     cents = spark.read.parquet(path + "/_centroids")
-    cent_rows = cents.collect()
     books = _pq_read_books(spark, path)
-    assigned = _assign_nearest(
-        new_vectors, cent_rows, id_col, vec_col, "v"
-    ).select(F.col("v_id").alias(id_col), F.col("v_vec").alias(vec_col), "cell")
+    stored_cells = _pq_ivf_n_cells(spark, path)
+    over_budget = stored_cells > _DRIVER_MODEL_CELL_BUDGET
+    if over_budget:
+        assigned = _two_level_assign(
+            new_vectors, cents, stored_cells, id_col, vec_col, "v"
+        ).select(
+            F.col("v_id").alias(id_col), F.col("v_vec").alias(vec_col), "cell"
+        )
+    else:
+        assigned = _assign_nearest(
+            new_vectors, cents.collect(), id_col, vec_col, "v"
+        ).select(F.col("v_id").alias(id_col), F.col("v_vec").alias(vec_col), "cell")
     if _pq_ivf_is_residual(spark, path):
-        assigned = _with_residual(assigned, cents, vec_col)
+        assigned = _with_residual(
+            assigned, cents, vec_col, hint_broadcast=not over_budget
+        )
         enc = pq_encode(assigned, books, id_col, "_resid", keep=("cell",))
     else:
         enc = pq_encode(assigned, books, id_col, vec_col, keep=("cell",))
@@ -2388,7 +2448,9 @@ def pq_ivf_topk_indexed(
 ) -> DataFrame:
     """Serve ANN queries from a materialized pq_ivf_build_index: assign
     each query its n_probe nearest cells from the stored centroids
-    (broadcast-centroid crossJoin — ivf_topk_indexed's probe shape),
+    (broadcast-centroid crossJoin — ivf_topk_indexed's probe shape; a
+    store past _DRIVER_MODEL_CELL_BUDGET probes through the two-level
+    tier instead, keeping the driver's model copy sqrt-sized),
     partition-prune the codes table to the probed cells (the cell
     IN-list lands in PartitionFilters, asserted in tests), then run the
     shared _pq_adc_rank expressions restricted to (query, probed-cell)
@@ -2412,23 +2474,51 @@ def pq_ivf_topk_indexed(
     books = _pq_read_books(spark, path)
     cents = spark.read.parquet(path + "/_centroids")
     residual = _pq_ivf_is_residual(spark, path)
-    # probe assignment: rank cells by (-cosine, cell) per query — the
-    # _assign_probes rule, inlined so the residual tier can also project
-    # the <q, centroid> base term from the same crossJoin row
-    joined = queries.crossJoin(F.broadcast(cents)).withColumn(
-        "dist", -cosine(F.col(vec_col), F.col("centroid"))
-    )
-    w = W.partitionBy(id_col).orderBy("dist", "cell")
-    ranked = (
-        joined.withColumn("crank", F.row_number().over(w))
-        .where(F.col("crank") <= n_probe)
-    )
-    pp_cols = [F.col(id_col).alias("query_id"), F.col("cell")]
-    if residual:
-        pp_cols.append(
-            _dot(F.col(vec_col), F.col("centroid")).alias("base")
+    stored_cells = _pq_ivf_n_cells(spark, path)
+    if stored_cells > _DRIVER_MODEL_CELL_BUDGET:
+        # two-level query probes (r12, the last centroid consumer off
+        # the budget dispatch): an IVFADC store at the 100 TB posture
+        # wants ~sqrt(N) >> 4096 cells, so the stored model must stay
+        # distributed — only the sqrt-sized coarse model reaches the
+        # driver (_two_level_assign; ivf_topk_indexed's probe shape).
+        # The residual base term <q, centroid> is projected by joining
+        # the n_queries x n_probe probe pairs BACK to the distributed
+        # centroid frame (probe side broadcast, model side streamed) —
+        # the same _dot expression as the literal tier below, so base
+        # values are bit-identical for identical (query, cell) pairs.
+        qa2 = _two_level_assign(
+            queries, cents, stored_cells, id_col, vec_col, "query",
+            t=n_probe,
         )
-    qa = ranked.select(*pp_cols)
+        if residual:
+            qa = cents.join(
+                F.broadcast(qa2.select("query_id", "query_vec", "cell")),
+                "cell",
+            ).select(
+                "query_id",
+                "cell",
+                _dot(F.col("query_vec"), F.col("centroid")).alias("base"),
+            )
+        else:
+            qa = qa2.select("query_id", "cell")
+    else:
+        # probe assignment: rank cells by (-cosine, cell) per query —
+        # the _assign_probes rule, inlined so the residual tier can also
+        # project the <q, centroid> base term from the same crossJoin row
+        joined = queries.crossJoin(F.broadcast(cents)).withColumn(
+            "dist", -cosine(F.col(vec_col), F.col("centroid"))
+        )
+        w = W.partitionBy(id_col).orderBy("dist", "cell")
+        ranked = (
+            joined.withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= n_probe)
+        )
+        pp_cols = [F.col(id_col).alias("query_id"), F.col("cell")]
+        if residual:
+            pp_cols.append(
+                _dot(F.col(vec_col), F.col("centroid")).alias("base")
+            )
+        qa = ranked.select(*pp_cols)
     probe_pairs = qa
     # literal IN-list so the parquet source prunes cell directories
     probe_cells = sorted(

@@ -51,6 +51,40 @@ from ct_mapreduce_spark.operators.similarity import _assign_nearest
 VECTORS_SCHEMA = "vec_id long, embedding array<float>"
 
 
+def _assign_batch(
+    vectors: DataFrame,
+    index_path: str,
+    cent_rows: list | None,
+    id_col: str,
+    vec_col: str,
+    prefix: str,
+) -> DataFrame:
+    """One batch's nearest-cell assignment under the index's stored
+    centroids, budget-dispatched (r12): with pre-collected `cent_rows`
+    (the below-budget stream cache) the literal tier runs as before;
+    with cent_rows=None the stored cell count decides — collect below
+    _DRIVER_MODEL_CELL_BUDGET, else route through _two_level_assign so
+    a corpus-scale model never reaches the driver (the model frame is
+    re-read per trigger: a model-sized scan, the price of staying
+    sublinear on the driver)."""
+    from ct_mapreduce_spark.operators.similarity import (
+        _DRIVER_MODEL_CELL_BUDGET,
+        _pq_ivf_n_cells,
+        _two_level_assign,
+    )
+
+    spark = vectors.sparkSession
+    if cent_rows is None:
+        n_cells = _pq_ivf_n_cells(spark, index_path)
+        if n_cells > _DRIVER_MODEL_CELL_BUDGET:
+            cents = spark.read.parquet(index_path + "/_centroids")
+            return _two_level_assign(
+                vectors, cents, n_cells, id_col, vec_col, prefix
+            )
+        cent_rows = spark.read.parquet(index_path + "/_centroids").collect()
+    return _assign_nearest(vectors, cent_rows, id_col, vec_col, prefix)
+
+
 def write_cells(
     vectors: DataFrame,
     index_path: str,
@@ -70,12 +104,13 @@ def write_cells(
     `cent_rows`: optional pre-collected centroid rows — the stream
     processor reads them once at its first trigger and reuses them
     (they are immutable for the life of a running stream: rebuild
-    requires the stream stopped, and compaction preserves them)."""
+    requires the stream stopped, and compaction preserves them). With
+    cent_rows=None the assignment budget-dispatches (_assign_batch):
+    a store past _DRIVER_MODEL_CELL_BUDGET assigns through the
+    two-level tier instead of collecting the model."""
     spark = vectors.sparkSession
-    if cent_rows is None:
-        cent_rows = spark.read.parquet(index_path + "/_centroids").collect()
     assigned = (
-        _assign_nearest(vectors, cent_rows, id_col, vec_col, "neighbor")
+        _assign_batch(vectors, index_path, cent_rows, id_col, vec_col, "neighbor")
         .withColumnRenamed("neighbor_id", id_col)
         .withColumnRenamed("neighbor_vec", vec_col)
         .withColumnRenamed("neighbor_norm", "vnorm")
@@ -124,19 +159,40 @@ def write_codes(
     spark = vectors.sparkSession
     if model is None:
         model = (
-            spark.read.parquet(index_path + "/_centroids").collect(),
+            None,  # cent_rows resolved by _assign_batch's budget dispatch
             _pq_read_books(spark, index_path),
             _pq_ivf_is_residual(spark, index_path),
         )
     cent_rows, books, residual = model
-    assigned = _assign_nearest(vectors, cent_rows, id_col, vec_col, "v").select(
+    assigned = _assign_batch(
+        vectors, index_path, cent_rows, id_col, vec_col, "v"
+    ).select(
         F.col("v_id").alias(id_col), F.col("v_vec").alias(vec_col), "cell"
     )
     if residual:
-        # model-sized frame rebuilt on the batch's own session (16-ish
-        # rows) — the broadcast side of _with_residual's cell join
-        cents = spark.createDataFrame(cent_rows)
-        assigned = _with_residual(assigned, cents, vec_col)
+        if cent_rows is not None:
+            # model-sized frame rebuilt on the batch's own session
+            # (16-ish rows) — the broadcast side of _with_residual's
+            # cell join
+            cents = spark.createDataFrame(cent_rows)
+            assigned = _with_residual(assigned, cents, vec_col)
+        else:
+            # budget-dispatched path: the model stays a DataFrame and
+            # the residual join drops its broadcast hint above budget
+            # (matching pq_ivf_build_index's above-budget rule)
+            from ct_mapreduce_spark.operators.similarity import (
+                _DRIVER_MODEL_CELL_BUDGET,
+                _pq_ivf_n_cells,
+            )
+
+            cents = spark.read.parquet(index_path + "/_centroids")
+            assigned = _with_residual(
+                assigned,
+                cents,
+                vec_col,
+                hint_broadcast=_pq_ivf_n_cells(spark, index_path)
+                <= _DRIVER_MODEL_CELL_BUDGET,
+            )
         enc = pq_encode(assigned, books, id_col, "_resid", keep=("cell",))
     else:
         enc = pq_encode(assigned, books, id_col, vec_col, keep=("cell",))
@@ -239,7 +295,21 @@ def start_ann_ingest_stream(
             and st.getPath().getName().startswith("ingest_batch=")
         )
 
-    model_cache: list = []  # read once at the first trigger, then reused
+    # read once at the first trigger, then reused. Above the driver-model
+    # budget the cached cent_rows slot is None (r12): each trigger then
+    # re-reads the model FRAME and assigns through the two-level tier
+    # (_assign_batch) — rows never collect, the driver stays sqrt-sized.
+    model_cache: list = []
+
+    def _cached_cent_rows(session: SparkSession) -> list | None:
+        from ct_mapreduce_spark.operators.similarity import (
+            _DRIVER_MODEL_CELL_BUDGET,
+            _pq_ivf_n_cells,
+        )
+
+        if _pq_ivf_n_cells(session, index_path) > _DRIVER_MODEL_CELL_BUDGET:
+            return None
+        return session.read.parquet(index_path + "/_centroids").collect()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch hands the batch a CLONED SparkSession; conf must
@@ -258,9 +328,7 @@ def start_ann_ingest_stream(
 
                 model_cache.append(
                     (
-                        session.read.parquet(
-                            index_path + "/_centroids"
-                        ).collect(),
+                        _cached_cent_rows(session),
                         _pq_read_books(session, index_path),
                         _pq_ivf_is_residual(session, index_path),
                     )
@@ -271,15 +339,12 @@ def start_ann_ingest_stream(
             )
         else:
             if not model_cache:
-                model_cache.append(
-                    session.read.parquet(
-                        index_path + "/_centroids"
-                    ).collect()
-                )
+                model_cache.append(_cached_cent_rows(session))
+            rows = model_cache[0]
             write_cells(
                 batch_df, index_path, batch_tag=str(batch_id),
                 id_col=id_col, vec_col=vec_col,
-                cent_rows=list(model_cache[0]),
+                cent_rows=list(rows) if rows is not None else None,
             )
         if (
             compact_every is not None

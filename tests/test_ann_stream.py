@@ -383,3 +383,45 @@ def test_ann_stream_auto_compaction_bounded(spark, tmp_path):
         return out
 
     assert rows(idxs["auto"]) == rows(idxs["ctl"])
+
+
+def test_ann_stream_above_budget_two_level(spark, emb, tmp_path, monkeypatch):
+    """r12 (r11 verdict task 1, streaming corner): a store past
+    _DRIVER_MODEL_CELL_BUDGET streams its folds through the two-level
+    tier — the model never collects (driver rows sqrt-sized) — and the
+    increments stay bit-identical to the batch append path, which
+    dispatches through the same deterministic tier. The residual PQ
+    mode exercises the frame-join base path (no broadcast hint)."""
+    monkeypatch.setattr(similarity, "_DRIVER_MODEL_CELL_BUDGET", 8)
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    queries = emb.where(F.col("vec_id") < 8)
+
+    # IVF mode: stream fold == batch append, probe-for-probe
+    idx_inc = str(tmp_path / "inc_ob")
+    similarity.ivf_build_index(base, idx_inc, n_cells=16)
+    write_cells(rest, idx_inc, batch_tag="0")
+    assert similarity._LAST_DRIVER_MODEL_ROWS == 8
+    idx_app = str(tmp_path / "app_ob")
+    similarity.ivf_build_index(base, idx_app, n_cells=16)
+    similarity.ivf_index_append(rest, idx_app)
+    assert _probe(spark, idx_inc, queries) == _probe(spark, idx_app, queries)
+
+    # PQ residual mode
+    pq_inc = str(tmp_path / "pqinc_ob")
+    similarity.pq_ivf_build_index(base, pq_inc, n_cells=16, residual=True)
+    write_codes(rest, pq_inc, batch_tag="0")
+    assert similarity._LAST_DRIVER_MODEL_ROWS == 8
+    pq_app = str(tmp_path / "pqapp_ob")
+    similarity.pq_ivf_build_index(base, pq_app, n_cells=16, residual=True)
+    similarity.pq_ivf_index_append(rest, pq_app)
+
+    def _pq_probe(idx):
+        return sorted(
+            tuple(r)
+            for r in similarity.pq_ivf_topk_indexed(
+                spark, idx, queries, k=5
+            ).collect()
+        )
+
+    assert _pq_probe(pq_inc) == _pq_probe(pq_app)

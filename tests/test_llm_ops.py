@@ -2436,6 +2436,90 @@ def test_two_level_topt_probes_dedup_and_match(spark):
         assert probe_cells == want, f"row {vid}: {probe_cells} != {want}"
 
 
+def test_pq_ivf_two_level_serve_dispatch(spark, monkeypatch, tmp_path):
+    """r12 (r11 verdict task 1): a PQ-IVF store past
+    _DRIVER_MODEL_CELL_BUDGET probes through the two-level tier — no
+    full-centroid broadcast crossJoin, driver model rows sqrt-sized —
+    while keeping the probed-cell PartitionFilters pruning, and ADC
+    scores (raw AND the residual <q,c> base term) bit-identical to the
+    literal tier for the (query, neighbor) pairs both tiers admit."""
+    corpus, _per = _planted_cluster_corpus(spark, n_clusters=16, per=20)
+    queries = corpus.where(F.col("vec_id") % 20 < 1)
+    for residual in (False, True):
+        idx = str(tmp_path / f"pqivf2ls_{int(residual)}")
+        # build BELOW budget: both serves read the identical store and
+        # differ only in probe transport
+        similarity.pq_ivf_build_index(
+            corpus, idx, n_cells=16, residual=residual
+        )
+        one = {
+            (r.query_id, r.neighbor_id): r.score
+            for r in similarity.pq_ivf_topk_indexed(
+                spark, idx, queries, k=5, n_probe=4
+            ).collect()
+        }
+        with monkeypatch.context() as m:
+            m.setattr(similarity, "_DRIVER_MODEL_CELL_BUDGET", 8)
+            out = similarity.pq_ivf_topk_indexed(
+                spark, idx, queries, k=5, n_probe=4
+            )
+            two = {
+                (r.query_id, r.neighbor_id): r.score for r in out.collect()
+            }
+            # driver saw only the coarse model: min(max(16, isqrt(16)), 8)
+            assert similarity._LAST_DRIVER_MODEL_ROWS == 8
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "PartitionFilters: [cell" in plan, plan[:2000]
+        overlap = set(one) & set(two)
+        assert len(overlap) / len(one) >= 0.9, (
+            f"residual={residual}: two-level probe overlap "
+            f"{len(overlap)}/{len(one)}"
+        )
+        for pair in sorted(overlap):
+            assert two[pair] == one[pair], (residual, pair)
+
+
+def test_pq_ivf_two_level_build_append_guard(spark, monkeypatch, tmp_path):
+    """r12: build and append past the budget assign through the
+    two-level tier (driver model sqrt-sized, no full-centroid collect),
+    the store keeps cell partitioning + serve recall, and refine_iters
+    fails fast (a driver-side model iteration, as in ivf_build_index)."""
+    monkeypatch.setattr(similarity, "_DRIVER_MODEL_CELL_BUDGET", 8)
+    corpus, _per = _planted_cluster_corpus(spark, n_clusters=16, per=20)
+    queries = corpus.where(F.col("vec_id") % 20 < 1)
+    n_corpus = corpus.count()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(corpus, queries, k=5).collect()
+    }
+    with pytest.raises(ValueError, match="_DRIVER_MODEL_CELL_BUDGET"):
+        similarity.pq_ivf_build_index(
+            corpus, str(tmp_path / "never_written"), n_cells=16,
+            refine_iters=1,
+        )
+    for residual in (False, True):
+        idx = str(tmp_path / f"pqivf2lb_{int(residual)}")
+        similarity.pq_ivf_build_index(
+            corpus.where(F.col("vec_id") % 2 == 0), idx, n_cells=16,
+            residual=residual,
+        )
+        assert similarity._LAST_DRIVER_MODEL_ROWS == 8
+        similarity.pq_ivf_index_append(
+            corpus.where(F.col("vec_id") % 2 == 1), idx
+        )
+        assert similarity._LAST_DRIVER_MODEL_ROWS == 8
+        assert spark.read.parquet(idx + "/codes").count() == n_corpus
+        served = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.pq_ivf_topk_indexed(
+                spark, idx, queries, k=5, n_probe=8,
+                rerank_corpus=corpus, rerank_factor=4,
+            ).collect()
+        }
+        recall = len(exact & served) / len(exact)
+        assert recall >= 0.9, f"residual={residual} recall@5 = {recall}"
+
+
 # ---------------------------------------------------------------------------
 # Pillow seam (r10): routing + contract proven via a PIL-compatible fake;
 # the real-Pillow test below runs wherever the library is installed.

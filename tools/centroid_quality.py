@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Centroid quality as a measured choice (r12, r11 verdict task 2).
+
+_ivf_centroid_frame picks centroids by deterministic hash — a sampled
+MEMBER, not a mean. ivf_refine_centroids (Lloyd on a hash-sample) exists
+and the refined compositions are pinned, but the BUILD DEFAULT for
+ivf_build_index / pq_ivf_build_index is unrefined. This measures what
+refinement is worth on a corpus with real neighborhood structure
+(planted clusters — the fixture family the recall pytests use, at x10
+scale: 60k vectors, 480 clusters) under the build/serve split: build
+wall (hash-pick vs +2 Lloyd iterations on a 1/4 sample) vs serve
+recall@5 against exact brute-force cosine top-k.
+
+Variants measured, all at n_cells = rows/512, n_probe = 4:
+- ivf: full-vector IVF store (ivf_build_index + ivf_topk_indexed)
+- pq_ivf raw: IVFADC codes store, codebooks over raw vectors
+- pq_ivf residual: codebooks over x - centroid(cell(x)) — the tier whose
+  premise (spend the codebook on the within-cell part) depends most on
+  centroids being means, so refinement should move it most
+PQ variants served both bare (ADC-ranked) and with exact re-rank of a
+4x shortlist (the pinned bench query's shape).
+
+Prints one JSON line; the recall table and the default decision land in
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import random
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+DIM = 64
+N_CLUSTERS = 480
+PER = 125  # 60k vectors — ~x10 the sf0.1 embeddings table
+N_QUERIES = 64
+K = 5
+N_PROBE = 4
+
+
+def main() -> None:
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from ct_mapreduce_spark.operators import similarity
+    from ct_mapreduce_spark.session import get_spark
+
+    spark = get_spark("centroid-quality")
+
+    # planted clusters (tests/test_llm_ops.py:_planted_cluster_corpus
+    # rule at x10): unit-norm centers, members at gaussian noise 0.08 —
+    # true top-k neighbors are co-cluster members.
+    path = f"/tmp/ctspark_centq_{N_CLUSTERS}x{PER}_d{DIM}"
+    try:
+        spark.read.parquet(path).head(1)
+    except Exception:
+        rng = random.Random(7)
+        rows = []
+        vid = 0
+        for _c in range(N_CLUSTERS):
+            center = [rng.gauss(0.0, 1.0) for _ in range(DIM)]
+            nrm = math.sqrt(sum(x * x for x in center))
+            center = [x / nrm for x in center]
+            for _ in range(PER):
+                v = [x + rng.gauss(0.0, 0.08) for x in center]
+                rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+                vid += 1
+        spark.createDataFrame(rows).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(path)
+    corpus = spark.read.parquet(path)
+    n_rows = corpus.count()
+    n_cells = max(16, n_rows // 512)
+    queries = corpus.where(F.col("vec_id") % (n_rows // N_QUERIES) == 0)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(corpus, queries, k=K).collect()
+    }
+    print(f"corpus={n_rows} cells={n_cells} exact pairs={len(exact)}",
+          file=sys.stderr)
+
+    def recall(df) -> float:
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return round(len(exact & got) / len(exact), 4)
+
+    results: dict[str, dict] = {
+        "corpus_rows": n_rows,
+        "n_cells": n_cells,
+        "n_queries": queries.count(),
+    }
+    for refine in (0, 2):
+        tag = "refined" if refine else "hashpick"
+        # full-vector IVF store
+        idx = tempfile.mkdtemp(prefix=f"ctspark_centq_ivf_{tag}_")
+        t0 = time.perf_counter()
+        similarity.ivf_build_index(
+            corpus, idx, n_cells=n_cells, refine_iters=refine,
+            refine_sample_mod=4,
+        )
+        build_s = round(time.perf_counter() - t0, 2)
+        r = recall(
+            similarity.ivf_topk_indexed(
+                spark, idx, queries, k=K, n_probe=N_PROBE
+            )
+        )
+        results[f"ivf_{tag}"] = {"build_s": build_s, "recall": r}
+        shutil.rmtree(idx, ignore_errors=True)
+        # IVFADC stores
+        for residual in (False, True):
+            rtag = "residual" if residual else "raw"
+            idx = tempfile.mkdtemp(prefix=f"ctspark_centq_pq_{rtag}_{tag}_")
+            t0 = time.perf_counter()
+            similarity.pq_ivf_build_index(
+                corpus, idx, n_cells=n_cells, residual=residual,
+                refine_iters=refine, refine_sample_mod=4,
+            )
+            build_s = round(time.perf_counter() - t0, 2)
+            bare = recall(
+                similarity.pq_ivf_topk_indexed(
+                    spark, idx, queries, k=K, n_probe=N_PROBE
+                )
+            )
+            rerank = recall(
+                similarity.pq_ivf_topk_indexed(
+                    spark, idx, queries, k=K, n_probe=N_PROBE,
+                    rerank_corpus=corpus, rerank_factor=4,
+                )
+            )
+            results[f"pqivf_{rtag}_{tag}"] = {
+                "build_s": build_s,
+                "recall_bare": bare,
+                "recall_rerank": rerank,
+            }
+            shutil.rmtree(idx, ignore_errors=True)
+        print(f"{tag}: " + json.dumps(
+            {k: v for k, v in results.items() if tag in k}
+        ), file=sys.stderr)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -335,6 +335,7 @@ def main() -> int:
     DataFrame.localCheckpoint = _orig_ckpt
     if not only:
         bad += _targeted_audits(spark, lines)
+        bad += _qfamily_sf01_audit(spark, lines)
     out = Path(__file__).resolve().parent.parent / "PLAN_AUDIT.md"
     out.write_text("\n".join(lines) + "\n")
     print(f"wrote {out}; unexplained flags: {bad}")
@@ -445,6 +446,98 @@ def _targeted_audits(spark, lines: list[str]) -> int:
     except Exception as e:  # pragma: no cover
         lines.append(f"- two_level_assign targeted audit ERROR: {e}")
         bad += 1
+    return bad
+
+
+def _qfamily_sf01_audit(spark, lines: list[str]) -> int:
+    """r12 (r11 verdict task 6): the registry sweep audits static plans
+    at sf0.01, where every dimension fits under the broadcast threshold
+    and AQE's choices are easy. Re-audit the 22-query TPC-H family at
+    sf0.1 on EXECUTED plans (AQE final): record each query's final join
+    strategies at both scales and flag the flips.
+
+    A BHJ->SMJ flip is the RIGHT flip when the build side outgrew the
+    10 MB broadcast threshold (the j2 precedent: orders as a lookup side
+    scales with the fact table, so hash-shipping it to every task loses
+    to a co-partitioned merge as data grows — exactly the decision AQE
+    exists to make per-scale). What would be WRONG — and is flagged —
+    is a quadratic strategy appearing at sf0.1 (CartesianProduct, or a
+    BNLJ not already adjudicated as a scalar-subquery/interval-dim
+    broadcast) or a query failing outright."""
+    import re as _re
+
+    from ct_mapreduce_spark.plans.corpus import REGISTRY
+
+    sf01 = "/root/testdata/sf0.1"
+    join_kinds = (
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    )
+
+    def _executed_joins(fn, sf) -> Counter:
+        df = fn(spark, sf)
+        df.collect()  # drive the frame's own QE so AQE finalizes
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return Counter(
+            {k: len(_re.findall(rf"\b{k}\b", plan)) for k in join_kinds}
+        )
+
+    bad = 0
+    lines += [
+        "",
+        "## TPC-H family at sf0.1 (r12) — executed-plan join strategies",
+        "",
+        "AQE-final join operators per scale; flips annotated. A BHJ→SMJ "
+        "flip at sf0.1 means the build side crossed the broadcast "
+        "threshold — the correct per-scale choice (j2 precedent), not a "
+        "regression.",
+        "",
+        "| query | joins sf0.01 (executed) | joins sf0.1 (executed) | flips / flags |",
+        "|---|---|---|---|",
+    ]
+    qfam = [n for n in REGISTRY if _re.match(r"q\d+_", n)]
+    for name in sorted(qfam, key=lambda n: int(_re.match(r"q(\d+)_", n).group(1))):
+        try:
+            small = _executed_joins(REGISTRY[name].fn, SF_DIR)
+            big = _executed_joins(REGISTRY[name].fn, sf01)
+        except Exception as e:  # pragma: no cover
+            lines.append(f"| {name} | — | — | **ERROR: {e}** |")
+            bad += 1
+            continue
+
+        def _fmt(c: Counter) -> str:
+            return ", ".join(
+                f"{k.replace('BroadcastHashJoin', 'BHJ').replace('SortMergeJoin', 'SMJ').replace('ShuffledHashJoin', 'SHJ').replace('BroadcastNestedLoopJoin', 'BNLJ')}x{v}"
+                for k, v in sorted(c.items())
+                if v
+            ) or "—"
+
+        notes = []
+        if big["CartesianProduct"]:
+            notes.append("**cartesian at sf0.1**")
+            bad += 1
+        bnlj_ok = (name, "bnlj") in ALLOWED
+        if big["BroadcastNestedLoopJoin"] and not bnlj_ok:
+            notes.append("**unexplained BNLJ at sf0.1**")
+            bad += 1
+        elif big["BroadcastNestedLoopJoin"]:
+            notes.append("BNLJ allowed (scalar-subquery broadcast)")
+        d_smj = big["SortMergeJoin"] - small["SortMergeJoin"]
+        d_bhj = small["BroadcastHashJoin"] - big["BroadcastHashJoin"]
+        if d_smj > 0 and d_bhj > 0:
+            notes.append(
+                f"{min(d_smj, d_bhj)} BHJ→SMJ (build side past the "
+                "broadcast threshold — right at scale)"
+            )
+        elif d_smj > 0:
+            notes.append(f"+{d_smj} SMJ at sf0.1")
+        lines.append(
+            f"| {name} | {_fmt(small)} | {_fmt(big)} | "
+            f"{'; '.join(notes) or 'same strategies'} |"
+        )
     return bad
 
 

@@ -271,8 +271,23 @@ def main() -> None:
         # the scan through one task and distort the measurement)
         return _docs_at(mult).select("doc_id", "text").unionByName(fam)
 
-    for mult in DOC_MULTS:
-        docs = _template_corpus(mult)
+    def _template_path(mult: int) -> str:
+        # pre-materialized (r12 protocol upgrade): the crossJoin corpus
+        # generation used to ride inside the keep wall, flattering the
+        # exponent at the bigger rung; parquet-backed inputs measure the
+        # operator alone, like the ingest rungs.
+        path = f"/tmp/ctspark_soak_keep_x{mult}"
+        try:
+            spark.read.parquet(path).head(1)
+        except Exception:
+            _template_corpus(mult).write.mode("overwrite").parquet(path)
+        return path
+
+    # x100 rung (r11 verdict task 3): dedup is ~3/4 of every curate e2e
+    # wall and the largest keep rung stopped at x10 — confirm the
+    # collapse-first keep stays ~linear another decade out.
+    for mult in DOC_MULTS + [100]:
+        docs = spark.read.parquet(_template_path(mult))
         times = []
         n_keep = None
         for _ in range(ITERATIONS):
@@ -389,10 +404,27 @@ def main() -> None:
 
     small_batch = base_docs.where(F.col("doc_id") < 8).select("doc_id", "text")
     big_batch = base_docs.where(F.col("doc_id") < 500).select("doc_id", "text")
-    for mult in DOC_MULTS:
+
+    def _mhcorpus_path(mult: int) -> str:
+        # pre-materialized like the keep rungs (r12): build walls
+        # measure the index build, not the crossJoin corpus generation
+        path = f"/tmp/ctspark_soak_mhcorpus_x{mult}"
+        try:
+            spark.read.parquet(path).head(1)
+        except Exception:
+            _docs_at(mult).where(F.col("doc_id") % 10 != 0).select(
+                "doc_id", "text"
+            ).write.mode("overwrite").parquet(path)
+        return path
+
+    # x100 rung (r11 verdict task 3): the incremental-probe flatness
+    # claim held to x10; confirm probe cost still tracks the touched
+    # partitions, not the index, another decade out.
+    for mult in DOC_MULTS + [100]:
         idx = tempfile.mkdtemp(prefix=f"ctspark_soak_mhidx_x{mult}_")
+        corpus_df = spark.read.parquet(_mhcorpus_path(mult))
         t0 = time.perf_counter()
-        minhash_index_build(_docs_at(mult).where(F.col("doc_id") % 10 != 0), idx)
+        minhash_index_build(corpus_df, idx)
         build_s = round(time.perf_counter() - t0, 2)
         entry = {"build_s": build_s}
         for label, batch in (("small8", small_batch), ("big500", big_batch)):
@@ -669,6 +701,53 @@ def main() -> None:
             file=sys.stderr,
         )
         shutil.rmtree(pqivf, ignore_errors=True)
+
+    # --- IVF-PQ ABOVE the driver-model budget (r12, r11 verdict task 1):
+    # n_cells > _DRIVER_MODEL_CELL_BUDGET at the REAL budget (no
+    # monkeypatch) — build and probe route through the two-level tier.
+    # Gates: the driver's model copy stays sqrt-sized (recorded +
+    # asserted), PartitionFilters still prunes the codes scan, and the
+    # probe wall stays in the x100 rung's regime (the serve cost is the
+    # probed cells' 8-byte codes either way). ---
+    import math as _math
+
+    emb = spark.read.parquet(_emb_path(EMB_MULTS[-1]))
+    n_rows = emb.count()
+    n_cells_ob = max(similarity._DRIVER_MODEL_CELL_BUDGET + 1, n_rows // 128)
+    pqivf = tempfile.mkdtemp(prefix="ctspark_soak_pqivf_ob_")
+    t0 = time.perf_counter()
+    similarity.pq_ivf_build_index(emb, pqivf, n_cells=n_cells_ob)
+    build_s = round(time.perf_counter() - t0, 2)
+    build_model_rows = similarity._LAST_DRIVER_MODEL_ROWS
+    queries = emb.where(F.col("vec_id") < 8)
+    probe_times = []
+    for _ in range(ITERATIONS):
+        t0 = time.perf_counter()
+        served = similarity.pq_ivf_topk_indexed(
+            spark, pqivf, queries, k=5, n_probe=4
+        )
+        served.count()
+        probe_times.append(round(time.perf_counter() - t0, 2))
+    probe_model_rows = similarity._LAST_DRIVER_MODEL_ROWS
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, "over-budget codes scan not pruned"
+    sqrt_cap = max(16, _math.isqrt(n_cells_ob))
+    assert build_model_rows <= sqrt_cap, (build_model_rows, sqrt_cap)
+    assert probe_model_rows <= sqrt_cap, (probe_model_rows, sqrt_cap)
+    results["pqivf_probe_x100_overbudget"] = {
+        "rows": n_rows,
+        "n_cells": n_cells_ob,
+        "build_s": build_s,
+        "driver_model_rows": probe_model_rows,
+        "probes": probe_times,
+        "min": min(probe_times),
+    }
+    print(
+        f"pqivf x100 over-budget: rows={n_rows} cells={n_cells_ob} "
+        f"model_rows={probe_model_rows} build={build_s}s probes={probe_times}",
+        file=sys.stderr,
+    )
+    shutil.rmtree(pqivf, ignore_errors=True)
 
     # --- e2e curation pipeline, two drops, 1x/10x crawl (r7): drop 1
     # builds the index from a fresh crawl; drop 2 re-crawls the same
@@ -1243,6 +1322,24 @@ def main() -> None:
         ),
         "keep_template_1x_to_10x": expo(
             "keep_template_x1", "keep_template_x10", 10
+        ),
+        "keep_template_10x_to_100x": expo(
+            "keep_template_x10", "keep_template_x100", 10
+        ),
+        "mhidx_build_10x_to_100x": round(
+            math.log(
+                results["mhidx_x100"]["build_s"] / results["mhidx_x10"]["build_s"]
+            )
+            / math.log(10),
+            3,
+        ),
+        "mhidx_probe_big500_10x_to_100x": round(
+            math.log(
+                max(results["mhidx_x100"]["probe_big500"]["min"], 0.01)
+                / max(results["mhidx_x10"]["probe_big500"]["min"], 0.01)
+            )
+            / math.log(10),
+            3,
         ),
         "bpe_train_1x_to_10x": expo("bpe_x1", "bpe_x10", 10, "train_s"),
         "dsir_select_1x_to_10x": expo(

@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""State-store soak for the stateful dedup (r12, r11 verdict task 5).
+
+ttl_first_seen (streaming/stateful.py) is correct and eviction-tested at
+toy key counts; this drives ~10^6 distinct members through it across 20
+triggers and records the live state-row/memory curve, proving the
+EXPIREAT-at-bucket-expiry contract BOUNDS state at corpus-scale key
+cardinality instead of accumulating it.
+
+Shape: trigger i carries one hour-bucket of events — KEYS_PER_TRIGGER
+distinct members under (exp_date=hour_i, issuer shard) group keys, 256
+issuer shards per bucket. Event time rides with the bucket, so the 1h
+watermark delay passes bucket j's expiry (hour j+1) two triggers later
+and its groups — which get no further input — time out and evict. Live
+state must therefore plateau at ~2-3 buckets' worth of groups while
+TOTAL distinct members grow 20x past that plateau.
+
+Gates (asserted, not just recorded):
+- peak live state rows <= 4 buckets' group count (eviction keeps up;
+  unbounded accumulation would reach n_triggers * groups_per_bucket)
+- final-batch state rows < 1/4 of total groups created
+- rows were actually removed (numRowsRemoved > 0 somewhere)
+
+Prints one JSON line (curve + gates); findings land in BASELINE.md.
+The 100x lever beyond this rung is the RocksDB state store
+(spark.sql.streaming.stateStore.providerClass) — see DESIGN_NOTES.md:
+the HDFS-backed default holds every live group's seen-set on the JVM
+heap; RocksDB spills to local disk with the same semantics.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+N_TRIGGERS = 20
+KEYS_PER_TRIGGER = 50_000
+SHARDS = 256  # issuer shards per hour bucket => groups per bucket
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from ct_mapreduce_spark.session import get_spark
+    from ct_mapreduce_spark.streaming.stateful import (
+        cert_bucket_expiry,
+        ttl_first_seen,
+    )
+
+    spark = get_spark("state-soak")
+    t0d = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    root = tempfile.mkdtemp(prefix="ctspark_state_soak_")
+    src = f"{root}/src"
+    ckpt = f"{root}/ckpt"
+
+    gen_t0 = time.perf_counter()
+    for i in range(N_TRIGGERS):
+        hour = t0d + dt.timedelta(hours=i)
+        bucket = hour.strftime("%Y-%m-%d-%H")
+        ts = hour + dt.timedelta(minutes=5)
+        (
+            spark.range(KEYS_PER_TRIGGER)
+            .select(
+                F.lit(bucket).alias("exp_date"),
+                F.concat(
+                    F.lit("iss"), (F.col("id") % SHARDS).cast("string")
+                ).alias("issuer_id"),
+                # members globally distinct across triggers
+                (F.col("id") + i * KEYS_PER_TRIGGER).alias("serial"),
+                F.lit(ts).alias("entry_ts"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        time.sleep(1.1)  # distinct mtimes => deterministic batch order
+    gen_s = round(time.perf_counter() - gen_t0, 2)
+    print(
+        f"generated {N_TRIGGERS} waves x {KEYS_PER_TRIGGER} keys in {gen_s}s",
+        file=sys.stderr,
+    )
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = ttl_first_seen(
+        stream,
+        keys=["exp_date", "issuer_id"],
+        member_col="serial",
+        expiry_fn=cert_bucket_expiry,
+        watermark_col="entry_ts",
+        watermark_delay="1 hour",
+    )
+    run_t0 = time.perf_counter()
+    q = (
+        out.writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    progresses = [p for p in q.recentProgress if p and p["numInputRows"] > 0]
+    q.stop()
+    run_s = round(time.perf_counter() - run_t0, 2)
+
+    curve = []
+    for p in progresses:
+        so = p["stateOperators"][0]
+        curve.append(
+            {
+                "batch": p["batchId"],
+                "input_rows": p["numInputRows"],
+                "state_rows": so["numRowsTotal"],
+                "state_rows_removed": so["numRowsRemoved"],
+                "state_memory_mb": round(
+                    so.get("memoryUsedBytes", 0) / 1e6, 2
+                ),
+                "watermark": p.get("eventTime", {}).get("watermark"),
+            }
+        )
+
+    total_groups = N_TRIGGERS * SHARDS
+    peak = max(c["state_rows"] for c in curve)
+    final = curve[-1]["state_rows"]
+    removed = sum(c["state_rows_removed"] for c in curve)
+    assert peak <= 4 * SHARDS, (peak, 4 * SHARDS)
+    assert final < total_groups / 4, (final, total_groups)
+    assert removed > 0, curve
+
+    results = {
+        "triggers": N_TRIGGERS,
+        "distinct_members_total": N_TRIGGERS * KEYS_PER_TRIGGER,
+        "groups_per_bucket": SHARDS,
+        "groups_total": total_groups,
+        "gen_s": gen_s,
+        "run_s": run_s,
+        "peak_state_rows": peak,
+        "final_state_rows": final,
+        "state_rows_removed_total": removed,
+        "peak_state_memory_mb": max(c["state_memory_mb"] for c in curve),
+        "curve": curve,
+    }
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
