@@ -1066,7 +1066,11 @@ def ivf_build_index(
     One narrow pass over the corpus + one partitioned write — this is the
     'written bucketed by cell once' half of the 100 TB plan; at that
     scale you rebuild when centroid drift degrades recall, not per
-    query."""
+    query. refine_iters>=2 is the measured recommendation below the
+    cell budget (r12, tools/centroid_quality.py: serve recall
+    0.73 -> 0.95 at x10 planted clusters for one Lloyd pass on a 1/4
+    sample); the default stays 0 because refinement is a driver-side
+    model iteration, unavailable above _DRIVER_MODEL_CELL_BUDGET."""
     cents = _ivf_centroid_frame(corpus, n_cells, id_col, vec_col, seed)
     if n_cells > _DRIVER_MODEL_CELL_BUDGET:
         if refine_iters:
@@ -2217,7 +2221,13 @@ def pq_ivf_build_index(
     codebook on the within-cell part — is diluted. The published IVFADC
     coarse quantizer is k-means; pass refine_iters>=2 when building a
     residual index (see the two-fixture regime matrix in
-    tests/test_llm_ops.py::test_pq_ivf_residual_regime_matrix).
+    tests/test_llm_ops.py::test_pq_ivf_residual_regime_matrix). The
+    default stays 0 only because refinement is structurally unavailable
+    above the budget — measured at x10 planted clusters (r12,
+    tools/centroid_quality.py, BASELINE.md): refinement moves probed-
+    cell coverage 0.73 -> 0.95 at ~+2% build cost, residual+refined is
+    the best composition (recall 0.94) and residual+unrefined the
+    WORST (0.64).
 
     Above _DRIVER_MODEL_CELL_BUDGET the build assigns through the
     two-level tier (r12): the centroid model never reaches the driver,

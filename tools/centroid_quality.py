@@ -17,8 +17,14 @@ Variants measured, all at n_cells = rows/512, n_probe = 4:
 - pq_ivf residual: codebooks over x - centroid(cell(x)) — the tier whose
   premise (spend the codebook on the within-cell part) depends most on
   centroids being means, so refinement should move it most
-PQ variants served both bare (ADC-ranked) and with exact re-rank of a
-4x shortlist (the pinned bench query's shape).
+PQ variants served bare (ADC-ranked), with exact re-rank of a 4x
+shortlist (the pinned bench query's shape), and with a cluster-sized
+25x shortlist. On this fixture the 125 near-duplicate co-members are
+ADC-indistinguishable (their exact cosines differ in the noise), so
+small-shortlist recall measures PQ RESOLUTION, not the coarse
+quantizer; the direct centroid-quality number is `coverage` — the
+fraction of true top-5 neighbors whose stored cell is among the
+query's n_probe probed cells (the quantity refinement can move).
 
 Prints one JSON line; the recall table and the default decision land in
 BASELINE.md.
@@ -134,10 +140,35 @@ def main() -> None:
                     rerank_corpus=corpus, rerank_factor=4,
                 )
             )
+            rerank25 = recall(
+                similarity.pq_ivf_topk_indexed(
+                    spark, idx, queries, k=K, n_probe=N_PROBE,
+                    rerank_corpus=corpus, rerank_factor=25,
+                )
+            )
+            # probed-cell coverage: is the true neighbor's cell probed?
+            cents = spark.read.parquet(idx + "/_centroids")
+            qa = similarity._assign_probes(
+                queries, cents, "vec_id", "embedding", "query", N_PROBE
+            )
+            probes = {(r.query_id, r.cell) for r in qa.collect()}
+            cellmap = {
+                r.vec_id: r.cell
+                for r in spark.read.parquet(idx + "/codes")
+                .select("vec_id", "cell")
+                .collect()
+            }
+            coverage = round(
+                sum(1 for q, n in exact if (q, cellmap[n]) in probes)
+                / len(exact),
+                4,
+            )
             results[f"pqivf_{rtag}_{tag}"] = {
                 "build_s": build_s,
                 "recall_bare": bare,
-                "recall_rerank": rerank,
+                "recall_rerank4": rerank,
+                "recall_rerank25": rerank25,
+                "coverage": coverage,
             }
             shutil.rmtree(idx, ignore_errors=True)
         print(f"{tag}: " + json.dumps(
