@@ -894,9 +894,18 @@ def _two_level_assign(
     def _best_in_coarse(left: pd.DataFrame, right: pd.DataFrame):
         # a coarse cell can own zero fine centroids only via an exact
         # centroid tie; rows probing it get candidates from their other
-        # probes (coarse_probe >= 2 by construction)
+        # probes (coarse_probe >= 2 by construction). Empty LEFT groups
+        # are routine when the input is small relative to n_coarse
+        # (e.g. an 8-row query batch probing a 64-coarse model). The
+        # empty frame's columns must be OBJECT dtype: pandas defaults
+        # empty lists to float64 and Arrow cannot convert a float64
+        # numpy column to the array<float> output field (r12 — found by
+        # the over-budget soak rung, latent since r10 for any batch
+        # smaller than the coarse model).
         if left.empty or right.empty:
-            return pd.DataFrame({c: [] for c in empty_cols})
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="object") for c in empty_cols}
+            )
         order = np.argsort(right["fcell"].to_numpy(), kind="stable")
         fmat = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in right["fcent"]],

@@ -2436,6 +2436,31 @@ def test_two_level_topt_probes_dedup_and_match(spark):
         assert probe_cells == want, f"row {vid}: {probe_cells} != {want}"
 
 
+def test_two_level_batch_smaller_than_coarse_model(spark):
+    """r12 regression (found by the over-budget soak rung): an input
+    batch SMALLER than the coarse model leaves most cogroup groups with
+    an empty row side; the empty output frame must be object-dtyped or
+    Arrow fails to convert pandas' float64-defaulted empty columns to
+    the array<float> output field. 4 float32 rows against a 64-cell /
+    16-coarse model — every row must still assign, to a valid cell."""
+    corpus, _per = _planted_cluster_corpus(spark, n_clusters=16, per=20)
+    # float32 vectors (the testdata encoding that exposed the bug)
+    corpus_f = corpus.select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    )
+    cents = similarity._ivf_centroid_frame(
+        corpus_f, 64, "vec_id", "embedding", 42
+    )
+    batch = corpus_f.where(F.col("vec_id") < 4)
+    for t in (1, 4):
+        got = similarity._two_level_assign(
+            batch, cents, 64, "vec_id", "embedding", "n", t=t
+        ).collect()
+        assert len(got) == 4 * t
+        assert all(0 <= r.cell < 64 for r in got)
+
+
 def test_pq_ivf_two_level_serve_dispatch(spark, monkeypatch, tmp_path):
     """r12 (r11 verdict task 1): a PQ-IVF store past
     _DRIVER_MODEL_CELL_BUDGET probes through the two-level tier — no

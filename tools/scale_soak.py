@@ -404,6 +404,26 @@ def main() -> None:
 
     small_batch = base_docs.where(F.col("doc_id") < 8).select("doc_id", "text")
     big_batch = base_docs.where(F.col("doc_id") < 500).select("doc_id", "text")
+    # zero-match probe (r12): the small8/big500 batches are drawn from
+    # the corpus, so on the REPLICATED x-mult fixtures their candidate
+    # families grow with mult and the probe wall conflates index size
+    # with output volume. A batch of novel docs matches nothing — its
+    # wall is the pure index-size cost (signatures + bucket join against
+    # touched partitions), the quantity the flatness claim is about.
+    novel_batch = (
+        spark.range(500)
+        .select(
+            (F.col("id") + 90_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("novelprobe "),
+                F.md5(F.col("id").cast("string")),
+                F.lit(" "),
+                F.md5((F.col("id") + 1).cast("string")),
+                F.lit(" "),
+                F.md5((F.col("id") + 2).cast("string")),
+            ).alias("text"),
+        )
+    )
 
     def _mhcorpus_path(mult: int) -> str:
         # pre-materialized like the keep rungs (r12): build walls
@@ -427,7 +447,11 @@ def main() -> None:
         minhash_index_build(corpus_df, idx)
         build_s = round(time.perf_counter() - t0, 2)
         entry = {"build_s": build_s}
-        for label, batch in (("small8", small_batch), ("big500", big_batch)):
+        for label, batch in (
+            ("small8", small_batch),
+            ("big500", big_batch),
+            ("novel500", novel_batch),
+        ):
             probe_times = []
             n_pairs = None
             for _ in range(ITERATIONS):
@@ -1337,6 +1361,14 @@ def main() -> None:
             math.log(
                 max(results["mhidx_x100"]["probe_big500"]["min"], 0.01)
                 / max(results["mhidx_x10"]["probe_big500"]["min"], 0.01)
+            )
+            / math.log(10),
+            3,
+        ),
+        "mhidx_probe_novel500_10x_to_100x": round(
+            math.log(
+                max(results["mhidx_x100"]["probe_novel500"]["min"], 0.01)
+                / max(results["mhidx_x10"]["probe_novel500"]["min"], 0.01)
             )
             / math.log(10),
             3,
