@@ -1204,7 +1204,7 @@ def ivf_index_append(
     file opens instead of bytes."""
     spark = new_vectors.sparkSession
     cents = spark.read.parquet(path + "/_centroids")
-    n_cells = cents.count()
+    n_cells = _stored_n_cells(spark, path)  # fingerprint-memoized (r12)
     assigned, _ = _assign_cells_auto(
         new_vectors, cents, n_cells, id_col, vec_col, "neighbor"
     )
@@ -1324,7 +1324,9 @@ def ivf_topk_indexed(
     base ∪ increments probe the dedup index serves
     (dedup_fuzzy._read_store)."""
     cents = spark.read.parquet(path + "/_centroids")
-    stored_cells = cents.count()
+    # memoized per sidecar fingerprint (r12) — a warm serve call
+    # previously paid a count job on the model sidecar per probe
+    stored_cells = _stored_n_cells(spark, path)
     if stored_cells > _DRIVER_MODEL_CELL_BUDGET:
         # two-level query probes (r10): the stored model stays distributed
         qa = _two_level_assign(
@@ -2329,7 +2331,10 @@ def _pq_ivf_is_residual(spark, path: str) -> bool:
 def _pq_ivf_n_cells(spark, path: str) -> int:
     """Stored-cell count for the serve-side budget dispatch (r12):
     memoized per on-disk fingerprint like _pq_read_books, so a warm
-    serve call doesn't pay a count job on the model sidecar."""
+    serve call doesn't pay a count job on the model sidecar. Despite
+    the name this reads {path}/_centroids, the sidecar BOTH index
+    layouts share — the full-vector IVF store's serve/append paths use
+    it too (alias _stored_n_cells below)."""
     fp = _sidecar_fingerprint(path + "/_centroids")
     key = ("ncells", path, fp)
     if fp is not None and key in _SIDECAR_MEMO:
@@ -2338,6 +2343,9 @@ def _pq_ivf_n_cells(spark, path: str) -> int:
     if fp is not None:
         _SIDECAR_MEMO[key] = got
     return got
+
+
+_stored_n_cells = _pq_ivf_n_cells  # layout-neutral name for IVF callers
 
 
 def pq_ivf_index_append(
