@@ -384,10 +384,54 @@ def _nearest_sentinel_ratios(
     }
 
 
+def _await_quiet_window(
+    threshold: float | None = None,
+    timeout_s: float = 900.0,
+    poll_s: float = 15.0,
+) -> dict:
+    """Load-gate the sweep (r12 verdict task 5, codifying the r12
+    lesson: sweeps launched right after heavy artifact generation read
+    1.3-7x sentinel windows and every 'breach' was window noise).
+    Spin-wait, bounded by `timeout_s`, until the 1-min load average
+    drops below `threshold`; always record what was actually observed
+    so the artifact adjudicates itself. SPARK_GRAFT_SKIP_LOAD_GATE=1
+    bypasses the wait (CI/driver runs that manage their own quiet);
+    SPARK_GRAFT_LOAD_GATE_MAX overrides the threshold. The gate never
+    refuses outright — on timeout the sweep proceeds and the recorded
+    load + in-sweep sentinel ratios flag the window, exactly as the
+    sentinel protocol already adjudicates."""
+    if threshold is None:
+        threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_MAX", "1.5"))
+    load = os.getloadavg()[0]
+    if os.environ.get("SPARK_GRAFT_SKIP_LOAD_GATE"):
+        return {
+            "pre_run_load_1min": round(load, 2),
+            "load_gate": "skipped",
+            "load_gate_threshold": threshold,
+        }
+    deadline = time.monotonic() + timeout_s
+    waited = 0.0
+    while load > threshold and time.monotonic() < deadline:
+        print(
+            f"load gate: 1-min load {load:.2f} > {threshold} — waiting",
+            file=sys.stderr,
+        )
+        time.sleep(poll_s)
+        waited += poll_s
+        load = os.getloadavg()[0]
+    return {
+        "pre_run_load_1min": round(load, 2),
+        "load_gate": "quiet" if load <= threshold else "timeout",
+        "load_gate_threshold": threshold,
+        "load_gate_waited_sec": round(waited, 1),
+    }
+
+
 def main() -> None:
     from ct_mapreduce_spark.plans.corpus import REGISTRY
     from ct_mapreduce_spark.session import get_spark
 
+    load_gate = _await_quiet_window()
     spark = get_spark("ct_mapreduce_spark-bench")
     # Warm the JVM + parquet footers once.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -528,6 +572,7 @@ def main() -> None:
         "over_2x_raw": over_2x_raw,
         "over_2x_window_adjusted": over_2x_adj,
         "detail": "bench_detail.json",
+        **load_gate,
     }
     if errors:
         compact["error_queries"] = sorted(errors)

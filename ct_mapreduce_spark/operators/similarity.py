@@ -498,6 +498,112 @@ def ivf_refine_centroids(
     return cent_rows
 
 
+def ivf_refine_centroids_distributed(
+    corpus: DataFrame,
+    cents: DataFrame,
+    n_cells: int,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_mod: int = 1,
+    sample_seed: int = 43,
+) -> DataFrame:
+    """Lloyd refinement with the centroid MODEL kept distributed — the
+    above-_DRIVER_MODEL_CELL_BUDGET tier of ivf_refine_centroids (r12
+    verdict task 1). The r12 measurement (tools/centroid_quality.py,
+    BASELINE.md) showed refinement moves probed-cell coverage
+    0.73 -> 0.95, yet it was structurally locked below the budget
+    because the one-level refiner iterates a driver-side model — so
+    exactly the stores big enough to need >4096 cells were stuck with
+    the worst coarse quantizer. Lloyd's update step never actually
+    needs a driver model:
+
+    - ASSIGN: _two_level_assign (the budget tier's own transport —
+      only the sqrt-sized coarse model reaches the driver; approximate
+      in the same recall-gated sense as every over-budget assignment).
+    - UPDATE: one map-side-combined groupBy((cell, pos)) mean over the
+      exploded refine set, with the SAME decimal staging as the
+      one-level refiner (floor(x*1e9) summed in DECIMAL(38,0), /1e9 /
+      count, round 6) — partial-aggregation order cannot move the
+      means, so the refined frame is engine- and partitioning-stable.
+    - REBUILD: per-cell array_sort(collect_list(struct(pos, cv)))
+      reassembles centroid arrays; cells that lose all members keep
+      their previous centroid (the one-level rule), via a left join
+      back to the incoming frame. The model round-trips executor-side
+      only (localCheckpoint per iteration bounds lineage and makes the
+      next iteration's coarse re-collect read a materialized frame).
+
+    Per iteration cost: one narrow two-level assignment pass over the
+    refine set + one (cell, pos)-key shuffle with O(1) state per key —
+    the model-sized frames never hit the driver. sample_mod > 1 refines
+    on the deterministic hash-sample slice (ivf_refine_centroids'
+    rule): at 100 TB a ~1M-row sample estimates the means as well as
+    the full corpus at 1/sample_mod of the pass cost.
+
+    Returns the refined centroid frame (cell int, centroid
+    array<double>) for the caller to assign against and persist as the
+    store's model sidecar."""
+    refine_src = corpus
+    if sample_mod > 1:
+        refine_src = corpus.where(
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string"), F.lit(sample_seed)),
+                F.lit(sample_mod),
+            )
+            == 0
+        )
+    # dtype-normalize up front so coalesce(new, prev) below is legal on
+    # the first iteration too (stores hold float32 vectors; means are
+    # double)
+    cents = cents.select(
+        "cell", F.col("centroid").cast("array<double>").alias("centroid")
+    )
+    staged = F.floor(F.col("val").cast("double") * F.lit(1e9)).cast(
+        "decimal(38,0)"
+    )
+    for _ in range(n_iters):
+        assigned = _two_level_assign(
+            refine_src, cents, n_cells, id_col, vec_col, "m", seed=seed
+        )
+        new = (
+            assigned.select(
+                "cell", F.posexplode(F.col("m_vec")).alias("pos", "val")
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.round(
+                    (F.sum(staged).cast("double") / F.lit(1e9))
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("cv")
+            )
+            # struct sorts lexicographically and pos is unique per cell,
+            # so array_sort reassembles dimensions in order
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "cv"))
+                ).alias("_s")
+            )
+            .select(
+                "cell",
+                F.transform(F.col("_s"), lambda x: x["cv"]).alias("_new"),
+            )
+        )
+        cents = (
+            cents.join(new, "cell", "left")
+            .select(
+                "cell",
+                F.coalesce(F.col("_new"), F.col("centroid")).alias(
+                    "centroid"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -523,13 +629,13 @@ def ivf_topk(
     if n_cells > _DRIVER_MODEL_CELL_BUDGET:
         # two-level tier (r10): the centroid model never reaches the
         # driver; corpus assignment and query probes both route through
-        # the coarse quantizer. Lloyd refinement is a driver-side model
-        # iteration by construction — refine the coarse pick instead.
+        # the coarse quantizer. Lloyd refinement runs distributed here
+        # (r13 — the update step is one groupBy((cell,pos)) mean pass,
+        # no driver model needed; see ivf_refine_centroids_distributed).
         if refine_iters:
-            raise ValueError(
-                "refine_iters is a driver-side model iteration; above "
-                f"_DRIVER_MODEL_CELL_BUDGET ({_DRIVER_MODEL_CELL_BUDGET} "
-                "cells) use the two-level tier unrefined or lower n_cells"
+            cents = ivf_refine_centroids_distributed(
+                corpus, cents, n_cells, refine_iters, id_col, vec_col,
+                seed=seed, sample_mod=refine_sample_mod,
             )
         ca = _two_level_assign(
             corpus, cents, n_cells, id_col, vec_col, "neighbor", seed=seed
@@ -1075,18 +1181,22 @@ def ivf_build_index(
     One narrow pass over the corpus + one partitioned write — this is the
     'written bucketed by cell once' half of the 100 TB plan; at that
     scale you rebuild when centroid drift degrades recall, not per
-    query. refine_iters>=2 is the measured recommendation below the
-    cell budget (r12, tools/centroid_quality.py: serve recall
-    0.73 -> 0.95 at x10 planted clusters for one Lloyd pass on a 1/4
-    sample); the default stays 0 because refinement is a driver-side
-    model iteration, unavailable above _DRIVER_MODEL_CELL_BUDGET."""
+    query. refine_iters>=2 is the measured recommendation (r12,
+    tools/centroid_quality.py: serve recall 0.73 -> 0.95 at x10 planted
+    clusters for one Lloyd pass on a 1/4 sample). Above
+    _DRIVER_MODEL_CELL_BUDGET refinement runs distributed (r13,
+    ivf_refine_centroids_distributed) — the model never reaches the
+    driver. The default stays 0 because the unrefined hash-pick is the
+    tier every golden pin was derived on."""
     cents = _ivf_centroid_frame(corpus, n_cells, id_col, vec_col, seed)
     if n_cells > _DRIVER_MODEL_CELL_BUDGET:
+        # Lloyd refinement runs distributed above the budget (r13):
+        # the model never reaches the driver — assignment through the
+        # two-level tier, update as one groupBy((cell,pos)) mean pass.
         if refine_iters:
-            raise ValueError(
-                "refine_iters is a driver-side model iteration; above "
-                f"_DRIVER_MODEL_CELL_BUDGET ({_DRIVER_MODEL_CELL_BUDGET} "
-                "cells) build unrefined or lower n_cells"
+            cents = ivf_refine_centroids_distributed(
+                corpus, cents, n_cells, refine_iters, id_col, vec_col,
+                seed=seed, sample_mod=refine_sample_mod,
             )
         assigned = _two_level_assign(
             corpus, cents, n_cells, id_col, vec_col, "neighbor", seed=seed
@@ -1115,6 +1225,11 @@ def ivf_build_index(
         .parquet(path)
     )
     cents.write.mode("overwrite").parquet(path + "/_centroids")
+    # seed sidecar (r12 advice): serve/append re-derive the two-level
+    # coarse model from this seed so it matches the build's routing
+    corpus.sparkSession.createDataFrame(
+        [(int(seed),)], "seed int"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
 
 
 def label_outliers(
@@ -1206,7 +1321,8 @@ def ivf_index_append(
     cents = spark.read.parquet(path + "/_centroids")
     n_cells = _stored_n_cells(spark, path)  # fingerprint-memoized (r12)
     assigned, _ = _assign_cells_auto(
-        new_vectors, cents, n_cells, id_col, vec_col, "neighbor"
+        new_vectors, cents, n_cells, id_col, vec_col, "neighbor",
+        seed=_stored_seed(spark, path),
     )
     (
         assigned.withColumnRenamed("neighbor_id", id_col)
@@ -1286,6 +1402,13 @@ def ivf_index_compact(
         .parquet(path + TMP_SUFFIX)
     )
     cents.write.mode("overwrite").parquet(path + TMP_SUFFIX + "/_centroids")
+    # the seed sidecar (r13) rides through the swap like _centroids; a
+    # pre-r13 store has none and stays without one (reads as seed 42)
+    meta = _try_read_parquet(spark, path + "/_meta")
+    if meta is not None:
+        meta.coalesce(1).write.mode("overwrite").parquet(
+            path + TMP_SUFFIX + "/_meta"
+        )
     if keep_inc is not None:
         # the in-flight batch's increment rides through the swap inside
         # the new tree (the swap renames the WHOLE index dir, _inc
@@ -1331,7 +1454,7 @@ def ivf_topk_indexed(
         # two-level query probes (r10): the stored model stays distributed
         qa = _two_level_assign(
             queries, cents, stored_cells, id_col, vec_col, "query",
-            t=n_probe,
+            t=n_probe, seed=_stored_seed(spark, path),
         )
     else:
         qa = _assign_probes(queries, cents, id_col, vec_col, "query", n_probe)
@@ -2033,6 +2156,16 @@ class _BoundedMemo(OrderedDict):
         while len(self) > self.cap:
             self.popitem(last=False)
 
+    def get(self, key, default=None):
+        # dict.get does NOT route through __getitem__, so without this
+        # override a .get() hit would skip the recency refresh and the
+        # bound degrades to FIFO (r12 advice — verified empirically: a
+        # just-read entry was evicted first).
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
 
 _SIDECAR_MEMO: _BoundedMemo = _BoundedMemo()
 
@@ -2232,29 +2365,31 @@ def pq_ivf_build_index(
     codebook on the within-cell part — is diluted. The published IVFADC
     coarse quantizer is k-means; pass refine_iters>=2 when building a
     residual index (see the two-fixture regime matrix in
-    tests/test_llm_ops.py::test_pq_ivf_residual_regime_matrix). The
-    default stays 0 only because refinement is structurally unavailable
-    above the budget — measured at x10 planted clusters (r12,
-    tools/centroid_quality.py, BASELINE.md): refinement moves probed-
-    cell coverage 0.73 -> 0.95 at ~+2% build cost, residual+refined is
-    the best composition (recall 0.94) and residual+unrefined the
-    WORST (0.64).
+    tests/test_llm_ops.py::test_pq_ivf_residual_regime_matrix).
+    Measured at x10 planted clusters (r12, tools/centroid_quality.py,
+    BASELINE.md): refinement moves probed-cell coverage 0.73 -> 0.95 at
+    ~+2% build cost, residual+refined is the best composition (recall
+    0.94) and residual+unrefined the WORST (0.64).
 
     Above _DRIVER_MODEL_CELL_BUDGET the build assigns through the
-    two-level tier (r12): the centroid model never reaches the driver,
-    the residual join drops its broadcast hint, and refine_iters — a
-    driver-side model iteration — fails fast, as in ivf_build_index."""
+    two-level tier (r12): the centroid model never reaches the driver
+    and the residual join drops its broadcast hint. refine_iters runs
+    distributed there too (r13, ivf_refine_centroids_distributed) —
+    the measured-worst composition (residual + unrefined) was exactly
+    what the former fail-fast forced on >4096-cell residual stores."""
     cents = _ivf_centroid_frame(corpus, n_cells, id_col, vec_col, seed)
     over_budget = n_cells > _DRIVER_MODEL_CELL_BUDGET
     if over_budget:
         # two-level build assignment (r12): the centroid model stays a
         # DataFrame; only the sqrt-sized coarse model reaches the driver
-        # (ivf_build_index's above-budget shape).
+        # (ivf_build_index's above-budget shape). Lloyd refinement runs
+        # distributed (r13): this is the store that needs it MOST —
+        # residual codebooks over off-center residuals are the measured
+        # worst composition (coverage 0.64 vs 0.95 refined).
         if refine_iters:
-            raise ValueError(
-                "refine_iters is a driver-side model iteration; above "
-                f"_DRIVER_MODEL_CELL_BUDGET ({_DRIVER_MODEL_CELL_BUDGET} "
-                "cells) build unrefined or lower n_cells"
+            cents = ivf_refine_centroids_distributed(
+                corpus, cents, n_cells, refine_iters, id_col, vec_col,
+                seed=seed, sample_mod=refine_sample_mod,
             )
         assigned = _two_level_assign(
             corpus, cents, n_cells, id_col, vec_col, "v", seed=seed
@@ -2303,8 +2438,11 @@ def pq_ivf_build_index(
     spark.createDataFrame(
         book_rows, "j int, code int, cvec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_codebooks")
+    # seed persisted beside the residual flag (r12 advice): serve and
+    # append read it back (_stored_seed) so their two-level coarse model
+    # always matches the one the stored assignments were routed through
     spark.createDataFrame(
-        [(bool(residual),)], "residual boolean"
+        [(bool(residual), int(seed))], "residual boolean, seed int"
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
 
 
@@ -2318,7 +2456,9 @@ def _pq_ivf_is_residual(spark, path: str) -> bool:
     if fp is not None and key in _SIDECAR_MEMO:
         return _SIDECAR_MEMO[key]  # type: ignore[return-value]
     meta = _try_read_parquet(spark, path + "/_meta")
-    if meta is None:
+    if meta is None or "residual" not in meta.columns:
+        # no sidecar (pre-r8), or a seed-only sidecar (the IVF store's
+        # r13 shape) — both mean raw
         got = False
     else:
         rows = meta.collect()
@@ -2348,6 +2488,34 @@ def _pq_ivf_n_cells(spark, path: str) -> int:
 _stored_n_cells = _pq_ivf_n_cells  # layout-neutral name for IVF callers
 
 
+def _stored_seed(spark, path: str) -> int:
+    """Build seed recorded in the {path}/_meta sidecar (r12 advice): the
+    two-level tier derives its coarse model from xxhash64(cell, seed+101),
+    so serve/append probing with a DIFFERENT seed than the build would
+    route queries through a different coarse model than the stored
+    assignments — silently degrading recall agreement with no error.
+    Threading the stored seed makes non-default-seed stores correct by
+    construction. A pre-r13 store (no _meta, or a residual-only _meta)
+    reads as the historical default 42 — exactly the seed those stores
+    were built with, since the seed was not persistable before.
+    Memoized per on-disk fingerprint like _pq_read_books."""
+    from ct_mapreduce_spark.operators.dedup_fuzzy import _try_read_parquet
+
+    fp = _sidecar_fingerprint(path + "/_meta")
+    key = ("seed", path, fp)
+    if fp is not None and key in _SIDECAR_MEMO:
+        return _SIDECAR_MEMO[key]  # type: ignore[return-value]
+    meta = _try_read_parquet(spark, path + "/_meta")
+    if meta is None or "seed" not in meta.columns:
+        got = 42
+    else:
+        rows = meta.collect()
+        got = int(rows[0]["seed"]) if rows else 42
+    if fp is not None:
+        _SIDECAR_MEMO[key] = got
+    return got
+
+
 def pq_ivf_index_append(
     new_vectors: DataFrame,
     path: str,
@@ -2370,7 +2538,8 @@ def pq_ivf_index_append(
     over_budget = stored_cells > _DRIVER_MODEL_CELL_BUDGET
     if over_budget:
         assigned = _two_level_assign(
-            new_vectors, cents, stored_cells, id_col, vec_col, "v"
+            new_vectors, cents, stored_cells, id_col, vec_col, "v",
+            seed=_stored_seed(spark, path),
         ).select(
             F.col("v_id").alias(id_col), F.col("v_vec").alias(vec_col), "cell"
         )
@@ -2515,11 +2684,18 @@ def pq_ivf_topk_indexed(
         # values are bit-identical for identical (query, cell) pairs.
         qa2 = _two_level_assign(
             queries, cents, stored_cells, id_col, vec_col, "query",
-            t=n_probe,
+            t=n_probe, seed=_stored_seed(spark, path),
         )
         if residual:
+            # no broadcast hint (r12 advice): unlike the literal tier's
+            # fixed-size centroid broadcast this side is n_queries x
+            # n_probe rows CARRYING FULL QUERY VECTORS — it scales with
+            # the batch, and the over-budget tier exists precisely for
+            # the largest deployments. AQE broadcasts it anyway when a
+            # batch is actually small (the same posture as
+            # _with_residual's over-budget branch above).
             qa = cents.join(
-                F.broadcast(qa2.select("query_id", "query_vec", "cell")),
+                qa2.select("query_id", "query_vec", "cell"),
                 "cell",
             ).select(
                 "query_id",

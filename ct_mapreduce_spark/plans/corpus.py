@@ -86,6 +86,13 @@ def _cache_tag(sf_dir: str, table: str, gen: str) -> str:
 # whose gens may differ — keeping a pair means neither side evicts the
 # other's warm artifact between runs.
 _TMP_TAG_KEEP = 2
+# Beyond the keep count, only dirs this stale are removed (r12 advice):
+# eviction acts on THIS process's view, and a concurrent process (a
+# third worktree, or one mid-serve on generation N-2) may still be
+# reading a sibling the keep-pair doesn't cover. A recently-touched dir
+# is evidence of such a reader; two hours comfortably outlasts a bench
+# sweep or A/B session while still bounding long-lived /tmp growth.
+_TMP_TAG_MIN_AGE_S = 2 * 3600
 
 
 def _evict_stale_tagged(path: str) -> None:
@@ -97,11 +104,15 @@ def _evict_stale_tagged(path: str) -> None:
     would otherwise leak /tmp disk per generation. Keeps the
     `_TMP_TAG_KEEP` most-recently-modified tagged dirs (including the
     live one); called only from build sites, so a tag that is merely
-    cold is never removed mid-serve."""
+    cold is never removed mid-serve. Past the keep count, a sibling is
+    removed only once its mtime is `_TMP_TAG_MIN_AGE_S` stale — a
+    recently-touched dir may belong to a concurrent process this
+    process's keep-pair view doesn't cover (r12 advice)."""
     import glob
     import os
     import re
     import shutil
+    import time
 
     prefix, _, tag = path.rpartition("_")
     if not re.fullmatch(r"[0-9a-f]{12}", tag):
@@ -112,7 +123,13 @@ def _evict_stale_tagged(path: str) -> None:
         if p != path and os.path.isdir(p)
     ]
     sibs.sort(key=lambda p: os.path.getmtime(p), reverse=True)
+    cutoff = time.time() - _TMP_TAG_MIN_AGE_S
     for p in sibs[_TMP_TAG_KEEP - 1 :]:
+        try:
+            if os.path.getmtime(p) > cutoff:
+                continue
+        except OSError:
+            continue
         shutil.rmtree(p, ignore_errors=True)
 
 

@@ -70,6 +70,7 @@ def _assign_batch(
     from ct_mapreduce_spark.operators.similarity import (
         _DRIVER_MODEL_CELL_BUDGET,
         _pq_ivf_n_cells,
+        _stored_seed,
         _two_level_assign,
     )
 
@@ -79,7 +80,8 @@ def _assign_batch(
         if n_cells > _DRIVER_MODEL_CELL_BUDGET:
             cents = spark.read.parquet(index_path + "/_centroids")
             return _two_level_assign(
-                vectors, cents, n_cells, id_col, vec_col, prefix
+                vectors, cents, n_cells, id_col, vec_col, prefix,
+                seed=_stored_seed(spark, index_path),
             )
         cent_rows = spark.read.parquet(index_path + "/_centroids").collect()
     return _assign_nearest(vectors, cent_rows, id_col, vec_col, prefix)

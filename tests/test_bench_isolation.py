@@ -35,6 +35,7 @@ def test_broken_query_does_not_discard_timings(
     # keep the harness fast: skip the ingest/curate benches too
     monkeypatch.setattr(bench, "_bench_ingest", lambda *a, **k: [0.0])
     monkeypatch.setattr(bench, "_bench_curate", lambda *a, **k: ([0.0], {}))
+    monkeypatch.setenv("SPARK_GRAFT_SKIP_LOAD_GATE", "1")
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
     out = json.loads(line)  # must be parseable no matter what
@@ -81,6 +82,7 @@ def test_artifact_backed_build_serve_split(
     monkeypatch.setattr(bench, "DETAIL_PATH", tmp_path / "bench_detail.json")
     monkeypatch.setattr(bench, "_bench_ingest", lambda *a, **k: [0.0])
     monkeypatch.setattr(bench, "_bench_curate", lambda *a, **k: ([0.0], {}))
+    monkeypatch.setenv("SPARK_GRAFT_SKIP_LOAD_GATE", "1")
     # pre-warm the cache so the test proves the reset (not a cold env)
     corpus._bpe_merges(spark, "/root/testdata/sf0.001")
     bench.main()
@@ -112,6 +114,40 @@ def test_artifact_reset_disk_backed(spark):
     assert not os.path.exists(p)
 
 
+def test_bench_load_gate(monkeypatch):
+    """r13 (r12 verdict task 5): bench refuses to sweep into a hot
+    window — it spin-waits (bounded) until the 1-min load drops under
+    the threshold, and ALWAYS records the observed pre-run load so the
+    artifact adjudicates itself. Skip env bypasses the wait but still
+    records."""
+    import os
+
+    import bench
+
+    loads = iter([9.0, 4.0, 0.4])
+    monkeypatch.setattr(os, "getloadavg", lambda: (next(loads), 0.0, 0.0))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.delenv("SPARK_GRAFT_SKIP_LOAD_GATE", raising=False)
+    got = bench._await_quiet_window(threshold=1.5, timeout_s=60, poll_s=15)
+    assert got["load_gate"] == "quiet"
+    assert got["pre_run_load_1min"] == 0.4
+    assert got["load_gate_waited_sec"] == 30.0
+
+    # bounded: a never-quiet window times out but the sweep proceeds
+    monkeypatch.setattr(os, "getloadavg", lambda: (9.9, 0.0, 0.0))
+    ticks = iter([0.0, 30.0, 61.0, 92.0])
+    monkeypatch.setattr(bench.time, "monotonic", lambda: next(ticks))
+    got = bench._await_quiet_window(threshold=1.5, timeout_s=60, poll_s=15)
+    assert got["load_gate"] == "timeout"
+    assert got["pre_run_load_1min"] == 9.9
+
+    # skip env: no wait, load still recorded
+    monkeypatch.setenv("SPARK_GRAFT_SKIP_LOAD_GATE", "1")
+    got = bench._await_quiet_window(threshold=1.5, timeout_s=60)
+    assert got["load_gate"] == "skipped"
+    assert got["pre_run_load_1min"] == 9.9
+
+
 def test_evict_stale_tagged_bounds_tmp_generations(tmp_path):
     """r12 (r11 verdict task 4): fingerprint-tagged artifact dirs are
     bounded on disk — building a new generation removes all but the
@@ -127,9 +163,17 @@ def test_evict_stale_tagged_bounds_tmp_generations(tmp_path):
     for i, t in enumerate(tags):
         p = str(tmp_path / f"ctspark_fake_{t}")
         os.makedirs(p)
-        # staggered mtimes: tags[0] oldest ... tags[-1] newest
-        stamp = time.time() - (len(tags) - i) * 100
+        # staggered mtimes past the age gate: tags[0] oldest ... newest
+        stamp = (
+            time.time()
+            - corpus._TMP_TAG_MIN_AGE_S
+            - (len(tags) - i) * 100
+        )
         os.utime(p, (stamp, stamp))
+    # a stale-generation sibling touched RECENTLY is protected by the
+    # age gate (r12 advice: a concurrent process may be mid-serve on it)
+    young = str(tmp_path / f"ctspark_fake_{99:012x}")
+    os.makedirs(young)
     unrelated = str(tmp_path / "ctspark_fake_notahexdigittag")
     os.makedirs(unrelated)
 
@@ -137,9 +181,12 @@ def test_evict_stale_tagged_bounds_tmp_generations(tmp_path):
     left = sorted(
         d for d in os.listdir(tmp_path) if d.startswith("ctspark_fake_")
     )
-    # live + (KEEP-1) newest siblings + the unrelated dir survive
+    # live + (KEEP-1) newest aged siblings + the young sibling + the
+    # unrelated dir survive. The young dir is newest, so it occupies the
+    # keep slot; the newest AGED sibling survives only via... nothing —
+    # it is past the keep count and past the age gate, so it goes.
     want = sorted(
-        [f"ctspark_fake_{t}" for t in tags[-corpus._TMP_TAG_KEEP:]]
+        [f"ctspark_fake_{tags[-1]}", f"ctspark_fake_{99:012x}"]
         + ["ctspark_fake_notahexdigittag"]
     )
     assert left == want

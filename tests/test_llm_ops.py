@@ -711,6 +711,26 @@ def test_sidecar_memo_bounded_lru(spark, tmp_path):
         similarity._SIDECAR_MEMO.update(snapshot)
 
 
+def test_bounded_memo_get_refreshes_recency():
+    """r13 (r12 advice): dict.get bypasses __getitem__, so without the
+    get() override a .get() hit skipped the recency refresh and the
+    bound degraded to FIFO — a just-read entry was evicted first. A
+    .get() hit must behave exactly like an indexed read."""
+    memo = similarity._BoundedMemo()
+    old_cap = similarity._BoundedMemo.cap
+    similarity._BoundedMemo.cap = 2
+    try:
+        memo["a"] = 1
+        memo["b"] = 2
+        assert memo.get("a") == 1  # refreshes 'a' → 'b' is now LRU
+        memo["c"] = 3
+        assert "a" in memo and "c" in memo and "b" not in memo
+        assert memo.get("missing") is None
+        assert memo.get("missing", "dflt") == "dflt"
+    finally:
+        similarity._BoundedMemo.cap = old_cap
+
+
 def test_pq_encode_tiers_bit_equal(spark, emb):
     books = similarity.pq_codebooks(emb)
     a = {
@@ -2381,16 +2401,64 @@ def test_two_level_dispatch_end_to_end(spark, monkeypatch):
     assert recall >= 0.9, f"two-level indexed serving recall@5 = {recall}"
 
 
-def test_two_level_refine_guard(spark, monkeypatch):
-    """refine_iters is a driver-side model iteration — above the budget
-    it must fail fast with the two-level guidance, not silently collect
-    a corpus-scale model."""
+def test_two_level_refine_distributed(spark, monkeypatch, tmp_path):
+    """r13 (r12 verdict task 1): refine_iters above the budget no longer
+    fails fast — refinement runs distributed (assign via the two-level
+    tier, update as one groupBy((cell,pos)) decimal-staged mean pass).
+    The model must never reach the driver (driver rows stay at the
+    coarse size), the refined centroids must actually move off the
+    hash-pick seeds, cells keep their ids/dtype contract, and the
+    refined store must serve with recall at least as good as pytest's
+    two-level bar."""
     monkeypatch.setattr(similarity, "_DRIVER_MODEL_CELL_BUDGET", 8)
-    corpus, _per = _planted_cluster_corpus(spark)
-    with pytest.raises(ValueError, match="_DRIVER_MODEL_CELL_BUDGET"):
-        similarity.ivf_build_index(
-            corpus, "/tmp/ctspark_never_written", n_cells=16, refine_iters=1
-        )
+    corpus, _per = _planted_cluster_corpus(spark, n_clusters=16, per=20)
+    queries = corpus.where(F.col("vec_id") % 20 < 1)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(corpus, queries, k=5).collect()
+    }
+
+    seeds = similarity._ivf_centroid_frame(
+        corpus, 16, "vec_id", "embedding", 42
+    )
+    refined = similarity.ivf_refine_centroids_distributed(
+        corpus, seeds, 16, n_iters=2
+    )
+    # only the coarse model (min(max(16,isqrt(16)), 8) = 8 rows) ever
+    # reached the driver during refinement
+    assert similarity._LAST_DRIVER_MODEL_ROWS == 8
+    ref_rows = {r["cell"]: list(r["centroid"]) for r in refined.collect()}
+    seed_rows = {r["cell"]: [float(x) for x in r["centroid"]]
+                 for r in seeds.collect()}
+    assert set(ref_rows) == set(seed_rows) == set(range(16))
+    moved = sum(1 for c in ref_rows if ref_rows[c] != seed_rows[c])
+    assert moved > 8, f"refinement moved only {moved}/16 centroids"
+    # determinism: a second run is bit-identical (decimal-staged means)
+    rerun = {
+        r["cell"]: list(r["centroid"])
+        for r in similarity.ivf_refine_centroids_distributed(
+            corpus, seeds, 16, n_iters=2
+        ).collect()
+    }
+    assert rerun == ref_rows
+
+    idx = str(tmp_path / "refined2l")
+    similarity.ivf_build_index(corpus, idx, n_cells=16, refine_iters=2)
+    assert similarity._LAST_DRIVER_MODEL_ROWS == 8
+    # the persisted model IS the refined frame (means, not members)
+    stored = {
+        r["cell"]: list(r["centroid"])
+        for r in spark.read.parquet(idx + "/_centroids").collect()
+    }
+    assert stored == ref_rows
+    served = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk_indexed(
+            spark, idx, queries, k=5, n_probe=8
+        ).collect()
+    }
+    recall = len(exact & served) / len(exact)
+    assert recall >= 0.9, f"refined two-level serving recall@5 = {recall}"
 
 
 def test_two_level_topt_probes_dedup_and_match(spark):
@@ -2507,8 +2575,10 @@ def test_pq_ivf_two_level_serve_dispatch(spark, monkeypatch, tmp_path):
 def test_pq_ivf_two_level_build_append_guard(spark, monkeypatch, tmp_path):
     """r12: build and append past the budget assign through the
     two-level tier (driver model sqrt-sized, no full-centroid collect),
-    the store keeps cell partitioning + serve recall, and refine_iters
-    fails fast (a driver-side model iteration, as in ivf_build_index)."""
+    the store keeps cell partitioning + serve recall. r13: refine_iters
+    past the budget builds through the DISTRIBUTED refiner instead of
+    failing fast — the refined residual store must serve (it is the
+    measured-best composition the old guard locked out)."""
     monkeypatch.setattr(similarity, "_DRIVER_MODEL_CELL_BUDGET", 8)
     corpus, _per = _planted_cluster_corpus(spark, n_clusters=16, per=20)
     queries = corpus.where(F.col("vec_id") % 20 < 1)
@@ -2517,11 +2587,20 @@ def test_pq_ivf_two_level_build_append_guard(spark, monkeypatch, tmp_path):
         (r.query_id, r.neighbor_id)
         for r in similarity.cosine_topk(corpus, queries, k=5).collect()
     }
-    with pytest.raises(ValueError, match="_DRIVER_MODEL_CELL_BUDGET"):
-        similarity.pq_ivf_build_index(
-            corpus, str(tmp_path / "never_written"), n_cells=16,
-            refine_iters=1,
-        )
+    ridx = str(tmp_path / "pqivf2l_refined")
+    similarity.pq_ivf_build_index(
+        corpus, ridx, n_cells=16, residual=True, refine_iters=1
+    )
+    assert similarity._LAST_DRIVER_MODEL_ROWS == 8
+    served_r = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_ivf_topk_indexed(
+            spark, ridx, queries, k=5, n_probe=8,
+            rerank_corpus=corpus, rerank_factor=4,
+        ).collect()
+    }
+    recall_r = len(exact & served_r) / len(exact)
+    assert recall_r >= 0.9, f"refined residual recall@5 = {recall_r}"
     for residual in (False, True):
         idx = str(tmp_path / f"pqivf2lb_{int(residual)}")
         similarity.pq_ivf_build_index(
@@ -2543,6 +2622,63 @@ def test_pq_ivf_two_level_build_append_guard(spark, monkeypatch, tmp_path):
         }
         recall = len(exact & served) / len(exact)
         assert recall >= 0.9, f"residual={residual} recall@5 = {recall}"
+
+
+def test_stored_seed_threads_through_serve_and_append(
+    spark, monkeypatch, tmp_path
+):
+    """r13 (r12 advice): the two-level tier derives its coarse model
+    from the build seed, so an index built with a non-default seed must
+    have serve/append probe through THE SAME coarse model as its stored
+    assignments — the seed is persisted in the _meta sidecar and read
+    back (_stored_seed), never defaulted. A pre-r13 store without the
+    sidecar reads as the historical default 42."""
+    corpus, _per = _planted_cluster_corpus(spark, n_clusters=16, per=20)
+    queries = corpus.where(F.col("vec_id") % 20 < 2)
+
+    idx_pq = str(tmp_path / "seeded_pq")
+    idx_ivf = str(tmp_path / "seeded_ivf")
+    with monkeypatch.context() as m:
+        m.setattr(similarity, "_DRIVER_MODEL_CELL_BUDGET", 8)
+        similarity.pq_ivf_build_index(corpus, idx_pq, n_cells=16, seed=7)
+        similarity.ivf_build_index(corpus, idx_ivf, n_cells=16, seed=7)
+    assert similarity._stored_seed(spark, idx_pq) == 7
+    assert similarity._stored_seed(spark, idx_ivf) == 7
+    # a store with no _meta (pre-r13) reads as the historical default
+    assert similarity._stored_seed(spark, str(tmp_path / "nothing")) == 42
+
+    real = similarity._two_level_assign
+    seen: list[int] = []
+
+    def spy(*args, **kwargs):
+        seen.append(kwargs.get("seed", 42))
+        return real(*args, **kwargs)
+
+    with monkeypatch.context() as m:
+        m.setattr(similarity, "_DRIVER_MODEL_CELL_BUDGET", 8)
+        m.setattr(similarity, "_two_level_assign", spy)
+        similarity.pq_ivf_topk_indexed(
+            spark, idx_pq, queries, k=3, n_probe=4
+        ).collect()
+        similarity.pq_ivf_index_append(
+            queries.withColumn("vec_id", F.col("vec_id") + 10_000), idx_pq
+        )
+        similarity.ivf_topk_indexed(
+            spark, idx_ivf, queries, k=3, n_probe=4
+        ).collect()
+        similarity.ivf_index_append(
+            queries.withColumn("vec_id", F.col("vec_id") + 10_000), idx_ivf
+        )
+    assert seen and all(s == 7 for s in seen), seen
+
+    # compaction carries the seed sidecar through the swap
+    with monkeypatch.context() as m:
+        m.setattr(similarity, "_DRIVER_MODEL_CELL_BUDGET", 8)
+        similarity.ivf_index_compact(spark, idx_ivf)
+        similarity.pq_ivf_index_compact(spark, idx_pq)
+    assert similarity._stored_seed(spark, idx_ivf) == 7
+    assert similarity._stored_seed(spark, idx_pq) == 7
+    assert similarity._pq_ivf_is_residual(spark, idx_pq) is False
 
 
 # ---------------------------------------------------------------------------

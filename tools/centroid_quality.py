@@ -102,7 +102,8 @@ def main() -> None:
         "n_cells": n_cells,
         "n_queries": queries.count(),
     }
-    for refine in (0, 2):
+    ob_only = "--ob-only" in sys.argv
+    for refine in () if ob_only else (0, 2):
         tag = "refined" if refine else "hashpick"
         # full-vector IVF store
         idx = tempfile.mkdtemp(prefix=f"ctspark_centq_ivf_{tag}_")
@@ -174,6 +175,126 @@ def main() -> None:
         print(f"{tag}: " + json.dumps(
             {k: v for k, v in results.items() if tag in k}
         ), file=sys.stderr)
+
+    # --- r13 (r12 verdict task 1): distributed refinement ABOVE the
+    # budget. The exact regime that needs >4096 cells was locked to
+    # hash-pick centroids (refine_iters raised); now it refines through
+    # ivf_refine_centroids_distributed. Measured at the REAL budget
+    # boundary (n_cells = budget + 1 = 4097) on the same planted-cluster
+    # corpus: probed-cell coverage for (a) unrefined hash-pick, (b) the
+    # distributed refiner, (c) the one-level driver-side Lloyd control
+    # (budget temporarily raised — a measurement-harness move, never a
+    # production path). Done-gate: (b) within ~2 points of (c), and the
+    # driver model stays sqrt-sized during (a)/(b). Coverage for (a)/(b)
+    # uses the two-level SERVE probes (what an over-budget store actually
+    # runs); (c) uses the literal probes its raised budget serves with.
+    # n_probe scaled to 8: at 4097 cells each 125-member planted cluster
+    # spans ~8 cells, so 4 probes would floor coverage for every variant
+    # and hide the quantizer difference this rung measures. ---
+    budget = similarity._DRIVER_MODEL_CELL_BUDGET
+    n_cells_ob = budget + 1
+    ob_probe = 8
+    sqrt_cap = max(16, math.isqrt(n_cells_ob))
+    results["ob_n_cells"] = n_cells_ob
+    results["ob_n_probe"] = ob_probe
+
+    def _ob_coverage(idx: str, two_level: bool) -> dict:
+        # coverage under EXACT probes isolates CENTROID QUALITY (the
+        # quantity this rung gates — same probe transport for every
+        # variant; collecting the 4097-row model here is a harness move,
+        # never a production path). coverage_served adds the two-level
+        # probe transport on top — the number an over-budget store
+        # actually serves with, recorded but gated only against its own
+        # hashpick baseline (the transport's recall is the two-level
+        # tier's own gated contract, not this rung's).
+        cents = spark.read.parquet(idx + "/_centroids")
+        cellmap = {
+            r.vec_id: r.cell
+            for r in spark.read.parquet(idx + "/codes")
+            .select("vec_id", "cell")
+            .collect()
+        }
+
+        def _cov(qa) -> float:
+            probes = {(r.query_id, r.cell) for r in qa.collect()}
+            return round(
+                sum(1 for q, n in exact if (q, cellmap[n]) in probes)
+                / len(exact),
+                4,
+            )
+
+        out = {
+            "coverage_exact_probes": _cov(
+                similarity._assign_probes(
+                    queries, cents, "vec_id", "embedding", "query", ob_probe
+                )
+            )
+        }
+        if two_level:
+            out["coverage_served"] = _cov(
+                similarity._two_level_assign(
+                    queries, cents, n_cells_ob, "vec_id", "embedding",
+                    "query", t=ob_probe,
+                )
+            )
+        out["recall_rerank4"] = recall(
+            similarity.pq_ivf_topk_indexed(
+                spark, idx, queries, k=K, n_probe=ob_probe,
+                rerank_corpus=corpus, rerank_factor=4,
+            )
+        )
+        return out
+
+    for tag, refine in (("ob_hashpick", 0), ("ob_refined_distributed", 2)):
+        idx = tempfile.mkdtemp(prefix=f"ctspark_centq_{tag}_")
+        t0 = time.perf_counter()
+        similarity.pq_ivf_build_index(
+            corpus, idx, n_cells=n_cells_ob, refine_iters=refine,
+            refine_sample_mod=4,
+        )
+        build_s = round(time.perf_counter() - t0, 2)
+        model_rows = similarity._LAST_DRIVER_MODEL_ROWS
+        assert model_rows <= sqrt_cap, (tag, model_rows, sqrt_cap)
+        results[tag] = {
+            "build_s": build_s,
+            "driver_model_rows": model_rows,
+            **_ob_coverage(idx, two_level=True),
+        }
+        print(f"{tag}: {results[tag]}", file=sys.stderr)
+        shutil.rmtree(idx, ignore_errors=True)
+
+    # one-level Lloyd control at the same n_cells (raised budget)
+    idx = tempfile.mkdtemp(prefix="ctspark_centq_ob_ctrl_")
+    similarity._DRIVER_MODEL_CELL_BUDGET = 10**9
+    try:
+        t0 = time.perf_counter()
+        similarity.pq_ivf_build_index(
+            corpus, idx, n_cells=n_cells_ob, refine_iters=2,
+            refine_sample_mod=4,
+        )
+        build_s = round(time.perf_counter() - t0, 2)
+        cov = _ob_coverage(idx, two_level=False)
+    finally:
+        similarity._DRIVER_MODEL_CELL_BUDGET = budget
+    results["ob_refined_onelevel_control"] = {"build_s": build_s, **cov}
+    print(f"ob_refined_onelevel_control: "
+          f"{results['ob_refined_onelevel_control']}", file=sys.stderr)
+    shutil.rmtree(idx, ignore_errors=True)
+    # centroid-quality gate: same (exact) probe transport on both
+    # refined stores — the distributed refiner's means must be within
+    # ~2 points of the driver-side Lloyd control's
+    gap = abs(
+        results["ob_refined_distributed"]["coverage_exact_probes"]
+        - results["ob_refined_onelevel_control"]["coverage_exact_probes"]
+    )
+    results["ob_refined_coverage_gap"] = round(gap, 4)
+    assert gap <= 0.03, results
+    # and the refinement must actually help the number the store SERVES
+    # with (two-level probes), vs the unrefined hash-pick baseline
+    assert (
+        results["ob_refined_distributed"]["coverage_served"]
+        > results["ob_hashpick"]["coverage_served"]
+    ), results
 
     print(json.dumps(results))
 
