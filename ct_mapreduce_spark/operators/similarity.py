@@ -803,8 +803,17 @@ def _assign_probes(
     n: int,
 ) -> DataFrame:
     """Query-side n-nearest-cells (rank form; queries are few, so the
-    window shuffle is trivially small)."""
-    joined = df.crossJoin(F.broadcast(cents)).withColumn(
+    window shuffle is trivially small). The crossJoin's interpreted
+    cosine work is n_queries x n_cells x dim folds and the partial
+    WindowGroupLimit runs on the QUERY frame's input partitioning — a
+    large batch read from one file would do all of it in one task, so
+    the batch is fan_out'd first (r13, found by the amortization rung's
+    jstack: a 10k-query x 4097-cell control spent minutes in one
+    ZipWith.eval task). No-op on well-partitioned inputs; values are
+    partitioning-independent."""
+    from ct_mapreduce_spark.operators.util import fan_out
+
+    joined = fan_out(df).crossJoin(F.broadcast(cents)).withColumn(
         "dist", -cosine(F.col(vec_col), F.col("centroid"))
     )
     w = W.partitionBy(id_col).orderBy("dist", "cell")
@@ -833,6 +842,15 @@ def _assign_probes(
 # _ASSIGN_INTERPRETED_BUDGET (cells x dims) by coincidence only; the two
 # gate different tiers and must be tuned independently.
 _DRIVER_MODEL_CELL_BUDGET = 4096  # cells
+
+# ADC LUT join transport (r13, found by the amortization soak rung): the
+# per-query LUT row is m_sub x n_codes doubles (~32 KB at the 16x256
+# default), so a forced broadcast scales with the QUERY BATCH — 10k
+# queries x 4 probes is ~1.3 GB shipped to every task. Above this
+# estimated payload the hint is dropped and AQE picks the join (it still
+# broadcasts genuinely small sides). 64 MB, matching the session's
+# broadcast-threshold posture.
+_LUT_BROADCAST_BYTES = 64 * 1024 * 1024
 
 # Soak instrumentation: centroid-model rows the driver last collected.
 # tools/scale_soak.py asserts this grows SUBLINEARLY in n_cells — the
@@ -1981,6 +1999,7 @@ def _pq_adc_rank(
     rerank_corpus: DataFrame | None = None,
     rerank_factor: int = 0,
     probe_pairs: DataFrame | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """The ADC scan + rank shared by the inline (pq_topk), materialized
     (pq_topk_indexed), and cell-pruned (pq_ivf_topk_indexed) serve
@@ -1998,7 +2017,23 @@ def _pq_adc_rank(
     side (model-sized), never the corpus side. A `base` column on
     probe_pairs (the residual-IVFADC <q, centroid> term) is added to
     the ADC sum before the single rounding — the inner-product
-    decomposition <q,x> = <q,c> + <q,r>."""
+    decomposition <q,x> = <q,c> + <q,r>.
+
+    Batch-scale posture (r13, found by the amortization rung): the LUT
+    is m_sub x n_codes interpreted folds PER QUERY (~4096 for the
+    default 16x256 — ~40 ms/query of driver-set expression work), so a
+    10k-query batch concentrated in one input partition straggled for
+    minutes on one core. The queries frame is fan_out'd before the LUT
+    projection (conditional — a no-op on well-partitioned inputs), and
+    the LUT join's broadcast hint is dropped once the estimated LUT
+    payload (n_queries x m_sub x n_codes x 8 B, x `n_probe` when
+    paired) exceeds _LUT_BROADCAST_BYTES — a 10k x 4-probe batch is a
+    ~1.3 GB broadcast otherwise; AQE still broadcasts genuinely small
+    batches.
+    Values are join-strategy- and partitioning-independent; every pin
+    is unchanged."""
+    from ct_mapreduce_spark.operators.util import fan_out
+
     d = len(books[0][0])
     lut_cols = []
     for j, book in enumerate(books):
@@ -2019,17 +2054,27 @@ def _pq_adc_rank(
                 ]
             )
         )
-    qlut = queries.select(
+    qlut = fan_out(queries).select(
         F.col(id_col).alias("query_id"), F.array(*lut_cols).alias("lut")
     )
+    # one narrow count of the QUERY BATCH (user-sized, not the store)
+    # decides the join transport; n_probe rides in via probe_pairs'
+    # per-query duplication, bounded by its worst case below
+    n_queries = queries.count()
+    lut_bytes = len(books) * len(books[0]) * 8
     with_base = probe_pairs is not None and "base" in probe_pairs.columns
     if probe_pairs is not None:
         # tiny x tiny join (both model-sized) BEFORE the broadcast, so
         # the corpus-side join is a plain equi-join on the partition key
         qlut = qlut.join(probe_pairs, "query_id")
-        paired = codes.join(F.broadcast(qlut), "cell")
+        # every probe pair duplicates the full LUT row on the join side
+        est = n_queries * lut_bytes * max(1, n_probe)
+        hinted = F.broadcast(qlut) if est <= _LUT_BROADCAST_BYTES else qlut
+        paired = codes.join(hinted, "cell")
     else:
-        paired = codes.join(F.broadcast(qlut))
+        est = n_queries * lut_bytes
+        hinted = F.broadcast(qlut) if est <= _LUT_BROADCAST_BYTES else qlut
+        paired = codes.join(hinted)
     adc = F.aggregate(
         F.zip_with(
             F.col("lut"),
@@ -2707,8 +2752,11 @@ def pq_ivf_topk_indexed(
     else:
         # probe assignment: rank cells by (-cosine, cell) per query —
         # the _assign_probes rule, inlined so the residual tier can also
-        # project the <q, centroid> base term from the same crossJoin row
-        joined = queries.crossJoin(F.broadcast(cents)).withColumn(
+        # project the <q, centroid> base term from the same crossJoin
+        # row; fan_out for the same single-task-batch reason (r13)
+        from ct_mapreduce_spark.operators.util import fan_out
+
+        joined = fan_out(queries).crossJoin(F.broadcast(cents)).withColumn(
             "dist", -cosine(F.col(vec_col), F.col("centroid"))
         )
         w = W.partitionBy(id_col).orderBy("dist", "cell")
@@ -2749,7 +2797,7 @@ def pq_ivf_topk_indexed(
     return _pq_adc_rank(
         codes, queries, books, k, id_col, vec_col,
         rerank_corpus=rerank_corpus, rerank_factor=rerank_factor,
-        probe_pairs=probe_pairs,
+        probe_pairs=probe_pairs, n_probe=n_probe,
     )
 
 

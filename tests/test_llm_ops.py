@@ -2460,6 +2460,16 @@ def test_two_level_refine_distributed(spark, monkeypatch, tmp_path):
     recall = len(exact & served) / len(exact)
     assert recall >= 0.9, f"refined two-level serving recall@5 = {recall}"
 
+    # the non-indexed one-shot path accepts refine_iters above the
+    # budget too (it shared the old fail-fast)
+    oneshot = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            corpus, queries, k=5, n_cells=16, n_probe=8, refine_iters=1
+        ).collect()
+    }
+    assert len(exact & oneshot) / len(exact) >= 0.9
+
 
 def test_two_level_topt_probes_dedup_and_match(spark):
     """t>1 probe path under fine_rep replication (r11): the same
