@@ -667,7 +667,9 @@ def ivf_topk(
             "cell int, centroid array<double>",
         )
     ca = _assign_nearest(corpus, cent_rows, id_col, vec_col, "neighbor")
-    qa = _assign_probes(queries, cents, id_col, vec_col, "query", n_probe)
+    qa = _assign_probes(
+        queries, cents, id_col, vec_col, "query", n_probe, n_cells=n_cells
+    )
     return _rank_cell_candidates(ca, qa, k)
 
 
@@ -801,19 +803,25 @@ def _assign_probes(
     vec_col: str,
     prefix: str,
     n: int,
+    n_cells: int | None = None,
 ) -> DataFrame:
     """Query-side n-nearest-cells (rank form; queries are few, so the
     window shuffle is trivially small). The crossJoin's interpreted
     cosine work is n_queries x n_cells x dim folds and the partial
     WindowGroupLimit runs on the QUERY frame's input partitioning — a
     large batch read from one file would do all of it in one task, so
-    the batch is fan_out'd first (r13, found by the amortization rung's
-    jstack: a 10k-query x 4097-cell control spent minutes in one
-    ZipWith.eval task). No-op on well-partitioned inputs; values are
-    partitioning-independent."""
-    from ct_mapreduce_spark.operators.util import fan_out
+    callers that know a big model pass `n_cells` and the batch is
+    fan_out'd first (r13, found by the amortization rung's jstack: a
+    10k-query x 4097-cell control spent minutes in one ZipWith.eval
+    task). Thresholded at _PROBE_FANOUT_MIN_CELLS so the pinned
+    16-cell serve plans keep their exchange-free probe (fan_out's
+    repartition would be pure plan noise there); values are
+    partitioning-independent either way."""
+    if n_cells is not None and n_cells >= _PROBE_FANOUT_MIN_CELLS:
+        from ct_mapreduce_spark.operators.util import fan_out
 
-    joined = fan_out(df).crossJoin(F.broadcast(cents)).withColumn(
+        df = fan_out(df)
+    joined = df.crossJoin(F.broadcast(cents)).withColumn(
         "dist", -cosine(F.col(vec_col), F.col("centroid"))
     )
     w = W.partitionBy(id_col).orderBy("dist", "cell")
@@ -842,6 +850,20 @@ def _assign_probes(
 # _ASSIGN_INTERPRETED_BUDGET (cells x dims) by coincidence only; the two
 # gate different tiers and must be tuned independently.
 _DRIVER_MODEL_CELL_BUDGET = 4096  # cells
+
+# Below this cell count a probe crossJoin's per-query-row interpreted
+# work (n_cells x dim cosine folds) is small enough that fan_out's
+# repartition would be pure plan noise — the pinned 16-cell serves stay
+# exchange-free. At or above it the batch is spread first (r13: a
+# one-file 10k-query batch against a 4097-cell model straggled minutes
+# in one task).
+_PROBE_FANOUT_MIN_CELLS = 256
+
+# LUT-build fan-out threshold, in interpreted fold count (n_queries x
+# m_sub x n_codes): ~1M folds is ~10 s on one core — above it the batch
+# is spread before the LUT projection; below it (every pinned fixture:
+# 40 queries x 4096 = 164k) the plan stays exchange-free.
+_LUT_FANOUT_FOLDS = 1 << 20
 
 # ADC LUT join transport (r13, found by the amortization soak rung): the
 # per-query LUT row is m_sub x n_codes doubles (~32 KB at the 16x256
@@ -1475,7 +1497,10 @@ def ivf_topk_indexed(
             t=n_probe, seed=_stored_seed(spark, path),
         )
     else:
-        qa = _assign_probes(queries, cents, id_col, vec_col, "query", n_probe)
+        qa = _assign_probes(
+            queries, cents, id_col, vec_col, "query", n_probe,
+            n_cells=stored_cells,
+        )
     # The probed-cell set is tiny (<= n_queries x n_probe distinct ints);
     # collecting it makes the pruning predicate a literal IN-list the
     # parquet source can evaluate against partition directories.
@@ -2021,15 +2046,16 @@ def _pq_adc_rank(
 
     Batch-scale posture (r13, found by the amortization rung): the LUT
     is m_sub x n_codes interpreted folds PER QUERY (~4096 for the
-    default 16x256 — ~40 ms/query of driver-set expression work), so a
+    default 16x256 — ~40 ms/query of expression-eval work), so a
     10k-query batch concentrated in one input partition straggled for
-    minutes on one core. The queries frame is fan_out'd before the LUT
-    projection (conditional — a no-op on well-partitioned inputs), and
-    the LUT join's broadcast hint is dropped once the estimated LUT
-    payload (n_queries x m_sub x n_codes x 8 B, x `n_probe` when
-    paired) exceeds _LUT_BROADCAST_BYTES — a 10k x 4-probe batch is a
-    ~1.3 GB broadcast otherwise; AQE still broadcasts genuinely small
-    batches.
+    minutes on one core. One narrow count of the query batch drives
+    two thresholds: past _LUT_FANOUT_FOLDS total folds the batch is
+    fan_out'd before the LUT projection, and past _LUT_BROADCAST_BYTES
+    estimated payload (n_queries x m_sub x n_codes x 8 B, x `n_probe`
+    when paired) the LUT join's broadcast hint is dropped — a 10k x
+    4-probe batch is a ~1.3 GB forced broadcast otherwise; AQE still
+    broadcasts genuinely small batches. Below both thresholds (every
+    pinned fixture) the plan is byte-identical to pre-r13.
     Values are join-strategy- and partitioning-independent; every pin
     is unchanged."""
     from ct_mapreduce_spark.operators.util import fan_out
@@ -2054,14 +2080,19 @@ def _pq_adc_rank(
                 ]
             )
         )
-    qlut = fan_out(queries).select(
+    # one narrow count of the QUERY BATCH (user-sized, not the store)
+    # decides both the LUT-build partitioning and the join transport
+    n_queries = queries.count()
+    lut_folds = len(books) * len(books[0])
+    qsrc = queries
+    if n_queries * lut_folds >= _LUT_FANOUT_FOLDS:
+        # below the threshold the single-partition build is cheaper
+        # than an exchange and the pinned plans stay byte-identical
+        qsrc = fan_out(queries)
+    qlut = qsrc.select(
         F.col(id_col).alias("query_id"), F.array(*lut_cols).alias("lut")
     )
-    # one narrow count of the QUERY BATCH (user-sized, not the store)
-    # decides the join transport; n_probe rides in via probe_pairs'
-    # per-query duplication, bounded by its worst case below
-    n_queries = queries.count()
-    lut_bytes = len(books) * len(books[0]) * 8
+    lut_bytes = lut_folds * 8
     with_base = probe_pairs is not None and "base" in probe_pairs.columns
     if probe_pairs is not None:
         # tiny x tiny join (both model-sized) BEFORE the broadcast, so
@@ -2753,10 +2784,14 @@ def pq_ivf_topk_indexed(
         # probe assignment: rank cells by (-cosine, cell) per query —
         # the _assign_probes rule, inlined so the residual tier can also
         # project the <q, centroid> base term from the same crossJoin
-        # row; fan_out for the same single-task-batch reason (r13)
-        from ct_mapreduce_spark.operators.util import fan_out
+        # row; fan_out for the same single-task-batch reason (r13),
+        # thresholded so the pinned 16-cell plans stay exchange-free
+        probe_src = queries
+        if stored_cells >= _PROBE_FANOUT_MIN_CELLS:
+            from ct_mapreduce_spark.operators.util import fan_out
 
-        joined = fan_out(queries).crossJoin(F.broadcast(cents)).withColumn(
+            probe_src = fan_out(queries)
+        joined = probe_src.crossJoin(F.broadcast(cents)).withColumn(
             "dist", -cosine(F.col(vec_col), F.col("centroid"))
         )
         w = W.partitionBy(id_col).orderBy("dist", "cell")
