@@ -401,6 +401,19 @@ def curate_crawl(
         n_decontam = good.count()
         _mark("decontam")
 
+    # Dedup sub-stage walls (r13, the x100 rung's standing follow-up:
+    # dedup is ~95% of the drop-1 wall, so the next optimization needs
+    # to know WHICH tier). Each sub-boundary below is an eager
+    # localCheckpoint / action, so the intervals are real executions,
+    # not lazy-plan noise. Sub-keys are additive detail; the aggregate
+    # "dedup" wall keeps its exact pre-r13 meaning.
+    _dsub = [time.monotonic()]
+
+    def _dmark(name: str) -> None:
+        now = time.monotonic()
+        walls[f"dedup_{name}"] = round(now - _dsub[0], 3)
+        _dsub[0] = now
+
     # The quality survivors are SIGNED ONCE; the probe tier, the
     # within-batch tier, and the index fold all take subset views of
     # this one materialized frame (semi-joins on checkpointed inputs)
@@ -408,6 +421,7 @@ def curate_crawl(
     sigs = dedup_fuzzy.minhash_signatures(fan_out(good)).localCheckpoint(
         eager=True
     )
+    _dmark("sign")
 
     idx = os.path.join(workdir, "mh_index")
     idx_exists = _artifact_exists(spark, os.path.join(idx, "sigs"), marker="")
@@ -429,6 +443,7 @@ def curate_crawl(
         exact = dedup_fuzzy.exact_hash_probe(spark, idx, fresh_sigs)
         fresh = fresh.join(F.broadcast(exact), "doc_id", "left_anti")
         fresh = fresh.localCheckpoint(eager=True)
+        _dmark("exact_probe")
         fresh_sigs = sigs.join(fresh.select("doc_id"), "doc_id", "left_semi")
         dups = (
             dedup_fuzzy.minhash_probe_index(spark, idx, fresh, sigs=fresh_sigs)
@@ -440,6 +455,7 @@ def curate_crawl(
         # probe's index scan per consumer
         novel = fresh.join(F.broadcast(dups), "doc_id", "left_anti")
         novel = novel.localCheckpoint(eager=True)
+        _dmark("near_probe")
     else:  # first drop: within-batch dedup only
         novel = good
     novel_sigs = sigs.join(novel.select("doc_id"), "doc_id", "left_semi")
@@ -458,12 +474,14 @@ def curate_crawl(
     # Stage boundary 3: the accepted set (index fold + lang-id + count).
     kept = novel.join(F.broadcast(within), "doc_id", "left_anti")
     kept = kept.localCheckpoint(eager=True)
+    _dmark("within")
     kept_sigs = sigs.join(kept.select("doc_id"), "doc_id", "left_semi")
     if idx_exists:
         dedup_fuzzy.minhash_index_append(kept, idx, sigs=kept_sigs)
     else:
         dedup_fuzzy.minhash_index_build(kept, idx, sigs=kept_sigs)
     n_kept = kept.count()
+    _dmark("fold")
     _mark("dedup")
 
     langs = text.lang_id(kept).select(

@@ -803,6 +803,15 @@ def test_curate_decontaminate_and_pii(spark, tmp_path):
         "pack_export",
     } <= set(stats["stage_walls"])
     assert all(w >= 0 for w in stats["stage_walls"].values())
+    # r13: dedup sub-stage walls (the x100 rung's follow-up — dedup is
+    # ~95% of drop-1, so the profile must say WHICH tier). Sub-intervals
+    # partition the aggregate dedup wall.
+    sub = [k for k in stats["stage_walls"] if k.startswith("dedup_")]
+    assert {"dedup_sign", "dedup_within", "dedup_fold"} <= set(sub)
+    sub_total = sum(stats["stage_walls"][k] for k in sub)
+    assert abs(sub_total - stats["stage_walls"]["dedup"]) < 0.25, (
+        sub_total, stats["stage_walls"]
+    )
 
     # control: default run has neither stage nor stats keys
     stats3 = curate_crawl(spark, crawl, str(tmp_path / "wd3"), quality_min=0.0)
