@@ -568,6 +568,8 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket_width: int | None = 4096,
     sigs: DataFrame | None = None,
+    template_bucket_frac: float | None = 0.01,
+    template_bucket_width: int = 256,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
@@ -581,19 +583,44 @@ def minhash_lsh_pairs(
     sub-signature matches exactly. Scale shape: explode -> groupBy band
     bucket -> per-bucket pairing.
 
-    Hot buckets (boilerplate-heavy corpora put millions of docs in one
-    bucket, making the pairing quadratic) are capped at `max_bucket_width`
-    members by a deterministic top-N-by-hash truncation: members ranked by
-    xxhash64(doc_id, seed) keep their slot, the tail is dropped from that
-    band only (the doc still pairs through its other bands). Detection is
-    a cheap map-side-combined count over the materialized banded frame —
-    the healthy-corpus fast path pays one small aggregation, NOT a
-    full-data window shuffle; only rows inside saturated buckets (joined
-    against the broadcast hot-bucket list) get ranked. Pass
-    max_bucket_width=None to disable.
+    Hot-bucket capping (declared semantics, re-derived bit-for-bit by
+    tools/independent_oracle.py:_lsh_pair_bands):
+
+    1. A bucket wider than `max_bucket_width` is SATURATED. Its retained
+       members are the top-cap ranked by (xxhash64(doc_id, seed), doc_id)
+       PLUS its min-doc_id anchor; retained members all-pair within the
+       bucket as usual.
+    2. The cap for a saturated bucket is `max_bucket_width`, EXCEPT when
+       the bucket also holds more than `template_bucket_frac` of the
+       corpus (doc count of `sigs`): such a bucket is template noise by
+       construction — a genuine near-dup family does not span 1% of a
+       crawl, but sub-k-gram boilerplate chrome does (the r13 x100 crawl
+       put 54k of 200k docs in one bucket; its capped pairing was 95% of
+       the whole dedup wall while every one of its pairs scored
+       est_jaccard < 0.9) — and its cap drops to
+       min(template_bucket_width, max_bucket_width). The r13 cap sweep
+       measured the est>=0.9 drop set byte-identical from cap 4096 down
+       to 64 at 14-56x less wall on exactly this corpus.
+    3. Every truncated member still emits ONE candidate pair linking it
+       to the bucket's min-doc_id anchor (a spanning star, O(width) not
+       O(width^2)). Truncation therefore never fully erases membership
+       evidence: a genuine near-dup family wider than the cap still has
+       every member scored against the family's minimum id, which is
+       exactly the pair the greatest-id-drop keep rule needs — recall on
+       mega-families is strictly BETTER than the pre-r14 pure-truncation
+       behavior at any cap.
+
+    Detection stays one map-side-combined count over the materialized
+    banded frame — the healthy-corpus fast path pays one small
+    aggregation plus one near-empty broadcast, NOT a full-data window
+    shuffle; only rows inside saturated buckets get ranked. Pass
+    max_bucket_width=None to disable capping entirely,
+    template_bucket_frac=None to keep one flat cap.
 
     Output: (doc_a, doc_b, n_bands_matched, est_jaccard) where est_jaccard
-    is the signature-agreement fraction (unbiased J estimate).
+    is the signature-agreement fraction (unbiased J estimate);
+    n_bands_matched counts the (band, bucket) cells that evidenced the
+    pair (all-pair cells plus anchor-star cells).
     """
     # Signature computation is CPU-dense per-row work: fan out first.
     # Materialize the COMPACT signature frame (one row per doc), not the
@@ -623,6 +650,7 @@ def minhash_lsh_pairs(
     # self-join sides) — measured faster than re-deriving the explode+sha1
     # per consumer.
     banded = _banded_frame(sigs, num_hashes, bands).localCheckpoint(eager=True)
+    star = None
     if max_bucket_width is not None:
         # Hot-bucket capping, fully LAZY — no driver-blocking count() job.
         # The hot list shrinks to one row per saturated (band, bucket)
@@ -638,32 +666,85 @@ def minhash_lsh_pairs(
             banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") > max_bucket_width)
-            .select("band", "bucket")
         )
+        if template_bucket_frac is not None:
+            # Corpus size derived lazily from the banded frame itself
+            # (every doc appears exactly once per band — band 0's row
+            # count IS the doc count), attached on a constant key so the
+            # plan stays a broadcast hash join (no BNLJ/cartesian for the
+            # plan audit to flag). One near-empty 1-row aggregate on the
+            # checkpointed frame; no driver-blocking job.
+            n_docs = (
+                banded.where(F.col("band") == 0)
+                .agg(F.count(F.lit(1)).alias("_total"))
+                .withColumn("_k", F.lit(1))
+            )
+            hot = (
+                hot.withColumn("_k", F.lit(1))
+                .join(F.broadcast(n_docs), "_k")
+                .withColumn(
+                    "_cap",
+                    F.when(
+                        F.col("_n")
+                        > F.greatest(
+                            F.lit(max_bucket_width),
+                            F.lit(float(template_bucket_frac)) * F.col("_total"),
+                        ),
+                        F.lit(min(template_bucket_width, max_bucket_width)),
+                    ).otherwise(F.lit(max_bucket_width)),
+                )
+            )
+        else:
+            hot = hot.withColumn("_cap", F.lit(max_bucket_width))
+        hot = hot.select("band", "bucket", "_cap")
         w = Window.partitionBy("band", "bucket").orderBy(
             F.xxhash64("doc_id", F.lit(seed)), "doc_id"
         )
-        capped_hot = (
-            banded.join(F.broadcast(hot), ["band", "bucket"], "left_semi")
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= max_bucket_width)
-            .drop("_rn")
+        hot_rows = banded.join(F.broadcast(hot), ["band", "bucket"])
+        # Min-id anchor per saturated bucket: map-side-combined min, one
+        # row per hot bucket (tiny, broadcast back).
+        anchors = hot_rows.groupBy("band", "bucket").agg(
+            F.min("doc_id").alias("_anchor")
         )
-        cold = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        ranked = hot_rows.withColumn("_rn", F.row_number().over(w)).join(
+            F.broadcast(anchors), ["band", "bucket"]
+        )
+        capped_hot = ranked.where(
+            (F.col("_rn") <= F.col("_cap"))
+            | (F.col("doc_id") == F.col("_anchor"))
+        ).select("doc_id", "band", "bucket")
+        # Spanning star: each truncated member pairs once with the
+        # bucket's min-id anchor (anchor < member always, so the pair is
+        # already (doc_a < doc_b) oriented). O(bucket width) rows, and
+        # disjoint per bucket from the retained all-pairs (star members
+        # are exactly the non-retained ones), so the band count below
+        # never double-counts a cell.
+        star = ranked.where(
+            (F.col("_rn") > F.col("_cap"))
+            & (F.col("doc_id") != F.col("_anchor"))
+        ).select(
+            F.col("_anchor").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+        cold = banded.join(
+            F.broadcast(hot.select("band", "bucket")),
+            ["band", "bucket"],
+            "left_anti",
+        )
         banded = cold.unionByName(capped_hot)
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    pair_cells = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    if star is not None:
+        pair_cells = pair_cells.unionByName(star)
+    cand = pair_cells.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_bands_matched")
     )
     # Attach signature-agreement estimate: candidates are sparse, so these
     # joins move little data; no broadcast hint (sigs is corpus-cardinality
@@ -700,6 +781,8 @@ def minhash_dedup_keep(
     seed: int = 42,
     max_bucket_width: int | None = 4096,
     sigs: DataFrame | None = None,
+    template_bucket_frac: float | None = 0.01,
+    template_bucket_width: int = 256,
 ) -> DataFrame:
     """One-shot near-dup dedup, KEEP-LIST shaped: (doc_id) rows that
     survive MinHash/LSH dedup at `threshold` under the min-id-wins rule.
@@ -770,6 +853,8 @@ def minhash_dedup_keep(
         seed,
         max_bucket_width,
         sigs=rep_sigs,
+        template_bucket_frac=template_bucket_frac,
+        template_bucket_width=template_bucket_width,
     )
     dropped = (
         pairs.where(F.col("est_jaccard") >= threshold)

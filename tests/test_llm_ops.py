@@ -250,20 +250,139 @@ def test_minhash_estimate_tracks_exact(spark, docs):
 
 def test_minhash_lsh_hot_bucket_cap(spark):
     """Adversarial corpus: 1k identical boilerplate docs land in ONE bucket
-    per band. The deterministic cap must bound per-band pair fan-out to
-    C(cap, 2) instead of C(1000, 2), and the run must finish quickly."""
+    per band. The deterministic cap must bound per-band all-pair fan-out to
+    C(cap+1, 2) (top-cap by hash plus the min-id anchor) plus one spanning
+    anchor-star pair per truncated member, instead of C(1000, 2) — and the
+    anchor star must reach EVERY member: doc 0 (the min id) pairs with all
+    999 others, so under the keep rule the whole family still collapses."""
     n, cap, bands = 1000, 32, 16
     boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
     df = spark.createDataFrame([Row(doc_id=i, text=boiler) for i in range(n)])
-    pairs = dedup_fuzzy.minhash_lsh_pairs(df, max_bucket_width=cap)
-    got = pairs.count()
-    # All bands share the same surviving cap-member set (same signature,
-    # same rank hash), so distinct pairs <= C(cap,2); a quadratic blowup
-    # would be C(1000,2) = 499_500.
-    assert 0 < got <= cap * (cap - 1) // 2, got
+    rows = dedup_fuzzy.minhash_lsh_pairs(df, max_bucket_width=cap).collect()
+    got = len(rows)
+    # All bands share the same surviving member set (same signature, same
+    # rank hash), so distinct pairs <= C(cap+1,2) + (n - cap - 1); a
+    # quadratic blowup would be C(1000,2) = 499_500.
+    assert 0 < got <= (cap + 1) * cap // 2 + (n - cap - 1), got
+    # spanning star: every doc is paired with the min-id anchor
+    partners_of_0 = {r.doc_b for r in rows if r.doc_a == 0}
+    assert partners_of_0 == set(range(1, n))
     # Uncapped-but-bounded control: cap=None on a small corpus still works.
     small = spark.createDataFrame([Row(doc_id=i, text=boiler) for i in range(20)])
     assert dedup_fuzzy.minhash_lsh_pairs(small, max_bucket_width=None).count() == 190
+
+
+def test_minhash_lsh_template_cap_matches_independent_oracle(spark, tmp_path):
+    """The r14 cap semantics (fraction-aware template cap + min-id anchor
+    star) are DECLARED semantics: the no-Spark re-derivation in
+    tools/independent_oracle.py must bit-match the engine on a corpus
+    where every branch binds — template bucket (frac cap), merely-hot
+    bucket (flat cap), healthy buckets — and diverge when a cap parameter
+    is corrupted (proof it is a second derivation, not a mirror)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import independent_oracle as io_
+
+    boiler = "shared chrome header nav footer copyright terms privacy menu"
+    fam = "a genuinely similar page body that repeats across the family"
+    corpus = (
+        # template family: 40 identical docs -> one mega bucket per band
+        [Row(doc_id=i, text=boiler) for i in range(40)]
+        # second family: 12 identical docs -> hot but under the frac cut
+        + [Row(doc_id=100 + i, text=fam) for i in range(12)]
+        # healthy singletons
+        + [
+            Row(doc_id=200 + i, text=f"unique document number {i} with "
+                f"entirely distinct content token{i} token{i + 1} token{i + 2}")
+            for i in range(12)
+        ]
+    )
+    df = spark.createDataFrame(corpus)
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    # N=64 docs; frac=0.25 -> template threshold max(8, 16): the 40-wide
+    # bucket is template (cap min(3, 8) = 3), the 12-wide one merely hot
+    # (flat cap 8), singletons untouched.
+    params = dict(
+        max_bucket_width=8, template_bucket_frac=0.25, template_bucket_width=3
+    )
+    engine = sorted(
+        tuple(r)
+        for r in dedup_fuzzy.minhash_lsh_pairs(df, **params).collect()
+    )
+    oracle = [tuple(r) for r in io_.docs_minhash_lsh_dedup(str(tmp_path), **params)]
+    assert engine == oracle and len(engine) > 0
+    # corrupting the template cap must move BOTH derivations' output
+    assert [
+        tuple(r)
+        for r in io_.docs_minhash_lsh_dedup(
+            str(tmp_path), max_bucket_width=8,
+            template_bucket_frac=0.25, template_bucket_width=5,
+        )
+    ] != engine
+    # flat-cap mode (frac=None) also bit-matches
+    engine_flat = sorted(
+        tuple(r)
+        for r in dedup_fuzzy.minhash_lsh_pairs(
+            df, max_bucket_width=8, template_bucket_frac=None
+        ).collect()
+    )
+    oracle_flat = [
+        tuple(r)
+        for r in io_.docs_minhash_lsh_dedup(
+            str(tmp_path), max_bucket_width=8, template_bucket_frac=None
+        )
+    ]
+    assert engine_flat == oracle_flat and engine_flat != engine
+
+
+def test_minhash_dedup_keep_megafamily_recall(spark, tmp_path):
+    """The anchor star's reason to exist: a genuine near-dup family WIDER
+    than the bucket cap (sig-distinct variants, est_jaccard >= 0.9) must
+    still fully collapse to its min id — pre-r14 pure truncation falsely
+    kept every family member ranked past the cap in all its buckets. Also
+    bit-checks the keep-list against the independent re-derivation."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import independent_oracle as io_
+
+    # long base (~160 distinct shingles) so two appended unique tokens
+    # leave pairwise est_jaccard ~0.97 — well above the 0.9 threshold
+    base = " ".join(f"tok{j}" for j in range(160))
+    fam_n = 120
+    corpus = [
+        # each variant appends two unique tokens: signature differs for
+        # most docs (sig-identical ones collapse in the exact tier — same
+        # verdict), pairwise est_jaccard stays ~0.95+
+        Row(doc_id=i, text=f"{base} variant{i} marker{i}")
+        for i in range(fam_n)
+    ] + [
+        Row(
+            doc_id=1000 + i,
+            text=f"completely unrelated subject{i} matter{i} about topic{i} "
+            f"with distinct vocabulary item{i} entry{i} record{i} field{i}",
+        )
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(corpus)
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    params = dict(
+        max_bucket_width=16, template_bucket_frac=0.05, template_bucket_width=4
+    )
+    kept = {
+        r.doc_id
+        for r in dedup_fuzzy.minhash_dedup_keep(
+            df, threshold=0.9, **params
+        ).collect()
+    }
+    # every unique doc survives; the family collapses to exactly {0}
+    assert {1000 + i for i in range(10)} <= kept
+    assert kept & set(range(fam_n)) == {0}, sorted(kept & set(range(fam_n)))
+    oracle = {t[0] for t in io_.docs_minhash_keep(str(tmp_path), **params)}
+    assert kept == oracle
 
 
 def test_minhash_dedup_keep_matches_pairs_rule(spark, docs):

@@ -139,31 +139,60 @@ def _lsh_pair_bands(
     bands: int,
     seed: int,
     max_bucket_width: int,
+    template_bucket_frac: float | None = 0.01,
+    template_bucket_width: int = 256,
 ) -> dict[tuple[int, int], int]:
     """(doc_a, doc_b) -> n_bands_matched via banded buckets with the
-    deterministic hot-bucket cap (top-N by (xxhash64(doc_id, seed),
-    doc_id))."""
+    deterministic hot-bucket cap — the r14 declared semantics of
+    operators/dedup_fuzzy.py:minhash_lsh_pairs:
+
+    - saturated bucket (width > max_bucket_width): retain the top-cap by
+      (xxhash64(doc_id, seed), doc_id) PLUS the bucket's min doc_id
+      anchor; all-pair the retained set;
+    - template bucket (width also > template_bucket_frac * corpus size):
+      the cap drops to min(template_bucket_width, max_bucket_width);
+    - spanning star: every truncated member still pairs once with the
+      bucket's min-id anchor.
+    """
     r = num_hashes // bands
+    n_docs = len(sigs)
     banded: dict[tuple[int, str], list[int]] = {}
     for doc_id, sig in sigs.items():
         for i in range(bands):
             key = ",".join(str(int(s)) for s in sig[i * r : (i + 1) * r])
             bucket = hashlib.sha1(key.encode()).hexdigest()
             banded.setdefault((i, bucket), []).append(doc_id)
-    for bk, members in banded.items():
+
+    pair_bands: dict[tuple[int, int], int] = {}
+
+    def _count(a: int, b: int) -> None:
+        pr = (a, b) if a < b else (b, a)
+        pair_bands[pr] = pair_bands.get(pr, 0) + 1
+
+    for members in banded.values():
         if len(members) > max_bucket_width:
+            cap = max_bucket_width
+            if template_bucket_frac is not None and len(members) > max(
+                max_bucket_width, template_bucket_frac * n_docs
+            ):
+                cap = min(template_bucket_width, max_bucket_width)
             ranked = sorted(
                 members, key=lambda d: (spark_xxhash64(d, Int32(seed)), d)
             )
-            banded[bk] = ranked[:max_bucket_width]
-
-    pair_bands: dict[tuple[int, int], int] = {}
-    for members in banded.values():
-        ms = sorted(members)
-        for i in range(len(ms)):
-            for j in range(i + 1, len(ms)):
-                pr = (ms[i], ms[j])
-                pair_bands[pr] = pair_bands.get(pr, 0) + 1
+            anchor = min(members)
+            kept = set(ranked[:cap]) | {anchor}
+            ms = sorted(kept)
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    _count(ms[i], ms[j])
+            for m in members:
+                if m not in kept:
+                    _count(anchor, m)
+        else:
+            ms = sorted(members)
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    _count(ms[i], ms[j])
     return pair_bands
 
 
@@ -174,9 +203,14 @@ def docs_minhash_lsh_dedup(
     bands: int = 16,
     seed: int = 42,
     max_bucket_width: int = 4096,
+    template_bucket_frac: float | None = 0.01,
+    template_bucket_width: int = 256,
 ) -> list[tuple]:
     sigs = _minhash_sigs(sf_dir, k, num_hashes, seed)
-    pair_bands = _lsh_pair_bands(sigs, num_hashes, bands, seed, max_bucket_width)
+    pair_bands = _lsh_pair_bands(
+        sigs, num_hashes, bands, seed, max_bucket_width,
+        template_bucket_frac, template_bucket_width,
+    )
     rows = []
     for (da, db), nb in pair_bands.items():
         agree = int(np.sum(sigs[da] == sigs[db]))
@@ -192,6 +226,8 @@ def docs_minhash_keep(
     bands: int = 16,
     seed: int = 42,
     max_bucket_width: int = 4096,
+    template_bucket_frac: float | None = 0.01,
+    template_bucket_width: int = 256,
 ) -> list[tuple]:
     """Re-derive minhash_dedup_keep's DECLARED semantics (keep-list,
     collapse-first): (1) per exact-signature-vector family only the min
@@ -208,7 +244,8 @@ def docs_minhash_keep(
             fam_min[key] = doc_id
     rep_sigs = {d: sigs[d] for d in fam_min.values()}
     pair_bands = _lsh_pair_bands(
-        rep_sigs, num_hashes, bands, seed, max_bucket_width
+        rep_sigs, num_hashes, bands, seed, max_bucket_width,
+        template_bucket_frac, template_bucket_width,
     )
     dropped = set()
     for (da, db), _nb in pair_bands.items():
