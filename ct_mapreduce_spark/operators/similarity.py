@@ -1375,6 +1375,44 @@ def ivf_index_append(
     )
 
 
+def _folded_tags_read(spark, path: str) -> set[str]:
+    """The store's folded-tag manifest: every streaming ingest_batch tag
+    a compaction has ever folded into the base (sidecar `_folded_tags`,
+    one string column). streaming/ann_stream.py reads it per stream to
+    detect checkpoint-LOSS re-ingest: a trigger whose batch id is already
+    in the manifest is re-delivering data the base may already hold (a
+    fresh checkpoint restarts batch ids at 0), which dynamic partition
+    overwrite alone cannot make idempotent — r13 measured exactly this
+    (probes moved until a manual compact). Empty set when absent
+    (pre-r14 stores, or no compaction yet)."""
+    from ct_mapreduce_spark.operators.dedup_fuzzy import _try_read_parquet
+
+    df = _try_read_parquet(spark, path + "/_folded_tags")
+    return set() if df is None else {r["tag"] for r in df.collect()}
+
+
+def _inc_tags_listed(spark, inc_p: str) -> set[str]:
+    """ingest_batch tags present in an increment tree, from a plain FS
+    listing (no Spark job)."""
+    from ct_mapreduce_spark.fsutil import _fs_and_path
+
+    fs, p = _fs_and_path(spark, inc_p)
+    if not fs.exists(p):
+        return set()
+    return {
+        st.getPath().getName().split("=", 1)[1]
+        for st in fs.listStatus(p)
+        if st.isDirectory()
+        and st.getPath().getName().startswith("ingest_batch=")
+    }
+
+
+def _folded_tags_frame(spark, tags: set[str]):
+    return spark.createDataFrame(
+        [(t,) for t in sorted(tags)], "tag string"
+    ).coalesce(1)
+
+
 def ivf_index_compact(
     spark, path: str, exclude_tags: set[str] | None = None
 ) -> tuple[int, int]:
@@ -1427,6 +1465,7 @@ def ivf_index_compact(
     inc = _try_read_parquet(spark, inc_p)
     exclude = {str(t) for t in (exclude_tags or ())}
     keep_inc = None
+    folded_tags = _folded_tags_read(spark, path)
     if inc is not None:
         fold = inc
         if exclude and "ingest_batch" in inc.columns:
@@ -1434,6 +1473,7 @@ def ivf_index_compact(
             keep_inc = inc.where(tag_str.isin(sorted(exclude)))
             fold = inc.where(~tag_str.isin(sorted(exclude)))
         corpus = corpus.unionByName(fold.select(*corpus.columns)).dropDuplicates()
+        folded_tags |= _inc_tags_listed(spark, inc_p) - exclude
     cents = spark.read.parquet(path + "/_centroids")
     (
         corpus.repartition(F.col("cell"))
@@ -1449,6 +1489,15 @@ def ivf_index_compact(
         meta.coalesce(1).write.mode("overwrite").parquet(
             path + TMP_SUFFIX + "/_meta"
         )
+    if folded_tags:
+        # folded-tag manifest rides through the swap inside the tmp tree
+        # (the swap renames the whole index dir); written before the
+        # swap, so a crash can only LOSE the newest tags — the manifest
+        # is a heal trigger, never a correctness input, so a missing tag
+        # just means the pre-r14 behavior for that tag
+        _folded_tags_frame(spark, folded_tags).write.mode(
+            "overwrite"
+        ).parquet(path + TMP_SUFFIX + "/_folded_tags")
     if keep_inc is not None:
         # the in-flight batch's increment rides through the swap inside
         # the new tree (the swap renames the WHOLE index dir, _inc
@@ -2681,6 +2730,7 @@ def pq_ivf_index_compact(
     inc = _try_read_parquet(spark, inc_p)
     exclude = {str(t) for t in (exclude_tags or ())}
     keep_inc = None
+    folded_tags = _folded_tags_read(spark, path)
     if inc is not None:
         fold = inc
         if exclude and "ingest_batch" in inc.columns:
@@ -2688,6 +2738,7 @@ def pq_ivf_index_compact(
             keep_inc = inc.where(tag_str.isin(sorted(exclude)))
             fold = inc.where(~tag_str.isin(sorted(exclude)))
         df = df.unionByName(fold.select(*df.columns)).dropDuplicates()
+        folded_tags |= _inc_tags_listed(spark, inc_p) - exclude
     (
         df.repartition(F.col("cell"))
         .write.partitionBy("cell")
@@ -2702,6 +2753,15 @@ def pq_ivf_index_compact(
             codes_p + TMP_SUFFIX + "/_inc"
         )
     swap_into_place(spark, codes_p + TMP_SUFFIX, codes_p)
+    if folded_tags:
+        # manifest lives BESIDE /codes (like _centroids/_codebooks), so
+        # the codes swap never touches it; written after the swap — the
+        # set was collected to the driver above, so overwriting the path
+        # it was read from is safe, and a crash in between only loses
+        # the heal trigger, never correctness
+        _folded_tags_frame(spark, folded_tags).write.mode(
+            "overwrite"
+        ).parquet(path + "/_folded_tags")
     return before, count_parquet_files(spark, codes_p) + count_parquet_files(
         spark, inc_p
     )

@@ -253,7 +253,18 @@ def start_ann_ingest_stream(
     through the swap untouched, so a crash-replay's dynamic overwrite
     still replaces exactly its own rows. Manual compaction with the
     stream stopped (exclude_tags=None) remains available; a crash
-    mid-compact is covered by recover_swap at stream start."""
+    mid-compact is covered by recover_swap at stream start.
+
+    Checkpoint LOSS (not a crash) auto-heals (r14): compactions record
+    every tag they fold in a `_folded_tags` sidecar; a trigger whose
+    batch id is already in that manifest is a re-ingest under a fresh
+    checkpoint (batch ids restarted), not an in-flight replay, so the
+    trigger ends with a FULL compaction whose full-row dropDuplicates
+    removes the double-ingested copies immediately — the store converges
+    per trigger instead of serving duplicate neighbors until a manual
+    compact (the r13 characterization). The exceptional path pays one
+    compaction per re-delivered folded tag; the normal path is
+    untouched."""
     from ct_mapreduce_spark.fsutil import _fs_and_path, path_exists, recover_swap
 
     if store not in ("ivf", "pq"):
@@ -302,6 +313,19 @@ def start_ann_ingest_stream(
     # re-reads the model FRAME and assigns through the two-level tier
     # (_assign_batch) — rows never collect, the driver stays sqrt-sized.
     model_cache: list = []
+    # folded-tag manifest (similarity._folded_tags_read), loaded at the
+    # first trigger and invalidated whenever THIS daemon compacts (the
+    # stream owns the store — nothing else folds tags while it runs)
+    folded_cache: list = []
+
+    def _folded_tags(session: SparkSession) -> set:
+        if not folded_cache:
+            from ct_mapreduce_spark.operators.similarity import (
+                _folded_tags_read,
+            )
+
+            folded_cache.append(_folded_tags_read(session, index_path))
+        return folded_cache[0]
 
     def _cached_cent_rows(session: SparkSession) -> list | None:
         from ct_mapreduce_spark.operators.similarity import (
@@ -348,17 +372,37 @@ def start_ann_ingest_stream(
                 id_col=id_col, vec_col=vec_col,
                 cent_rows=list(rows) if rows is not None else None,
             )
-        if (
+        from ct_mapreduce_spark.operators.similarity import (
+            ivf_index_compact,
+            pq_ivf_index_compact,
+        )
+
+        compactor = pq_ivf_index_compact if pq else ivf_index_compact
+        if str(batch_id) in _folded_tags(session):
+            # checkpoint-LOSS auto-heal (r13 finding, r14 fix): this tag
+            # was already folded into the base by an earlier compaction,
+            # so the dynamic overwrite above was NOT a crash-replay of an
+            # in-flight partition — it re-ingested data the base may
+            # already hold (a fresh checkpoint restarts batch ids), and
+            # probes would serve duplicate neighbors until a compaction.
+            # Heal NOW by folding everything including this tag: the
+            # full-row dropDuplicates removes the double-ingested copies
+            # (identical rows — encoding under the stored model is
+            # deterministic). Replay-safe by convergence rather than by
+            # partition overwrite: if this trigger replays after the
+            # fold, the tag is (still) in the manifest and the next heal
+            # converges again. Cost: one compaction per re-delivered
+            # folded tag — the exceptional path pays, the normal path is
+            # untouched. Skipping the write instead would lose data when
+            # a genuinely-new batch collides with a folded tag id.
+            compactor(session, index_path)
+            folded_cache.clear()
+        elif (
             compact_every is not None
             and _n_inc_batches(session) >= compact_every
         ):
-            from ct_mapreduce_spark.operators.similarity import (
-                ivf_index_compact,
-                pq_ivf_index_compact,
-            )
-
-            compactor = pq_ivf_index_compact if pq else ivf_index_compact
             compactor(session, index_path, exclude_tags={str(batch_id)})
+            folded_cache.clear()
 
     stream = (
         spark.readStream.schema(schema)

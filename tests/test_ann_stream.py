@@ -271,6 +271,64 @@ def test_pq_ann_stream_end_to_end_residual_autocompact(spark, emb, tmp_path):
     assert _code_rows(idx) == before == _code_rows(idx_app)
 
 
+@pytest.mark.parametrize("store", ["ivf", "pq"])
+def test_ann_stream_checkpoint_loss_auto_heals(spark, emb, tmp_path, store):
+    """Checkpoint LOSS (fresh checkpoint, same source) re-delivers every
+    tag; tags already folded into the base come back as duplicate
+    increments that dynamic overwrite cannot make idempotent — r13
+    characterized this as double ingestion healed only by a MANUAL
+    compact. r14: compactions record every folded tag in a _folded_tags
+    sidecar, and a trigger whose batch id is already in that manifest
+    ends with a full fold — the store must converge (probes AND row
+    multiset) by the end of the re-ingest run, with no operator step."""
+    base = emb.where(F.col("vec_id") % 5 == 0)
+    batches = [
+        emb.where(F.col("vec_id") % 5 == m + 1).select("vec_id", "embedding")
+        for m in range(4)
+    ]
+    src = str(tmp_path / "src")
+    for m, b in enumerate(batches):
+        _one_file(b, src, f"b{m}", 1_000_000.0 + 100 * m)
+
+    idx = str(tmp_path / "idx")
+    if store == "pq":
+        similarity.pq_ivf_build_index(base, idx, residual=True)
+        probe, data_root = _pq_probe, idx + "/codes"
+    else:
+        similarity.ivf_build_index(base, idx)
+        probe, data_root = _probe, idx
+
+    def _row_count():
+        n = spark.read.parquet(data_root).count()
+        inc = data_root + "/_inc"
+        if os.path.isdir(inc) and glob.glob(inc + "/*/*.parquet"):
+            n += spark.read.parquet(inc).count()
+        return n
+
+    q = start_ann_ingest_stream(
+        spark, source_path=src, index_path=idx, checkpoint=str(tmp_path / "c1"),
+        store=store, compact_every=2,
+    )
+    q.awaitTermination(240)
+    queries = emb.where(F.col("vec_id") < 8)
+    want = probe(spark, idx, queries)
+    n_want = _row_count()
+    # compactions ran (compact_every=2 over 4 triggers), so the manifest
+    # exists and names the folded tags
+    folded = similarity._folded_tags_read(spark, idx)
+    assert folded, "auto-compaction recorded no folded tags"
+
+    # checkpoint loss: fresh checkpoint over the SAME drained source
+    q2 = start_ann_ingest_stream(
+        spark, source_path=src, index_path=idx, checkpoint=str(tmp_path / "c2"),
+        store=store, compact_every=2,
+    )
+    q2.awaitTermination(240)
+    # converged WITHOUT a manual compact: same probes, same row multiset
+    assert probe(spark, idx, queries) == want
+    assert _row_count() == n_want
+
+
 def test_ann_stream_requires_seeded_index(spark, tmp_path):
     """The ANN daemon has no cold start (the stored model defines every
     probe): starting a stream against a missing index must fail at
