@@ -124,12 +124,15 @@ def main() -> None:
             .option("checkpointLocation", ckpt)
             .start()
         )
+        # a missing/broken provider class typically surfaces at the FIRST
+        # TRIGGER's state-store init (inside processAllAvailable), not at
+        # start() — keep the whole first drain inside the skip guard
+        q.processAllAvailable()
     except Exception as e:  # noqa: BLE001 — provider may be absent
         if provider == "rocksdb" and "RocksDB" in str(e):
             print(json.dumps({"provider": provider, "skipped": str(e)[:300]}))
             return
         raise
-    q.processAllAvailable()
     progresses = [p for p in q.recentProgress if p and p["numInputRows"] > 0]
     q.stop()
     run_s = round(time.perf_counter() - run_t0, 2)
