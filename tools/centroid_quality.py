@@ -51,6 +51,231 @@ K = 5
 N_PROBE = 4
 
 
+def main_16k() -> None:
+    """r14 (r13 verdict task 2): push the distributed-refinement evidence
+    past the budget boundary. r13 measured coverage parity only at
+    n_cells = 4097 (one over the budget); this rung rebuilds the same
+    comparison at 16384 cells on a 2M-vector planted corpus (4096
+    clusters x 512 members, noise 0.05 so true neighbors are co-cluster
+    members with a wide margin), where the two-level E-step's
+    approximation has 4x more cells to mis-assign across and the refiner
+    runs 2 distributed Lloyd iterations on a 1/4 sample.
+
+    Gates (the r13 rung's, re-asserted at 4x the boundary scale):
+    - driver model rows <= isqrt(n_cells) (=128) through build + refine;
+    - refined-distributed coverage under EXACT probes within ~2 points
+      of the one-level driver-side Lloyd control (budget raised only as
+      a measurement harness);
+    - the number the store SERVES with (two-level probes) improves over
+      unrefined hash-pick.
+    Everything corpus-sized stays distributed: generation, the exact
+    top-k oracle (within-cluster candidates — inter-cluster cosine max
+    ~0.7 vs co-member ~0.87, so the true top-5 is in-cluster), and the
+    coverage join (no 2M-row collect)."""
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from ct_mapreduce_spark.operators import similarity
+    from ct_mapreduce_spark.session import get_spark
+
+    spark = get_spark("centroid-quality-16k")
+    dim, n_clusters, per = 64, 4096, 512
+    n_rows = n_clusters * per
+    n_cells = 16384  # rows // 128
+    k, n_probe = 5, 8
+    sqrt_cap = max(16, math.isqrt(n_cells))
+
+    path = f"/tmp/ctspark_centq16k_{n_clusters}x{per}_d{dim}"
+    try:
+        spark.read.parquet(path).head(1)
+    except Exception:
+        rng = random.Random(11)
+        crows = []
+        for c in range(n_clusters):
+            center = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+            nrm = math.sqrt(sum(x * x for x in center))
+            crows.append(Row(cluster_id=c, center=[x / nrm for x in center]))
+        centers = spark.createDataFrame(crows)
+        members = spark.range(per).select(F.col("id").alias("m"))
+        (
+            centers.crossJoin(members)
+            .repartition(64)
+            .select(
+                (F.col("cluster_id") * per + F.col("m")).alias("vec_id"),
+                "cluster_id",
+                F.array(
+                    *[
+                        (
+                            F.element_at("center", j + 1)
+                            + F.randn(1000 + j) * F.lit(0.05)
+                        ).cast("float")
+                        for j in range(dim)
+                    ]
+                ).alias("embedding"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    corpus_full = spark.read.parquet(path)
+    corpus = corpus_full.select("vec_id", "embedding")
+    queries = corpus_full.where(
+        F.col("vec_id") % (n_rows // N_QUERIES) == 0
+    ).localCheckpoint(eager=True)
+
+    # exact top-k oracle, distributed: candidates restricted to the
+    # query's own planted cluster (see docstring for the margin argument)
+    qside = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cluster_id").alias("qc"),
+        F.col("embedding").alias("qvec"),
+    )
+    cand = corpus_full.join(
+        F.broadcast(qside), F.col("cluster_id") == F.col("qc")
+    ).where(F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "qvec", lambda a, b: a.cast("double") * b
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = cand.withColumn(
+        "cos", dot / (nrm(F.col("embedding")) * nrm(F.col("qvec")))
+    )
+    topw = W.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    exact = (
+        scored.withColumn("rank", F.row_number().over(topw))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .localCheckpoint(eager=True)
+    )
+    n_exact = exact.count()
+    print(
+        f"corpus={n_rows} cells={n_cells} exact pairs={n_exact}",
+        file=sys.stderr,
+    )
+    results: dict = {
+        "corpus_rows": n_rows,
+        "n_cells": n_cells,
+        "n_probe": n_probe,
+        "exact_pairs": n_exact,
+    }
+
+    def _coverage(idx: str, qa) -> float:
+        # (exact pair -> neighbor's stored cell) x (query's probed
+        # cells): two joins over model-sized frames + the codes scan,
+        # nothing corpus-sized collects
+        ncell = (
+            spark.read.parquet(idx + "/codes")
+            .select(F.col("vec_id").alias("neighbor_id"), "cell")
+            .join(F.broadcast(exact), "neighbor_id")
+        )
+        hit = ncell.join(
+            F.broadcast(qa.select("query_id", "cell")),
+            ["query_id", "cell"],
+            "left_semi",
+        )
+        return round(hit.count() / n_exact, 4)
+
+    def _recall_rerank(idx: str) -> float:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.pq_ivf_topk_indexed(
+                spark, idx, queries, k=k, n_probe=n_probe,
+                rerank_corpus=corpus, rerank_factor=4,
+            ).collect()
+        }
+        ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        return round(len(ex & got) / len(ex), 4)
+
+    for tag, refine in (("x16k_hashpick", 0), ("x16k_refined_distributed", 2)):
+        idx = tempfile.mkdtemp(prefix=f"ctspark_centq_{tag}_")
+        t0 = time.perf_counter()
+        similarity.pq_ivf_build_index(
+            corpus, idx, n_cells=n_cells, refine_iters=refine,
+            refine_sample_mod=4,
+        )
+        build_s = round(time.perf_counter() - t0, 2)
+        model_rows = similarity._LAST_DRIVER_MODEL_ROWS
+        assert model_rows <= sqrt_cap, (tag, model_rows, sqrt_cap)
+        cents = spark.read.parquet(idx + "/_centroids")
+        cov_exact = _coverage(
+            idx,
+            similarity._assign_probes(
+                queries, cents, "vec_id", "embedding", "query", n_probe
+            ),
+        )
+        cov_served = _coverage(
+            idx,
+            similarity._two_level_assign(
+                queries, cents, n_cells, "vec_id", "embedding", "query",
+                t=n_probe,
+            ),
+        )
+        results[tag] = {
+            "build_s": build_s,
+            "driver_model_rows": model_rows,
+            "coverage_exact_probes": cov_exact,
+            "coverage_served": cov_served,
+            "recall_rerank4": _recall_rerank(idx),
+        }
+        print(f"{tag}: {results[tag]}", file=sys.stderr)
+        shutil.rmtree(idx, ignore_errors=True)
+
+    # one-level Lloyd control (raised budget — harness only)
+    budget = similarity._DRIVER_MODEL_CELL_BUDGET
+    idx = tempfile.mkdtemp(prefix="ctspark_centq_x16k_ctrl_")
+    similarity._DRIVER_MODEL_CELL_BUDGET = 10**9
+    try:
+        t0 = time.perf_counter()
+        similarity.pq_ivf_build_index(
+            corpus, idx, n_cells=n_cells, refine_iters=2,
+            refine_sample_mod=4,
+        )
+        build_s = round(time.perf_counter() - t0, 2)
+        cents = spark.read.parquet(idx + "/_centroids")
+        cov_exact = _coverage(
+            idx,
+            similarity._assign_probes(
+                queries, cents, "vec_id", "embedding", "query", n_probe
+            ),
+        )
+    finally:
+        similarity._DRIVER_MODEL_CELL_BUDGET = budget
+    results["x16k_refined_onelevel_control"] = {
+        "build_s": build_s,
+        "coverage_exact_probes": cov_exact,
+    }
+    print(
+        f"x16k_refined_onelevel_control: "
+        f"{results['x16k_refined_onelevel_control']}",
+        file=sys.stderr,
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+
+    gap = abs(
+        results["x16k_refined_distributed"]["coverage_exact_probes"]
+        - results["x16k_refined_onelevel_control"]["coverage_exact_probes"]
+    )
+    results["x16k_refined_coverage_gap"] = round(gap, 4)
+    assert gap <= 0.03, results
+    assert (
+        results["x16k_refined_distributed"]["coverage_served"]
+        > results["x16k_hashpick"]["coverage_served"]
+    ), results
+    print(json.dumps(results))
+
+
 def main() -> None:
     from pyspark.sql import Row
     from pyspark.sql import functions as F
@@ -300,4 +525,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--x16k" in sys.argv:
+        main_16k()
+    else:
+        main()

@@ -50,6 +50,22 @@ N_TRIGGERS = 20
 KEYS_PER_TRIGGER = 50_000
 SHARDS = 256  # issuer shards per hour bucket => groups per bucket
 
+# --geometry grow (r14, r13 verdict task 4): a geometry whose live state
+# actually GROWS instead of plateauing at 768 rows — 65536 issuer shards
+# per hour bucket and a 15 h watermark delay hold ~17 buckets in flight,
+# so live groups climb to ~1.1M rows before the first evictions land at
+# trigger 17. This is the regime where the HDFS-backed provider's
+# keep-it-all-on-heap design is supposed to degrade and RocksDB's
+# spill-to-local-disk is supposed not to; running BOTH providers here
+# records which actually happens (per-batch walls + state memory in the
+# curve). The plateau gates of the default geometry don't apply — grow
+# mode gates that the geometry really forced >=10^6 live rows and that
+# eviction still begins inside the run.
+GROW_N_TRIGGERS = 20
+GROW_KEYS_PER_TRIGGER = 131_072
+GROW_SHARDS = 65_536
+GROW_WATERMARK = "15 hours"
+
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state."
@@ -67,6 +83,11 @@ def main() -> None:
     )
 
     provider = "rocksdb" if "--provider" in sys.argv and "rocksdb" in sys.argv else "default"
+    grow = "--geometry" in sys.argv and "grow" in sys.argv
+    n_triggers = GROW_N_TRIGGERS if grow else N_TRIGGERS
+    keys_per_trigger = GROW_KEYS_PER_TRIGGER if grow else KEYS_PER_TRIGGER
+    shards = GROW_SHARDS if grow else SHARDS
+    watermark = GROW_WATERMARK if grow else "1 hour"
     spark = get_spark("state-soak")
     if provider == "rocksdb":
         spark.conf.set(
@@ -78,19 +99,19 @@ def main() -> None:
     ckpt = f"{root}/ckpt"
 
     gen_t0 = time.perf_counter()
-    for i in range(N_TRIGGERS):
+    for i in range(n_triggers):
         hour = t0d + dt.timedelta(hours=i)
         bucket = hour.strftime("%Y-%m-%d-%H")
         ts = hour + dt.timedelta(minutes=5)
         (
-            spark.range(KEYS_PER_TRIGGER)
+            spark.range(keys_per_trigger)
             .select(
                 F.lit(bucket).alias("exp_date"),
                 F.concat(
-                    F.lit("iss"), (F.col("id") % SHARDS).cast("string")
+                    F.lit("iss"), (F.col("id") % shards).cast("string")
                 ).alias("issuer_id"),
                 # members globally distinct across triggers
-                (F.col("id") + i * KEYS_PER_TRIGGER).alias("serial"),
+                (F.col("id") + i * keys_per_trigger).alias("serial"),
                 F.lit(ts).alias("entry_ts"),
             )
             .coalesce(1)
@@ -100,7 +121,7 @@ def main() -> None:
         time.sleep(1.1)  # distinct mtimes => deterministic batch order
     gen_s = round(time.perf_counter() - gen_t0, 2)
     print(
-        f"generated {N_TRIGGERS} waves x {KEYS_PER_TRIGGER} keys in {gen_s}s",
+        f"generated {n_triggers} waves x {keys_per_trigger} keys in {gen_s}s",
         file=sys.stderr,
     )
 
@@ -114,7 +135,7 @@ def main() -> None:
         member_col="serial",
         expiry_fn=cert_bucket_expiry,
         watermark_col="entry_ts",
-        watermark_delay="1 hour",
+        watermark_delay=watermark,
     )
     run_t0 = time.perf_counter()
     try:
@@ -149,17 +170,25 @@ def main() -> None:
                 "state_memory_mb": round(
                     so.get("memoryUsedBytes", 0) / 1e6, 2
                 ),
+                "batch_wall_ms": p.get("batchDuration"),
                 "watermark": p.get("eventTime", {}).get("watermark"),
             }
         )
 
-    total_groups = N_TRIGGERS * SHARDS
+    total_groups = n_triggers * shards
     peak = max(c["state_rows"] for c in curve)
     final = curve[-1]["state_rows"]
     removed = sum(c["state_rows_removed"] for c in curve)
-    assert peak <= 4 * SHARDS, (peak, 4 * SHARDS)
-    assert final < total_groups / 4, (final, total_groups)
-    assert removed > 0, curve
+    if grow:
+        # grow-mode gates: the geometry really forced ~10^6 live rows
+        # (the comparison regime exists) and eviction began in-run
+        assert peak >= 1_000_000, (peak, curve)
+        assert removed > 0, curve
+        assert final < peak, (final, peak)
+    else:
+        assert peak <= 4 * shards, (peak, 4 * shards)
+        assert final < total_groups / 4, (final, total_groups)
+        assert removed > 0, curve
     if provider == "rocksdb":
         # prove RocksDB actually served the state, not a silent
         # fallback: the provider exports rocksdb* custom metrics
@@ -171,9 +200,10 @@ def main() -> None:
 
     results = {
         "provider": provider,
-        "triggers": N_TRIGGERS,
-        "distinct_members_total": N_TRIGGERS * KEYS_PER_TRIGGER,
-        "groups_per_bucket": SHARDS,
+        "geometry": "grow" if grow else "plateau",
+        "triggers": n_triggers,
+        "distinct_members_total": n_triggers * keys_per_trigger,
+        "groups_per_bucket": shards,
         "groups_total": total_groups,
         "gen_s": gen_s,
         "run_s": run_s,
