@@ -566,10 +566,10 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
-    max_bucket_width: int | None = 4096,
+    max_bucket_width: int | None = 256,
     sigs: DataFrame | None = None,
     template_bucket_frac: float | None = 0.01,
-    template_bucket_width: int = 256,
+    template_bucket_width: int = 64,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
@@ -598,17 +598,26 @@ def minhash_lsh_pairs(
        put 54k of 200k docs in one bucket; its capped pairing was 95% of
        the whole dedup wall while every one of its pairs scored
        est_jaccard < 0.9) — and its cap drops to
-       min(template_bucket_width, max_bucket_width). The r13 cap sweep
-       measured the est>=0.9 drop set byte-identical from cap 4096 down
-       to 64 at 14-56x less wall on exactly this corpus.
+       min(template_bucket_width, max_bucket_width).
     3. Every truncated member still emits ONE candidate pair linking it
        to the bucket's min-doc_id anchor (a spanning star, O(width) not
        O(width^2)). Truncation therefore never fully erases membership
        evidence: a genuine near-dup family wider than the cap still has
        every member scored against the family's minimum id, which is
        exactly the pair the greatest-id-drop keep rule needs — recall on
-       mega-families is strictly BETTER than the pre-r14 pure-truncation
-       behavior at any cap.
+       mega-families is strictly BETTER than pure truncation at any cap.
+
+    Default geometry (r14, picked by measurement): cap 256 / template
+    cap 64. The r13 cap sweep on the template-saturated x100 crawl
+    measured the est>=0.9 drop set BYTE-IDENTICAL from cap 4096 down to
+    64 at 14-56x less wall (390.9 -> 8.1 -> 7.0 s loaded), and the r14
+    rung re-proved drop-set identity for the shipped default vs the old
+    flat-4096 cap in one window (tools/artifacts/r14_soak_r14.json).
+    The anchor star is what makes the low default safe: family collapse
+    through the min-id anchor is cap-INDEPENDENT, so the cap only
+    budgets member-member evidence for borderline chains (docs within
+    threshold of each other but not of the anchor) — raise it for
+    corpora where that matters more than wall.
 
     Detection stays one map-side-combined count over the materialized
     banded frame — the healthy-corpus fast path pays one small
@@ -779,10 +788,10 @@ def minhash_dedup_keep(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
-    max_bucket_width: int | None = 4096,
+    max_bucket_width: int | None = 256,
     sigs: DataFrame | None = None,
     template_bucket_frac: float | None = 0.01,
-    template_bucket_width: int = 256,
+    template_bucket_width: int = 64,
 ) -> DataFrame:
     """One-shot near-dup dedup, KEEP-LIST shaped: (doc_id) rows that
     survive MinHash/LSH dedup at `threshold` under the min-id-wins rule.

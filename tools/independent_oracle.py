@@ -140,7 +140,7 @@ def _lsh_pair_bands(
     seed: int,
     max_bucket_width: int,
     template_bucket_frac: float | None = 0.01,
-    template_bucket_width: int = 256,
+    template_bucket_width: int = 64,
 ) -> dict[tuple[int, int], int]:
     """(doc_a, doc_b) -> n_bands_matched via banded buckets with the
     deterministic hot-bucket cap — the r14 declared semantics of
@@ -202,9 +202,9 @@ def docs_minhash_lsh_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
-    max_bucket_width: int = 4096,
+    max_bucket_width: int = 256,
     template_bucket_frac: float | None = 0.01,
-    template_bucket_width: int = 256,
+    template_bucket_width: int = 64,
 ) -> list[tuple]:
     sigs = _minhash_sigs(sf_dir, k, num_hashes, seed)
     pair_bands = _lsh_pair_bands(
@@ -225,9 +225,9 @@ def docs_minhash_keep(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
-    max_bucket_width: int = 4096,
+    max_bucket_width: int = 256,
     template_bucket_frac: float | None = 0.01,
-    template_bucket_width: int = 256,
+    template_bucket_width: int = 64,
 ) -> list[tuple]:
     """Re-derive minhash_dedup_keep's DECLARED semantics (keep-list,
     collapse-first): (1) per exact-signature-vector family only the min
