@@ -1413,6 +1413,95 @@ def _folded_tags_frame(spark, tags: set[str]):
     ).coalesce(1)
 
 
+# Past this many distinct cells in one healed batch the heal's base scan
+# skips the partition-pruning IN-list (a literal that large costs more in
+# planning than the pruning saves; a batch spanning that many cells is
+# reading most of the store anyway).
+_HEAL_PRUNE_MAX_CELLS = 4096
+
+
+def heal_reingested_tag(spark, path: str, store: str, tag: str) -> int:
+    """Converge one re-delivered FOLDED tag without an O(store) rewrite.
+
+    Checkpoint-LOSS re-ingest (streaming/ann_stream.py): a fresh
+    checkpoint restarts batch ids, so a trigger re-delivers data whose
+    tag an earlier compaction already folded into the base — the
+    trigger's dynamic partition overwrite recreates the tag's increment
+    partition and probes would serve duplicate neighbors. The r13
+    characterization healed this with a full compaction (full-row
+    dropDuplicates), but that is an O(store) rewrite PER re-delivered
+    tag — on a long history the exceptional path would cost
+    n_folded_tags x store rewrites. This helper is the bounded form of
+    the same full-row-identity rule: anti-join the tag's increment rows
+    against the base (scan pruned to the batch's own cells — the
+    incremental dedup index's bounded-IN-list probe shape) and rewrite
+    ONLY that tag's partition with the novel remainder, deleting it
+    outright when nothing novel remains. O(batch + pruned base scan),
+    zero base rows move.
+
+    Full-ROW identity (id + cell + payload), not id identity: a
+    genuinely-new batch colliding with a folded tag id keeps every row
+    the compaction heal would have kept. Idempotent — a crash-replay
+    rewrites the full partition and the next heal converges it again.
+    Returns the number of duplicate rows removed."""
+    from ct_mapreduce_spark.fsutil import _fs_and_path
+    from ct_mapreduce_spark.operators.dedup_fuzzy import _try_read_parquet
+
+    data_root = path + ("/codes" if store == "pq" else "")
+    inc_p = data_root + "/_inc"
+    inc = _try_read_parquet(spark, inc_p)
+    if inc is None or "ingest_batch" not in inc.columns:
+        return 0
+    tag_rows = inc.where(
+        F.col("ingest_batch").cast("string") == str(tag)
+    ).drop("ingest_batch")
+    cols = tag_rows.columns
+    base = spark.read.parquet(data_root)
+    cells = [
+        r["cell"]
+        for r in tag_rows.select("cell").distinct().limit(
+            _HEAL_PRUNE_MAX_CELLS + 1
+        ).collect()
+    ]
+    n_tag = tag_rows.count()
+    if n_tag == 0:
+        return 0
+    if len(cells) <= _HEAL_PRUNE_MAX_CELLS:
+        base = base.where(F.col("cell").isin(cells))
+    # bounded probe: base-side semi join against the broadcast batch
+    # keys runs scan-local on the pruned base; both sides of the
+    # full-row anti-join are then batch-sized
+    keys = tag_rows.select(cols[0], "cell")
+    cand = base.join(F.broadcast(keys), [cols[0], "cell"], "left_semi")
+    novel = tag_rows.join(cand.select(*cols), cols, "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_novel = novel.count()
+    if n_novel == n_tag:
+        return 0
+    part_dir = inc_p + f"/ingest_batch={tag}"
+    if n_novel == 0:
+        # dynamic overwrite cannot replace a partition with zero rows —
+        # drop the directory outright
+        fs, p = _fs_and_path(spark, part_dir)
+        if fs.exists(p):
+            fs.delete(p, True)
+        return n_tag
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            novel.withColumn("ingest_batch", F.lit(str(tag)))
+            .coalesce(4)
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch")
+            .parquet(inc_p)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n_tag - n_novel
+
+
 def ivf_index_compact(
     spark, path: str, exclude_tags: set[str] | None = None
 ) -> tuple[int, int]:
@@ -2130,7 +2219,13 @@ def _pq_adc_rank(
             )
         )
     # one narrow count of the QUERY BATCH (user-sized, not the store)
-    # decides both the LUT-build partitioning and the join transport
+    # decides both the LUT-build partitioning and the join transport.
+    # The batch is materialized FIRST so its lineage executes exactly
+    # once: the count, the LUT projection, and the re-rank's qvec read
+    # all hit the checkpointed blocks instead of re-running whatever
+    # produced the batch (an expensive upstream for real callers; for
+    # tiny pinned fixtures the checkpoint costs what the count did).
+    queries = queries.localCheckpoint(eager=True)
     n_queries = queries.count()
     lut_folds = len(books) * len(books[0])
     qsrc = queries
@@ -2621,9 +2716,14 @@ def _stored_seed(spark, path: str) -> int:
     assignments — silently degrading recall agreement with no error.
     Threading the stored seed makes non-default-seed stores correct by
     construction. A pre-r13 store (no _meta, or a residual-only _meta)
-    reads as the historical default 42 — exactly the seed those stores
-    were built with, since the seed was not persistable before.
-    Memoized per on-disk fingerprint like _pq_read_books."""
+    reads as 42, which preserves pre-r13 serve behavior (those serves
+    always probed with the default): for the common default-seed store
+    that is also the build seed; a pre-r13 store built with an explicit
+    seed != 42 keeps its historical coarse-model mismatch — rebuilding
+    (or writing a _meta sidecar by hand) is the upgrade path, and the
+    mismatch is bounded to recall agreement, never correctness of the
+    returned rows. Memoized per on-disk fingerprint like
+    _pq_read_books."""
     from ct_mapreduce_spark.operators.dedup_fuzzy import _try_read_parquet
 
     fp = _sidecar_fingerprint(path + "/_meta")

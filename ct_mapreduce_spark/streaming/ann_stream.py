@@ -259,11 +259,13 @@ def start_ann_ingest_stream(
     every tag they fold in a `_folded_tags` sidecar; a trigger whose
     batch id is already in that manifest is a re-ingest under a fresh
     checkpoint (batch ids restarted), not an in-flight replay, so the
-    trigger ends with a FULL compaction whose full-row dropDuplicates
-    removes the double-ingested copies immediately — the store converges
-    per trigger instead of serving duplicate neighbors until a manual
-    compact (the r13 characterization). The exceptional path pays one
-    compaction per re-delivered folded tag; the normal path is
+    trigger ends with a bounded per-tag heal
+    (similarity.heal_reingested_tag: full-row anti-join against the
+    cell-pruned base, rewriting only that tag's increment partition) —
+    the store converges per trigger instead of serving duplicate
+    neighbors until a manual compact (the r13 characterization), at
+    O(batch) per re-delivered tag rather than the O(store) compaction
+    rewrite the r13 healing rule implied; the normal path is
     untouched."""
     from ct_mapreduce_spark.fsutil import _fs_and_path, path_exists, recover_swap
 
@@ -385,19 +387,21 @@ def start_ann_ingest_stream(
             # in-flight partition — it re-ingested data the base may
             # already hold (a fresh checkpoint restarts batch ids), and
             # probes would serve duplicate neighbors until a compaction.
-            # Heal NOW by folding everything including this tag: the
-            # full-row dropDuplicates removes the double-ingested copies
-            # (identical rows — encoding under the stored model is
-            # deterministic). Replay-safe by convergence rather than by
-            # partition overwrite: if this trigger replays after the
-            # fold, the tag is (still) in the manifest and the next heal
-            # converges again. Cost: one compaction per re-delivered
-            # folded tag — the exceptional path pays, the normal path is
-            # untouched. Skipping the write instead would lose data when
-            # a genuinely-new batch collides with a folded tag id.
-            compactor(session, index_path)
-            folded_cache.clear()
-        elif (
+            # Heal NOW, bounded: anti-join the tag's increment against
+            # the (cell-pruned) base and rewrite only that partition
+            # (similarity.heal_reingested_tag — O(batch), never an
+            # O(store) compaction rewrite per re-delivered tag). Rows a
+            # genuinely-new batch contributes under a colliding tag id
+            # survive (full-row identity, the compaction-heal rule).
+            # Replay-safe by convergence: if this trigger replays after
+            # the heal, the tag is still in the manifest and the next
+            # heal converges again.
+            from ct_mapreduce_spark.operators.similarity import (
+                heal_reingested_tag,
+            )
+
+            heal_reingested_tag(session, index_path, store, str(batch_id))
+        if (
             compact_every is not None
             and _n_inc_batches(session) >= compact_every
         ):
