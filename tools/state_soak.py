@@ -181,10 +181,13 @@ def main() -> None:
     removed = sum(c["state_rows_removed"] for c in curve)
     if grow:
         # grow-mode gates: the geometry really forced ~10^6 live rows
-        # (the comparison regime exists) and eviction began in-run
+        # (the comparison regime exists) and eviction kept the store
+        # below full accumulation (evictions balance arrivals once the
+        # watermark reaches bucket 0, so final == peak == ~17 buckets,
+        # NOT n_triggers buckets)
         assert peak >= 1_000_000, (peak, curve)
         assert removed > 0, curve
-        assert final < peak, (final, peak)
+        assert final < total_groups, (final, total_groups)
     else:
         assert peak <= 4 * shards, (peak, 4 * shards)
         assert final < total_groups / 4, (final, total_groups)
