@@ -43,6 +43,67 @@ N_CLUSTERS = 480
 PER = 125
 
 
+def main_lutsweep() -> None:
+    """--lutsweep: relocate the LUT broadcast cap by measurement. The
+    boundary rung found the forced broadcast ~1.6x slower per query
+    just UNDER the 64 MB cap — so where DOES the hint stop helping?
+    Same store, batch sizes from 32 to 512 queries (payloads 4-67 MB at
+    the 16x256 x 4-probe geometry), each served twice with the cap
+    monkeypatched to force the hint ON and OFF (a measurement-harness
+    move; the constant itself is the deliverable). min-of-2 walls."""
+    import random as _random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from ct_mapreduce_spark.operators import similarity
+    from ct_mapreduce_spark.session import get_spark
+
+    spark = get_spark("r14-lutsweep")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    path = f"/tmp/ctspark_centq_{N_CLUSTERS}x{PER}_d{DIM}"
+    corpus = spark.read.parquet(path)
+    n_rows = corpus.count()
+    root = tempfile.mkdtemp(prefix="ctspark_r14_lutsweep_")
+    m_sub, n_codes, n_probe = 16, 256, 4
+    lut_bytes = m_sub * n_codes * 8
+    idx = f"{root}/pq_ivf"
+    similarity.pq_ivf_build_index(
+        corpus, idx, n_cells=117, m_sub=m_sub, n_codes=n_codes
+    )
+    results: dict = {"lut_bytes_per_query_probe": lut_bytes * n_probe}
+    cap0 = similarity._LUT_BROADCAST_BYTES
+    try:
+        for n_q in (32, 64, 128, 256, 512):
+            bp = f"{root}/batch_{n_q}"
+            corpus.where(F.col("vec_id") % (n_rows // n_q) == 0).limit(
+                n_q
+            ).coalesce(1).write.mode("overwrite").parquet(bp)
+            batch = spark.read.parquet(bp)
+            row: dict = {
+                "est_payload_mb": round(n_q * lut_bytes * n_probe / 1e6, 1)
+            }
+            for mode, cap in (("hinted", 1 << 60), ("unhinted", 0)):
+                similarity._LUT_BROADCAST_BYTES = cap
+                times = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    similarity.pq_ivf_topk_indexed(
+                        spark, idx, batch, k=5, n_probe=n_probe
+                    ).count()
+                    times.append(time.perf_counter() - t0)
+                row[mode + "_s"] = round(min(times), 2)
+            row["hint_speedup"] = round(
+                row["unhinted_s"] / max(row["hinted_s"], 1e-9), 2
+            )
+            results[f"q{n_q}"] = row
+            print(f"q{n_q}: {row}", file=sys.stderr)
+    finally:
+        similarity._LUT_BROADCAST_BYTES = cap0
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(results))
+
+
 def main() -> None:
     from pyspark.sql import Row
     from pyspark.sql import functions as F
@@ -160,4 +221,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--lutsweep" in sys.argv:
+        main_lutsweep()
+    else:
+        main()
