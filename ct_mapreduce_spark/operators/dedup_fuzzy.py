@@ -901,6 +901,45 @@ def _banded_frame(
     )
 
 
+def _run_parallel(*thunks) -> None:
+    """Run independent Spark actions as concurrent driver-submitted jobs
+    (guide §2.6: actions are only sequential because driver code calls
+    them sequentially). Used for multi-sink writes to DISJOINT
+    directories that share one materialized input — the later jobs'
+    tasks back-fill cores the earlier jobs' commit tails leave idle.
+    Errors propagate (first one raised) after all jobs settle, so a
+    failed sibling can't leave a write silently unchecked."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        errs = []
+        for f in futures:
+            try:
+                f.result()
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+    if errs:
+        raise errs[0]
+
+
+def _cluster_writers(df: DataFrame, col: str, n_values: int = 256) -> DataFrame:
+    """Cluster rows by the partition column across an EXPLICIT number of
+    writer tasks: min(n_values, defaultParallelism) — the cluster width,
+    capped at the partition-value count (a hash exchange never spreads
+    one value over two tasks, so extra partitions past n_values would sit
+    empty). The explicit count matters (r14, measured): a bare
+    `repartition(col)` is AQE-coalescible, and on a small batch AQE folds
+    the exchange to ONE task which then creates all ~n_values partition
+    directories/files sequentially (~20 ms each on local fs, worse on
+    object stores) — the hash-store write was 6.3 s where 32 explicit
+    writers take 2.5 s, same 514 files. Scale posture: defaultParallelism
+    is the cluster width, so writer parallelism tracks the cluster, and
+    per-pfx file count stays one per batch either way."""
+    n = min(n_values, df.sparkSession.sparkContext.defaultParallelism)
+    return df.repartition(n, F.col(col))
+
+
 def minhash_index_build(
     docs: DataFrame,
     path: str,
@@ -957,15 +996,23 @@ def minhash_index_build(
     # Cluster by pfx before the partitioned write: without it every
     # writer task emits a sliver into every pfx directory (tasks x 256
     # files — measured 8192 files for a 68 MB index, and the probe's
-    # "fixed overhead" was mostly opening them). Clustered, each pfx
-    # directory gets one file per owning task (~256 total); at larger
-    # corpora the same shuffle spreads a pfx across more tasks and file
-    # count stays proportional to data, not tasks x partitions.
-    banded.repartition(F.col("pfx")).write.mode("overwrite").partitionBy(
-        "pfx"
-    ).parquet(path + "/banded")
-    sigs.write.mode("overwrite").parquet(path + "/sigs")
-    _write_hash_store(sigs, path, mode="overwrite")
+    # "fixed overhead" was mostly opening them). Clustered (explicit
+    # writer count — see _cluster_writers), each pfx directory gets one
+    # file per batch and file count stays proportional to data, not
+    # tasks x partitions.
+    # The three sinks are independent consumers of the one checkpointed
+    # signature frame writing to disjoint directories, so they run as
+    # CONCURRENT jobs (guide §2.6): each job's commit/file-creation tail
+    # back-fills the others' idle cores instead of serializing three
+    # fixed overheads. Output bytes are identical to sequential writes.
+    _run_parallel(
+        lambda: _cluster_writers(banded, "pfx")
+        .write.mode("overwrite")
+        .partitionBy("pfx")
+        .parquet(path + "/banded"),
+        lambda: sigs.write.mode("overwrite").parquet(path + "/sigs"),
+        lambda: _write_hash_store(sigs, path, mode="overwrite"),
+    )
 
 
 def minhash_index_append(
@@ -992,12 +1039,16 @@ def minhash_index_append(
         "pfx", F.substring("bucket", 1, 2)
     )
     # pfx-clustered like the build: each append adds O(pfx values) files,
-    # not tasks x 256 slivers.
-    banded.repartition(F.col("pfx")).write.mode("append").partitionBy(
-        "pfx"
-    ).parquet(path + "/banded")
-    sigs.write.mode("append").parquet(path + "/sigs")
-    _write_hash_store(sigs, path, mode="append")
+    # not tasks x 256 slivers. Same concurrent three-sink shape as the
+    # build (disjoint directories, shared checkpointed input).
+    _run_parallel(
+        lambda: _cluster_writers(banded, "pfx")
+        .write.mode("append")
+        .partitionBy("pfx")
+        .parquet(path + "/banded"),
+        lambda: sigs.write.mode("append").parquet(path + "/sigs"),
+        lambda: _write_hash_store(sigs, path, mode="append"),
+    )
 
 
 def _batch_hash_frame(batch_sigs: DataFrame) -> DataFrame:
@@ -1029,7 +1080,7 @@ def _write_hash_store(
     if batch_tag is not None:
         hashes = hashes.withColumn("ingest_batch", F.lit(batch_tag))
         part_cols = ["ingest_batch", "hpfx"]
-    hashes.repartition(F.col("hpfx")).write.mode(mode).partitionBy(
+    _cluster_writers(hashes, "hpfx").write.mode(mode).partitionBy(
         *part_cols
     ).parquet(path + "/hashes")
 

@@ -52,6 +52,17 @@ def get_spark(
         # event-time operators reject. load_table also sets this at read
         # time for caller-provided sessions.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Commit algorithm v2 (r14, guide §6): task outputs rename straight
+        # into the destination at task commit instead of a single-threaded
+        # driver merge at job commit — the merge cost is O(files) on the
+        # driver under v1, which the partitioned stores (256 pfx dirs,
+        # ingest's (exp_date, issuer) tree) pay on every write. Measured
+        # 2x on the flat sigs write locally; on HDFS-scale stores the
+        # driver merge is the well-known job-commit bottleneck. Trade
+        # (documented): a failed job can leave committed task files behind
+        # — acceptable here because every store gate checks _SUCCESS or
+        # swaps whole directories aside (fsutil), never trusts bare files.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
     )
     if master is not None:
