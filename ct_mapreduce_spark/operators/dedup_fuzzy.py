@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 _LOG = logging.getLogger(__name__)
 
 from ct_mapreduce_spark.operators.text import gram_stream, shingles, tokens
-from ct_mapreduce_spark.operators.util import fan_out
+from ct_mapreduce_spark.operators.util import fan_out, run_parallel as _run_parallel
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup by content hash: canonical row = min doc_id (same
@@ -899,28 +899,6 @@ def _banded_frame(
         )
         .select("doc_id", "bb.band", "bb.bucket")
     )
-
-
-def _run_parallel(*thunks) -> None:
-    """Run independent Spark actions as concurrent driver-submitted jobs
-    (guide §2.6: actions are only sequential because driver code calls
-    them sequentially). Used for multi-sink writes to DISJOINT
-    directories that share one materialized input — the later jobs'
-    tasks back-fill cores the earlier jobs' commit tails leave idle.
-    Errors propagate (first one raised) after all jobs settle, so a
-    failed sibling can't leave a write silently unchecked."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        futures = [pool.submit(t) for t in thunks]
-        errs = []
-        for f in futures:
-            try:
-                f.result()
-            except Exception as e:  # noqa: BLE001 — re-raised below
-                errs.append(e)
-    if errs:
-        raise errs[0]
 
 
 def _cluster_writers(df: DataFrame, col: str, n_values: int = 256) -> DataFrame:

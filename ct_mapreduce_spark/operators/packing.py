@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ct_mapreduce_spark.operators.text import tokens
+from ct_mapreduce_spark.operators.util import local_frame
 
 
 def _bucket_offsets(
@@ -55,8 +56,8 @@ def _bucket_offsets(
     ).first()
     if lo is None:  # empty input: any bucket expr works, offsets empty
         spark = base.sparkSession
-        return F.lit(0), spark.createDataFrame(
-            [], "_bucket bigint, _bucket_off bigint"
+        return F.lit(0), local_frame(
+            spark, [], "_bucket bigint, _bucket_off bigint"
         )
     width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
     # Bucket assignment happens in DOUBLE space: order keys may span the
@@ -80,7 +81,7 @@ def _bucket_offsets(
         offs.append((row["_bucket"], acc))
         acc += row["_tot"]
     spark = base.sparkSession
-    off_df = spark.createDataFrame(offs, "_bucket bigint, _bucket_off bigint")
+    off_df = local_frame(spark, offs, "_bucket bigint, _bucket_off bigint")
     return bucket, off_df
 
 

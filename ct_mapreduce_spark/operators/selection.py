@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from ct_mapreduce_spark.operators.packing import _bucket_offsets
 from ct_mapreduce_spark.operators.text import gram_stream, tokens
+from ct_mapreduce_spark.operators.util import local_frame
 
 
 def dsir_grams(text_col: str = "text") -> Column:
@@ -298,14 +299,15 @@ def select_token_budget_per_stratum(
         for row in sorted(rows, key=lambda r: r["_bucket"]):
             offs.append((s, row["_bucket"], acc))
             acc += row["_tot"]
-    off_df = spark.createDataFrame(
-        offs, f"_s string, _bucket bigint, _bucket_off bigint"
+    off_df = local_frame(
+        spark, offs, "_s string, _bucket bigint, _bucket_off bigint"
     ).withColumnRenamed("_s", stratum_col)
     if isinstance(budgets, int):
         strata = sorted(by_stratum)
         budgets = {s: int(budgets) for s in strata}
     budget_df = F.broadcast(
-        spark.createDataFrame(
+        local_frame(
+            spark,
             [(s, int(b)) for s, b in budgets.items()],
             f"{stratum_col} string, _budget bigint",
         )

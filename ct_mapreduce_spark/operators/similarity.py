@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
-from ct_mapreduce_spark.operators.util import fan_out
+from ct_mapreduce_spark.operators.util import fan_out, local_frame, run_parallel
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -659,7 +659,8 @@ def ivf_topk(
             corpus, cent_rows, refine_iters, id_col, vec_col,
             sample_mod=refine_sample_mod,
         )
-        cents = corpus.sparkSession.createDataFrame(
+        cents = local_frame(
+            corpus.sparkSession,
             [
                 (c["cell"], [float(x) for x in c["centroid"]])
                 for c in cent_rows
@@ -818,7 +819,7 @@ def _assign_probes(
     repartition would be pure plan noise there); values are
     partitioning-independent either way."""
     if n_cells is not None and n_cells >= _PROBE_FANOUT_MIN_CELLS:
-        from ct_mapreduce_spark.operators.util import fan_out
+        from ct_mapreduce_spark.operators.util import fan_out, local_frame
 
         df = fan_out(df)
     joined = df.crossJoin(F.broadcast(cents)).withColumn(
@@ -1248,28 +1249,37 @@ def ivf_build_index(
                 corpus, cent_rows, refine_iters, id_col, vec_col,
                 sample_mod=refine_sample_mod,
             )
-            cents = corpus.sparkSession.createDataFrame(
-                [
-                    (c["cell"], [float(x) for x in c["centroid"]])
-                    for c in cent_rows
-                ],
-                "cell int, centroid array<double>",
-            )
+        # The centroid sidecar is written from the COLLECTED rows (r14):
+        # writing the original `cents` subplan would re-run the centroid
+        # selection — a second corpus pass for a model-sized sidecar.
+        # Same rows by construction (cent_rows IS cents.collect()).
+        cents = local_frame(
+            corpus.sparkSession,
+            [
+                (int(c["cell"]), [float(x) for x in c["centroid"]])
+                for c in cent_rows
+            ],
+            "cell int, centroid array<double>",
+        )
         assigned = _assign_nearest(corpus, cent_rows, id_col, vec_col, "neighbor")
-    (
-        assigned.withColumnRenamed("neighbor_id", id_col)
-        .withColumnRenamed("neighbor_vec", vec_col)
-        .withColumnRenamed("neighbor_norm", "vnorm")  # reused at probe time
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(path)
+    # Three disjoint sinks, one already-derived input each: run as
+    # concurrent jobs (guide §2.6; bytes identical to sequential writes).
+    run_parallel(
+        lambda: (
+            assigned.withColumnRenamed("neighbor_id", id_col)
+            .withColumnRenamed("neighbor_vec", vec_col)
+            .withColumnRenamed("neighbor_norm", "vnorm")  # probe-time reuse
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(path)
+        ),
+        lambda: cents.write.mode("overwrite").parquet(path + "/_centroids"),
+        # seed sidecar (r12 advice): serve/append re-derive the two-level
+        # coarse model from this seed so it matches the build's routing
+        lambda: local_frame(
+            corpus.sparkSession, [(int(seed),)], "seed int"
+        ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta"),
     )
-    cents.write.mode("overwrite").parquet(path + "/_centroids")
-    # seed sidecar (r12 advice): serve/append re-derive the two-level
-    # coarse model from this seed so it matches the build's routing
-    corpus.sparkSession.createDataFrame(
-        [(int(seed),)], "seed int"
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
 
 
 def label_outliers(
@@ -1408,8 +1418,8 @@ def _inc_tags_listed(spark, inc_p: str) -> set[str]:
 
 
 def _folded_tags_frame(spark, tags: set[str]):
-    return spark.createDataFrame(
-        [(t,) for t in sorted(tags)], "tag string"
+    return local_frame(
+        spark, [(t,) for t in sorted(tags)], "tag string"
     ).coalesce(1)
 
 
@@ -2196,7 +2206,7 @@ def _pq_adc_rank(
     pinned fixture) the plan is byte-identical to pre-r13.
     Values are join-strategy- and partitioning-independent; every pin
     is unchanged."""
-    from ct_mapreduce_spark.operators.util import fan_out
+    from ct_mapreduce_spark.operators.util import fan_out, local_frame
 
     d = len(books[0][0])
     lut_cols = []
@@ -2335,12 +2345,15 @@ def pq_build_index(
         for j, book in enumerate(books)
         for c, vec in enumerate(book)
     ]
-    pq_encode(corpus, books, id_col, vec_col).select(
-        id_col, "codes"
-    ).write.mode("overwrite").parquet(path + "/codes")
-    spark.createDataFrame(
-        rows, "j int, code int, cvec array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/_codebooks")
+    # Codes table + codebook sidecar are disjoint sinks: concurrent jobs.
+    run_parallel(
+        lambda: pq_encode(corpus, books, id_col, vec_col).select(
+            id_col, "codes"
+        ).write.mode("overwrite").parquet(path + "/codes"),
+        lambda: local_frame(
+            spark, rows, "j int, code int, cvec array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(path + "/_codebooks"),
+    )
 
 
 # Model-sidecar memo (r10 verdict task 6): a serve call previously paid
@@ -2623,10 +2636,17 @@ def pq_ivf_build_index(
                 corpus, cent_rows, refine_iters, id_col, vec_col,
                 sample_mod=refine_sample_mod,
             )
-            cents = corpus.sparkSession.createDataFrame(
-                [(c["cell"], [float(x) for x in c["centroid"]]) for c in cent_rows],
-                "cell int, centroid array<double>",
-            )
+        # Sidecar (and residual join) read the COLLECTED rows (r14):
+        # writing the original `cents` subplan would re-run the centroid
+        # selection — a second corpus pass for a model-sized sidecar.
+        cents = local_frame(
+            corpus.sparkSession,
+            [
+                (int(c["cell"]), [float(x) for x in c["centroid"]])
+                for c in cent_rows
+            ],
+            "cell int, centroid array<double>",
+        )
         assigned = _assign_nearest(corpus, cent_rows, id_col, vec_col, "v").select(
             F.col("v_id").alias(id_col), F.col("v_vec").alias(vec_col), "cell"
         )
@@ -2641,29 +2661,33 @@ def pq_ivf_build_index(
     else:
         books = pq_codebooks(corpus, m_sub, n_codes, id_col, vec_col, seed)
         enc = pq_encode(assigned, books, id_col, vec_col, keep=("cell",))
-    (
-        enc.select(id_col, "codes", "cell")
-        .repartition(F.col("cell"))
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(path + "/codes")
-    )
     spark = corpus.sparkSession
-    cents.write.mode("overwrite").parquet(path + "/_centroids")
     book_rows = [
         (j, c, [float(x) for x in vec])
         for j, book in enumerate(books)
         for c, vec in enumerate(book)
     ]
-    spark.createDataFrame(
-        book_rows, "j int, code int, cvec array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/_codebooks")
-    # seed persisted beside the residual flag (r12 advice): serve and
-    # append read it back (_stored_seed) so their two-level coarse model
-    # always matches the one the stored assignments were routed through
-    spark.createDataFrame(
-        [(bool(residual), int(seed))], "residual boolean, seed int"
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+    # Four disjoint sinks (codes + three model sidecars), every input
+    # already derived driver-side: concurrent jobs, identical bytes.
+    run_parallel(
+        lambda: (
+            enc.select(id_col, "codes", "cell")
+            .repartition(F.col("cell"))
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(path + "/codes")
+        ),
+        lambda: cents.write.mode("overwrite").parquet(path + "/_centroids"),
+        lambda: local_frame(
+            spark, book_rows, "j int, code int, cvec array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(path + "/_codebooks"),
+        # seed persisted beside the residual flag (r12 advice): serve and
+        # append read it back (_stored_seed) so their two-level coarse
+        # model always matches the stored assignments' routing
+        lambda: local_frame(
+            spark, [(bool(residual), int(seed))], "residual boolean, seed int"
+        ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta"),
+    )
 
 
 def _pq_ivf_is_residual(spark, path: str) -> bool:
@@ -2948,7 +2972,7 @@ def pq_ivf_topk_indexed(
         # thresholded so the pinned 16-cell plans stay exchange-free
         probe_src = queries
         if stored_cells >= _PROBE_FANOUT_MIN_CELLS:
-            from ct_mapreduce_spark.operators.util import fan_out
+            from ct_mapreduce_spark.operators.util import fan_out, local_frame
 
             probe_src = fan_out(queries)
         joined = probe_src.crossJoin(F.broadcast(cents)).withColumn(

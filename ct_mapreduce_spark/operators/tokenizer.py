@@ -268,9 +268,11 @@ def token_counts(
 def save_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
     """Persist the merge table as one-file parquet (mrank, lhs, rhs) —
     the model artifact is merges-in-order; everything else derives."""
+    from ct_mapreduce_spark.operators.util import local_frame
+
     rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
-    spark.createDataFrame(
-        rows, "mrank BIGINT, lhs STRING, rhs STRING"
+    local_frame(
+        spark, rows, "mrank BIGINT, lhs STRING, rhs STRING"
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 

@@ -38,6 +38,62 @@ def estimate_scan_partitions(spark, total_bytes: int, n_files: int) -> int:
     return max(1, -(-padded // max_split))
 
 
+def run_parallel(*thunks) -> None:
+    """Run independent Spark actions as concurrent driver-submitted jobs
+    (guide §2.6: actions are only sequential because driver code calls
+    them sequentially). Used for multi-sink writes to DISJOINT
+    directories that share one materialized input — the later jobs'
+    tasks back-fill cores the earlier jobs' commit tails leave idle.
+    Errors propagate (first one raised) after all jobs settle, so a
+    failed sibling can't leave a write silently unchecked."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        errs = []
+        for f in futures:
+            try:
+                f.result()
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+    if errs:
+        raise errs[0]
+
+
+def local_frame(spark, rows, schema: str) -> DataFrame:
+    """Driver-local model frame (centroids, codebooks, offsets, sidecar
+    metadata) as a JVM LocalTableScan instead of a Python-RDD scan.
+
+    `spark.createDataFrame(<list of tuples>)` parallelizes PICKLED rows:
+    every job that executes the frame — a sidecar parquet write, a
+    broadcast build — must round-trip a Python worker just to unpickle a
+    handful of model rows (r14, measured: a 1-row _meta sidecar write
+    cost 8-10 s on a box with slow worker spawn, 0.26 s via this path —
+    the worker spawn is environment-dependent, the needless Python
+    round-trip is not). Routing the same rows through a pandas frame
+    converts driver-side via Arrow into a JVM-local relation; executors
+    never involve Python. Values are identical for the exact-typed rows
+    the engine passes (ints, floats, bools, strings, bytes, float
+    arrays); any conversion failure falls back to the classic path.
+    Timestamp-bearing rows should stay on the classic path (tz semantics
+    differ between the pickle and Arrow ingests)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    try:
+        names = T._parse_datatype_string(schema).fieldNames()
+        pdf = pd.DataFrame(
+            {
+                n: pd.Series([r[i] for r in rows], dtype="object")
+                for i, n in enumerate(names)
+            },
+            columns=names,
+        )
+        return spark.createDataFrame(pdf, schema)
+    except Exception:  # noqa: BLE001 — conversion is an optimization only
+        return spark.createDataFrame(rows, schema)
+
+
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Ensure CPU-dense per-row work is spread across the cluster.
 

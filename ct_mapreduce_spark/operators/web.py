@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ct_mapreduce_spark.operators.text import tokens
+from ct_mapreduce_spark.operators.util import local_frame
 
 _PSL_FILE = str(
     Path(__file__).resolve().parents[1] / "data" / "public_suffix_list.dat"
@@ -186,8 +187,8 @@ def add_registered_domain(
         rows = [(s, k, False) for s in normal.get(k, ())] + [
             (s, k - 1, True) for s in exception.get(k, ())
         ]
-        tbl = spark.createDataFrame(
-            rows, f"_rd_key{k} string, _rd_ps{k} int, _rd_exc{k} boolean"
+        tbl = local_frame(
+            spark, rows, f"_rd_key{k} string, _rd_ps{k} int, _rd_exc{k} boolean"
         )
         out = out.withColumn(f"_rd_cand{k}", _cand(k)).join(
             F.broadcast(tbl),
@@ -199,7 +200,8 @@ def add_registered_domain(
         ]
     wild_ks = sorted(wildcard, reverse=True)
     for k in wild_ks:
-        tbl = spark.createDataFrame(
+        tbl = local_frame(
+            spark,
             [(s, k) for s in wildcard[k]],
             f"_rd_wkey{k} string, _rd_wps{k} int",
         )
@@ -386,8 +388,8 @@ def filter_domains(
             ~F.col("_dom").isin(list(blocked))
         ).drop("_dom")
     spark = df.sparkSession
-    bl = spark.createDataFrame(
-        [(d,) for d in blocked], "domain string"
+    bl = local_frame(
+        spark, [(d,) for d in blocked], "domain string"
     )
     return (
         with_dom.join(

@@ -35,6 +35,7 @@ from ct_mapreduce_spark.functions.dates import exp_date_day, exp_date_hour
 from ct_mapreduce_spark.functions.urls import normalize_crl_dps
 from ct_mapreduce_spark.operators.dedup import first_seen
 from ct_mapreduce_spark.operators import dedup_fuzzy, multimodal, similarity, text
+from ct_mapreduce_spark.operators.util import local_frame
 from ct_mapreduce_spark.plans.golden_pins import values_sql as _pin
 from ct_mapreduce_spark.sources.tables import load_table
 
@@ -2463,7 +2464,8 @@ def j8_range_join(spark, sf_dir):
     from ct_mapreduce_spark.operators.joins import range_join
 
     li = _t(spark, sf_dir, "lineitem")
-    ranges = spark.createDataFrame(
+    ranges = local_frame(
+        spark,
         [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 100.0, "high")],
         "lo double, hi double, band string",
     )
@@ -5680,8 +5682,8 @@ def docs_bpe_vocab(spark, sf_dir):
     (naive per-round recount vs the engine's incremental statistics)."""
     merges = _bpe_merges(spark, sf_dir)
     rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
-    return spark.createDataFrame(
-        rows, "mrank BIGINT, lhs STRING, rhs STRING, merged STRING"
+    return local_frame(
+        spark, rows, "mrank BIGINT, lhs STRING, rhs STRING, merged STRING"
     )
 
 
@@ -5794,7 +5796,7 @@ def docs_ridge_fit(spark, sf_dir):
     rows = [("intercept", round_frac(fit["weights"]["intercept"]))]
     rows += [(f, round_frac(fit["weights"][f])) for f in _RIDGE_FEATURES]
     rows += [("__r2__", round_frac(fit["r2"])), ("__n__", float(fit["n"]))]
-    return spark.createDataFrame(rows, "term STRING, value DOUBLE")
+    return local_frame(spark, rows, "term STRING, value DOUBLE")
 
 
 @q("docs_ridge_scores", _pin("docs_ridge_scores"), "regression")
@@ -5836,7 +5838,8 @@ def docs_bpe_vocab_ids(spark, sf_dir):
     freq = word_frequencies(docs, top_v=8192)
     rows_f = [(r["word"], int(r["n"])) for r in freq.collect()]
     vocab = bpe_vocab(_bpe_merges(spark, sf_dir), alphabet_of(rows_f))
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         sorted((tid, tok) for tok, tid in vocab.items()),
         "token_id BIGINT, token STRING",
     )
