@@ -1263,16 +1263,20 @@ def ivf_build_index(
         )
         assigned = _assign_nearest(corpus, cent_rows, id_col, vec_col, "neighbor")
     # Three disjoint sinks, one already-derived input each: run as
-    # concurrent jobs (guide §2.6; bytes identical to sequential writes).
+    # The corpus overwrite targets `path` ITSELF, which clears the
+    # _centroids/_meta SUBdirectories — it cannot run concurrently with
+    # the sidecar writes (a parallel attempt raced the overwrite's
+    # delete phase against the sidecar committers). Corpus first, then
+    # the two disjoint sidecar sinks as concurrent jobs (guide §2.6).
+    (
+        assigned.withColumnRenamed("neighbor_id", id_col)
+        .withColumnRenamed("neighbor_vec", vec_col)
+        .withColumnRenamed("neighbor_norm", "vnorm")  # probe-time reuse
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
     run_parallel(
-        lambda: (
-            assigned.withColumnRenamed("neighbor_id", id_col)
-            .withColumnRenamed("neighbor_vec", vec_col)
-            .withColumnRenamed("neighbor_norm", "vnorm")  # probe-time reuse
-            .write.partitionBy("cell")
-            .mode("overwrite")
-            .parquet(path)
-        ),
         lambda: cents.write.mode("overwrite").parquet(path + "/_centroids"),
         # seed sidecar (r12 advice): serve/append re-derive the two-level
         # coarse model from this seed so it matches the build's routing
