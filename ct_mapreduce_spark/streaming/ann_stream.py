@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ct_mapreduce_spark.operators.similarity import _assign_nearest
+from ct_mapreduce_spark.operators.util import local_frame
 
 VECTORS_SCHEMA = "vec_id long, embedding array<float>"
 
@@ -175,8 +176,17 @@ def write_codes(
         if cent_rows is not None:
             # model-sized frame rebuilt on the batch's own session
             # (16-ish rows) — the broadcast side of _with_residual's
-            # cell join
-            cents = spark.createDataFrame(cent_rows)
+            # cell join. local_frame keeps it a JVM-local relation:
+            # a pickled Python-RDD scan here would round-trip a Python
+            # worker once per trigger (r14).
+            cents = local_frame(
+                spark,
+                [
+                    (int(r["cell"]), [float(x) for x in r["centroid"]])
+                    for r in cent_rows
+                ],
+                "cell int, centroid array<double>",
+            )
             assigned = _with_residual(assigned, cents, vec_col)
         else:
             # budget-dispatched path: the model stays a DataFrame and
