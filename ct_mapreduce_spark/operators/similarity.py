@@ -19,6 +19,7 @@ across engines and the single-pass accumulation order is fixed
 
 from __future__ import annotations
 
+import math
 import random
 from collections import OrderedDict
 
@@ -101,13 +102,37 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
 
 
+def _sql_double_array(vals) -> str | None:
+    """`array(<double literals>)` SQL fragment, or None when a value is
+    not finite (SQL double literals cannot spell inf/nan).
+
+    Model-sized literal trees (codebooks, centroids, hyperplanes, ADC
+    LUTs) built Column-by-Column cost one py4j round-trip PER CALL —
+    measured 2-5 s of pure driver time per model embed (r14). Rendering
+    the same literals as one SQL string and parsing it with F.expr is a
+    single round-trip (~ms) and bit-identical: Python's repr round-trips
+    every finite double and Catalyst parses it back with
+    Double.parseDouble."""
+    parts = []
+    for x in vals:
+        x = float(x)
+        if not math.isfinite(x):
+            return None
+        parts.append(repr(x) + "D")
+    return "array(%s)" % ", ".join(parts)
+
+
 def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
     """array<int> of sign bits, one per hyperplane — pure expression
     form (interpreted higher-order folds; fine for query-sized inputs,
     see signature_bits_udf for corpus-sized ones)."""
-    plane_arr = F.array(
-        *[F.array(*[F.lit(x) for x in p]) for p in planes]
-    )
+    arrs = [_sql_double_array(p) for p in planes]
+    if all(a is not None for a in arrs):
+        plane_arr = F.expr("array(%s)" % ", ".join(arrs))
+    else:  # non-finite plane value: builder-API form
+        plane_arr = F.array(
+            *[F.array(*[F.lit(x) for x in p]) for p in planes]
+        )
     return F.transform(
         plane_arr,
         lambda p: F.when(_dot(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0)),
@@ -410,7 +435,21 @@ def _centroid_literal(cent_rows) -> Column:
     centroid, norm) structs — the broadcast-as-expression form the narrow
     assignment uses. The norm is precomputed driver-side (bit-identical
     fold) so the per-row-per-cell interpreted work is one dot product,
-    not dot + two norm folds."""
+    not dot + two norm folds. Rendered as one SQL string
+    (_sql_double_array): the Column-by-Column form cost 1.8-3.2 s of
+    driver time per embed at the interpreted-tier shapes (r14)."""
+    rows = sorted(cent_rows, key=lambda r: r["cell"])
+    arrs = [_sql_double_array(r["centroid"]) for r in rows]
+    norms = [_py_fold_norm(r["centroid"]) for r in rows]
+    if all(a is not None for a in arrs) and all(
+        math.isfinite(n) for n in norms
+    ):
+        entries = ", ".join(
+            "named_struct('cell', %d, 'centroid', %s, 'norm', %s)"
+            % (int(r["cell"]), arr, repr(float(n)) + "D")
+            for r, arr, n in zip(rows, arrs, norms)
+        )
+        return F.expr("array(%s)" % entries)
     return F.array(
         *[
             F.struct(
@@ -418,9 +457,9 @@ def _centroid_literal(cent_rows) -> Column:
                 F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias(
                     "centroid"
                 ),
-                F.lit(_py_fold_norm(r["centroid"])).alias("norm"),
+                F.lit(n).alias("norm"),
             )
-            for r in sorted(cent_rows, key=lambda r: r["cell"])
+            for r, n in zip(rows, norms)
         ]
     )
 
@@ -2023,7 +2062,16 @@ def pq_codebooks(
 
 
 def _pq_book_literal(book: list[list[float]]) -> Column:
-    """One subspace's codebook as a literal array of (code, cvec) structs."""
+    """One subspace's codebook as a literal array of (code, cvec) structs
+    — one parsed SQL string per book (_sql_double_array), not one py4j
+    call per literal."""
+    arrs = [_sql_double_array(vec) for vec in book]
+    if all(a is not None for a in arrs):
+        entries = ", ".join(
+            "named_struct('code', %d, 'cvec', %s)" % (c, arr)
+            for c, arr in enumerate(arrs)
+        )
+        return F.expr("array(%s)" % entries)
     return F.array(
         *[
             F.struct(
@@ -2215,6 +2263,20 @@ def _pq_adc_rank(
     d = len(books[0][0])
     lut_cols = []
     for j, book in enumerate(books):
+        arrs = [_sql_double_array(vec) for vec in book]
+        if all(a is not None for a in arrs):
+            # one parsed SQL string per subspace: the Column-by-Column
+            # form below cost ~4 s of pure driver time per serve at the
+            # default 16x256 shape (r14, measured) — py4j round-trips,
+            # not Catalyst. Bit-identical expressions after parsing.
+            entries = ", ".join(
+                "aggregate(zip_with(slice(`%s`, %d, %d), %s, "
+                "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, "
+                "(acc, v) -> acc + v)" % (vec_col, j * d + 1, d, arr)
+                for arr in arrs
+            )
+            lut_cols.append(F.expr("array(%s)" % entries))
+            continue
         qsub = F.slice(F.col(vec_col), j * d + 1, d)
         lut_cols.append(
             F.array(

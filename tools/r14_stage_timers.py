@@ -99,21 +99,36 @@ def time_pqivf(spark) -> dict:
         t.mark("encode_write_codes")
         cents.write.mode("overwrite").parquet(path + "/_centroids")
         t.mark("write_centroids")
+        # sidecar writes exactly as the real builder does them (r14:
+        # a re-implementation with spark.createDataFrame(<list>) here
+        # measured the OLD pickled-relation path, 5-6 s each, that
+        # pq_ivf_build_index no longer takes)
+        from ct_mapreduce_spark.operators.util import local_frame
+
         rows = [
             (j, c, [float(x) for x in vec])
             for j, book in enumerate(books)
             for c, vec in enumerate(book)
         ]
-        spark.createDataFrame(
-            rows, "j int, code int, cvec array<double>"
+        local_frame(
+            spark, rows, "j int, code int, cvec array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(path + "/_codebooks")
         t.mark("write_codebooks")
-        spark.createDataFrame(
-            [(False, 42)], "residual boolean, seed int"
+        local_frame(
+            spark, [(False, 42)], "residual boolean, seed int"
         ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
         t.mark("write_meta")
+        # and the real builder end-to-end (its sinks run in parallel;
+        # the step walls above serialize them)
+        path2 = tempfile.mkdtemp(prefix="r14_pqivf_e2e_")
+        shutil.rmtree(path2, ignore_errors=True)
+        S.pq_ivf_build_index(
+            emb, path2, n_cells=16, m_sub=8, n_codes=16
+        )
+        t.mark("builder_e2e")
         n_files = sum(len(fs) for _, _, fs in os.walk(path))
         shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path2, ignore_errors=True)
         out = dict(t.walls, n_files=n_files)
     return out
 
