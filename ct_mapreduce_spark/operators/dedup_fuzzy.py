@@ -661,28 +661,23 @@ def minhash_lsh_pairs(
     banded = _banded_frame(sigs, num_hashes, bands).localCheckpoint(eager=True)
     star = None
     if max_bucket_width is not None:
-        # Hot-bucket capping, fully LAZY — no driver-blocking count() job.
-        # The hot list shrinks to one row per saturated (band, bucket)
-        # after map-side combine (tiny: adversarial corpora have a few
-        # mega-buckets, healthy ones none) and is broadcast to a semi/anti
-        # split; the rank window runs ONLY over rows inside saturated
-        # buckets (zero rows on a healthy corpus, so the healthy fast path
-        # pays one near-empty broadcast and an empty window — and the
-        # operator stays a single Spark job end-to-end). Seeded-hash order
-        # with doc_id tiebreak keeps truncation deterministic across
-        # retries and engines.
+        # Hot-bucket capping. The hot list shrinks to one row per
+        # saturated (band, bucket) after map-side combine (tiny:
+        # adversarial corpora have a few mega-buckets, healthy ones
+        # none) and is broadcast to a semi/anti split; the rank window
+        # runs ONLY over rows inside saturated buckets (zero rows on a
+        # healthy corpus). Seeded-hash order with doc_id tiebreak keeps
+        # truncation deterministic across retries and engines.
         hot = (
             banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") > max_bucket_width)
         )
         if template_bucket_frac is not None:
-            # Corpus size derived lazily from the banded frame itself
-            # (every doc appears exactly once per band — band 0's row
-            # count IS the doc count), attached on a constant key so the
-            # plan stays a broadcast hash join (no BNLJ/cartesian for the
-            # plan audit to flag). One near-empty 1-row aggregate on the
-            # checkpointed frame; no driver-blocking job.
+            # Corpus size derived from the banded frame itself (every
+            # doc appears exactly once per band — band 0's row count IS
+            # the doc count), attached on a constant key. One near-empty
+            # 1-row aggregate on the checkpointed frame.
             n_docs = (
                 banded.where(F.col("band") == 0)
                 .agg(F.count(F.lit(1)).alias("_total"))
@@ -705,7 +700,23 @@ def minhash_lsh_pairs(
             )
         else:
             hot = hot.withColumn("_cap", F.lit(max_bucket_width))
-        hot = hot.select("band", "bucket", "_cap")
+        # MATERIALIZED (r14): the caps frame has five consumer paths
+        # (hot_rows -> anchors/ranked -> capped_hot + star, plus the
+        # cold anti-join), and Spark replicates an un-materialized
+        # sub-plan into each — the executed plan carried the
+        # bucket-count aggregation + the 1-row corpus-count join EIGHT
+        # times with ReusedExchange 0, i.e. eight full re-reads of the
+        # checkpointed banded frame per build (measured r14; 26 banded
+        # scans / 40 HashAggregates in the static plan). One eager
+        # localCheckpoint of the few-row caps frame collapses those to
+        # a single execution; every consumer then broadcasts a
+        # materialized local relation. Values are unchanged (the cap
+        # rule is deterministic); this supersedes the r5 "fully lazy"
+        # posture, which predates the frac-aware cap's consumer fan-out
+        # (1 consumer then, 5 sub-plans/8 replicas now).
+        hot = hot.select("band", "bucket", "_cap").localCheckpoint(
+            eager=True
+        )
         w = Window.partitionBy("band", "bucket").orderBy(
             F.xxhash64("doc_id", F.lit(seed)), "doc_id"
         )

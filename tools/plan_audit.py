@@ -43,12 +43,24 @@ MAX_EXCHANGES = 4
 
 # (query, flag-kind) pairs that are understood and accepted, with why.
 ALLOWED: dict[tuple[str, str], str] = {
-    ("docs_minhash_lsh_dedup", "exchanges"): "the hot-bucket cap is fully "
-    "lazy (r5): its semi/anti split, rank window, and union sit in the "
-    "static plan unconditionally so no driver-blocking count() gates the "
-    "operator — on a healthy corpus those exchanges carry ~zero rows "
-    "(hot list empty), and removing the count() job measured ~0.5 s "
-    "faster at sf0.1 (BASELINE.md round-5 notes)",
+    ("docs_minhash_lsh_dedup", "exchanges"): "the hot-bucket cap's "
+    "semi/anti split, rank window, and union sit in the static plan "
+    "unconditionally so no driver-blocking count() gates the operator — "
+    "on a healthy corpus those exchanges carry ~zero rows (hot list "
+    "empty; r5 measured removing the count() job ~0.5 s faster at "
+    "sf0.1). Since r14 the few-row caps frame itself is materialized "
+    "once (it had replicated into 8 BNLJ consumers, 8 full re-reads of "
+    "the banded frame), so every consumer broadcasts a local relation",
+    ("docs_minhash_lsh_dedup", "bnlj~ckpt"): "the caps-frame build "
+    "(checkpoint-hidden since its r14 materialization) attaches the "
+    "ONE-row corpus-count aggregate to the few-row hot-bucket list on "
+    "a constant key — the same 1-row broadcast cross join adjudicated "
+    "for docs_tfidf_topterms (the no-driver-actions form of a scalar "
+    "parameter); it executes once per build over frames bounded by the "
+    "saturated-bucket count, never corpus-sized",
+    ("docs_minhash_keep", "bnlj~ckpt"): "docs_minhash_lsh_dedup's "
+    "caps-build 1-row corpus-count broadcast cross join, hidden behind "
+    "the same r14 caps materialization checkpoint",
     ("docs_minhash_keep", "exchanges"): "docs_minhash_lsh_dedup's "
     "adjudicated 7-exchange cap machinery plus two keep-list stages: "
     "the dropped-rep distinct (map-side-combined over the SPARSE "
