@@ -84,13 +84,23 @@ def bloom_literal(
     return dense
 
 
+def _sql_long_array(vals: list[int]) -> Column:
+    """The word array as ONE parsed SQL literal. `F.lit(<list>)` expands
+    to array(lit(v), ...) — one py4j round-trip per element, measured
+    1.8-2.2 s of pure driver time per serve for the default 2048-word
+    filter (r15; the similarity._sql_double_array disease, guide §5).
+    Long literals render exactly, so the parsed expression is
+    bit-identical to the Column form."""
+    return F.expr("array(%s)" % ",".join("%dL" % int(v) for v in vals))
+
+
 def might_contain(
     key: Column, words: list[int], m_bits: int, k_hashes: int
 ) -> Column:
     """Membership test against an inlined word array: k unrolled
     element_at + bitwiseAND checks (whole-stage codegen; no lambda, no
     join). False positives possible, false negatives not."""
-    arr = F.lit(words)
+    arr = _sql_long_array(words)
     checks = []
     for pos in _positions(key, m_bits, k_hashes):
         word = F.element_at(arr, ((pos / 64).cast("long") + 1).cast("int"))
