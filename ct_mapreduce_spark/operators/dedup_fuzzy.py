@@ -37,7 +37,11 @@ from pyspark.sql import types as T
 _LOG = logging.getLogger(__name__)
 
 from ct_mapreduce_spark.operators.text import gram_stream, shingles, tokens
-from ct_mapreduce_spark.operators.util import fan_out, run_parallel as _run_parallel
+from ct_mapreduce_spark.operators.util import (
+    append_v1,
+    fan_out,
+    run_parallel as _run_parallel,
+)
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup by content hash: canonical row = min doc_id (same
@@ -1029,13 +1033,17 @@ def minhash_index_append(
     )
     # pfx-clustered like the build: each append adds O(pfx values) files,
     # not tasks x 256 slivers. Same concurrent three-sink shape as the
-    # build (disjoint directories, shared checkpointed input).
+    # build (disjoint directories, shared checkpointed input). Appends
+    # run under committer v1 (util.append_v1): a failed v2 append would
+    # leave committed task files that the previous write's _SUCCESS
+    # already legitimizes.
     _run_parallel(
-        lambda: _cluster_writers(banded, "pfx")
-        .write.mode("append")
+        lambda: append_v1(
+            _cluster_writers(banded, "pfx").write.mode("append")
+        )
         .partitionBy("pfx")
         .parquet(path + "/banded"),
-        lambda: sigs.write.mode("append").parquet(path + "/sigs"),
+        lambda: append_v1(sigs.write.mode("append")).parquet(path + "/sigs"),
         lambda: _write_hash_store(sigs, path, mode="append"),
     )
 
@@ -1069,9 +1077,10 @@ def _write_hash_store(
     if batch_tag is not None:
         hashes = hashes.withColumn("ingest_batch", F.lit(batch_tag))
         part_cols = ["ingest_batch", "hpfx"]
-    _cluster_writers(hashes, "hpfx").write.mode(mode).partitionBy(
-        *part_cols
-    ).parquet(path + "/hashes")
+    w = _cluster_writers(hashes, "hpfx").write.mode(mode)
+    if mode == "append":
+        w = append_v1(w)  # see util.APPEND_COMMITTER_V1
+    w.partitionBy(*part_cols).parquet(path + "/hashes")
 
 
 def _try_read_parquet(spark, p: str):

@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
-from ct_mapreduce_spark.operators.util import fan_out, local_frame, run_parallel
+from ct_mapreduce_spark.operators.util import (
+    append_v1,
+    fan_out,
+    local_frame,
+    run_parallel,
+)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -858,7 +863,7 @@ def _assign_probes(
     repartition would be pure plan noise there); values are
     partitioning-independent either way."""
     if n_cells is not None and n_cells >= _PROBE_FANOUT_MIN_CELLS:
-        from ct_mapreduce_spark.operators.util import fan_out, local_frame
+        from ct_mapreduce_spark.operators.util import fan_out
 
         df = fan_out(df)
     joined = df.crossJoin(F.broadcast(cents)).withColumn(
@@ -1301,7 +1306,6 @@ def ivf_build_index(
             "cell int, centroid array<double>",
         )
         assigned = _assign_nearest(corpus, cent_rows, id_col, vec_col, "neighbor")
-    # Three disjoint sinks, one already-derived input each: run as
     # The corpus overwrite targets `path` ITSELF, which clears the
     # _centroids/_meta SUBdirectories — it cannot run concurrently with
     # the sidecar writes (a parallel attempt raced the overwrite's
@@ -1418,13 +1422,14 @@ def ivf_index_append(
         seed=_stored_seed(spark, path),
     )
     (
-        assigned.withColumnRenamed("neighbor_id", id_col)
-        .withColumnRenamed("neighbor_vec", vec_col)
-        .withColumnRenamed("neighbor_norm", "vnorm")
-        .repartition(F.col("cell"))
-        .write.partitionBy("cell")
-        .mode("append")
-        .parquet(path)
+        append_v1(
+            assigned.withColumnRenamed("neighbor_id", id_col)
+            .withColumnRenamed("neighbor_vec", vec_col)
+            .withColumnRenamed("neighbor_norm", "vnorm")
+            .repartition(F.col("cell"))
+            .write.partitionBy("cell")
+            .mode("append")
+        ).parquet(path)
     )
 
 
@@ -2516,9 +2521,12 @@ def pq_index_append(
     shifts; rebuild (pq_build_index) when ADC recall degrades."""
     spark = new_vectors.sparkSession
     books = _pq_read_books(spark, path)
-    pq_encode(new_vectors, books, id_col, vec_col).select(
-        id_col, "codes"
-    ).coalesce(4).write.mode("append").parquet(path + "/codes")
+    append_v1(
+        pq_encode(new_vectors, books, id_col, vec_col)
+        .select(id_col, "codes")
+        .coalesce(4)
+        .write.mode("append")
+    ).parquet(path + "/codes")
 
 
 def pq_index_compact(spark, path: str) -> tuple[int, int]:
@@ -2870,11 +2878,12 @@ def pq_ivf_index_append(
     else:
         enc = pq_encode(assigned, books, id_col, vec_col, keep=("cell",))
     (
-        enc.select(id_col, "codes", "cell")
-        .repartition(F.col("cell"))
-        .write.partitionBy("cell")
-        .mode("append")
-        .parquet(path + "/codes")
+        append_v1(
+            enc.select(id_col, "codes", "cell")
+            .repartition(F.col("cell"))
+            .write.partitionBy("cell")
+            .mode("append")
+        ).parquet(path + "/codes")
     )
 
 
@@ -3038,7 +3047,7 @@ def pq_ivf_topk_indexed(
         # thresholded so the pinned 16-cell plans stay exchange-free
         probe_src = queries
         if stored_cells >= _PROBE_FANOUT_MIN_CELLS:
-            from ct_mapreduce_spark.operators.util import fan_out, local_frame
+            from ct_mapreduce_spark.operators.util import fan_out
 
             probe_src = fan_out(queries)
         joined = probe_src.crossJoin(F.broadcast(cents)).withColumn(

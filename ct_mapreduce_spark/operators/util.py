@@ -60,6 +60,26 @@ def run_parallel(*thunks) -> None:
         raise errs[0]
 
 
+# Per-write override for APPEND-mode sinks: commit algorithm v1. The
+# session default is v2 (task outputs rename straight into the
+# destination at task commit — session.py), which is safe for the
+# overwrite/swap sinks because every gate there checks _SUCCESS or swaps
+# whole directories aside. A bare APPEND's destination already carries
+# the _SUCCESS of the previous successful write, so v2's committed task
+# files from a FAILED append would be silently read as store rows
+# (r14 ADVICE). v1 stages task output under _temporary (ignored by
+# parquet listing) until job commit, restoring ~all-or-nothing appends;
+# the driver-side merge cost returns only on these O(batch) appends,
+# never on the bulk overwrite sinks.
+APPEND_COMMITTER_V1 = ("mapreduce.fileoutputcommitter.algorithm.version", "1")
+
+
+def append_v1(writer):
+    """Apply the v1-committer option to a DataFrameWriter used in append
+    mode (see APPEND_COMMITTER_V1)."""
+    return writer.option(*APPEND_COMMITTER_V1)
+
+
 def local_frame(spark, rows, schema: str) -> DataFrame:
     """Driver-local model frame (centroids, codebooks, offsets, sidecar
     metadata) as a JVM LocalTableScan instead of a Python-RDD scan.
@@ -73,13 +93,28 @@ def local_frame(spark, rows, schema: str) -> DataFrame:
     round-trip is not). Routing the same rows through a pandas frame
     converts driver-side via Arrow into a JVM-local relation; executors
     never involve Python. Values are identical for the exact-typed rows
-    the engine passes (ints, floats, bools, strings, bytes, float
+    the engine passes (ints, finite floats, bools, strings, bytes, float
     arrays); any conversion failure falls back to the classic path.
-    Timestamp-bearing rows should stay on the classic path (tz semantics
-    differ between the pickle and Arrow ingests)."""
+    Two value classes stay on the classic path by detection, not luck:
+    timestamp-bearing rows (tz semantics differ between the pickle and
+    Arrow ingests) and rows carrying a float NaN anywhere (the Arrow
+    ingest's from_pandas semantics turn a top-level NaN cell into NULL,
+    while the pickle path preserves NaN — r14 ADVICE; the recursive scan
+    is O(model rows), never data)."""
+    import math
+
     import pandas as pd
     from pyspark.sql import types as T
 
+    def _has_nan(v) -> bool:
+        if isinstance(v, float):
+            return math.isnan(v)
+        if isinstance(v, (list, tuple)):
+            return any(_has_nan(x) for x in v)
+        return False
+
+    if any(_has_nan(v) for r in rows for v in r):
+        return spark.createDataFrame(rows, schema)
     try:
         names = T._parse_datatype_string(schema).fieldNames()
         pdf = pd.DataFrame(

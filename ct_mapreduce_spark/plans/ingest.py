@@ -138,7 +138,16 @@ def write_store(
         )
     except Exception:  # noqa: BLE001 — estimate is an optimization only
         est_bytes = None
-    if est_bytes is not None and est_bytes < par * _ADVISORY_PARTITION_BYTES:
+    # The dispatch trusts the optimizer's size estimate, which can
+    # UNDERestimate a genuinely large batch (post-filter/UDF stats) and
+    # send it down the explicit-repartition path where one hot
+    # (exp_date, issuer) pair serializes into one task — the regression
+    # the REBALANCE posture exists to avoid. Bias the threshold to HALF
+    # the width x advisory product so only batches the estimate places
+    # comfortably below cluster scale take the explicit path; an
+    # estimate miss then has to be 2x wrong before the posture flips
+    # (r14 ADVICE).
+    if est_bytes is not None and est_bytes < (par * _ADVISORY_PARTITION_BYTES) // 2:
         clustered = deduped.repartition(
             par, F.col("exp_date"), F.col("issuer_id")
         )

@@ -59,9 +59,13 @@ def get_spark(
         # ingest's (exp_date, issuer) tree) pay on every write. Measured
         # 2x on the flat sigs write locally; on HDFS-scale stores the
         # driver merge is the well-known job-commit bottleneck. Trade
-        # (documented): a failed job can leave committed task files behind
-        # — acceptable here because every store gate checks _SUCCESS or
-        # swaps whole directories aside (fsutil), never trusts bare files.
+        # (documented): a failed job can leave committed task files
+        # behind. That is acceptable ONLY for overwrite/swap sinks, whose
+        # gates check a fresh _SUCCESS or swap whole directories aside
+        # (fsutil); a bare APPEND's destination already carries the
+        # previous write's _SUCCESS, so append-mode writes override this
+        # back to v1 per write (operators/util.py:APPEND_COMMITTER_V1 —
+        # r15, closing the r14 ADVICE exposure).
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
     )

@@ -122,11 +122,14 @@ def append_new_to_store(
     fresh = fresh.localCheckpoint(eager=True)
     n = fresh.count()
     if n:
+        from ct_mapreduce_spark.operators.util import append_v1
+
         (
-            fresh.hint("rebalance", "exp_date", "issuer_id")
-            .write.partitionBy("exp_date", "issuer_id")
-            .mode("append")
-            .parquet(path)
+            append_v1(
+                fresh.hint("rebalance", "exp_date", "issuer_id")
+                .write.partitionBy("exp_date", "issuer_id")
+                .mode("append")
+            ).parquet(path)
         )
     return n, fresh
 

@@ -79,16 +79,22 @@ def start_ingest_query(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        from ct_mapreduce_spark.operators.util import append_v1
+
         (
-            batch_df.write.partitionBy("exp_date", "issuer_id")
-            .mode("append")
-            .parquet(store_path)
+            append_v1(
+                batch_df.write.partitionBy("exp_date", "issuer_id").mode(
+                    "append"
+                )
+            ).parquet(store_path)
         )
         if metadata_path is not None:
             meta = issuer_metadata(batch_df)
-            meta.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-                metadata_path
-            )
+            append_v1(
+                meta.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                )
+            ).parquet(metadata_path)
 
     return (
         deduped.writeStream.outputMode("append")

@@ -1820,6 +1820,48 @@ def test_fan_out_uses_scan_estimate_without_rdd(spark):
     assert big > spark.sparkContext.defaultParallelism
 
 
+def test_local_frame_preserves_nan(spark):
+    """A float NaN cell must survive local_frame as NaN, not NULL: the
+    Arrow ingest (from_pandas) nulls top-level NaN, so NaN-bearing rows
+    must detect and fall back to the classic pickle path (r14 ADVICE).
+    Finite rows keep the Arrow/LocalTableScan path."""
+    import math
+
+    from ct_mapreduce_spark.operators.util import local_frame
+
+    rows = [(1, float("nan"), [0.5, float("nan")]), (2, 1.5, [1.0, 2.0])]
+    got = {
+        r["i"]: r
+        for r in local_frame(
+            spark, rows, "i long, x double, v array<double>"
+        ).collect()
+    }
+    assert math.isnan(got[1]["x"]), "top-level NaN became NULL"
+    assert math.isnan(got[1]["v"][1]), "nested NaN became NULL"
+    assert got[2]["x"] == 1.5 and got[2]["v"] == [1.0, 2.0]
+    # finite-valued frames stay on the Arrow path (LocalTableScan)
+    fin = local_frame(spark, [(1, 2.0)], "i long, x double")
+    assert "LocalTableScan" in fin._jdf.queryExecution().executedPlan().toString()
+
+
+def test_append_writes_use_v1_committer(spark, tmp_path):
+    """Append-mode store writes run under commit algorithm v1 (staged
+    _temporary output) even though the session default is v2 — a failed
+    v2 append leaves committed task files the previous write's _SUCCESS
+    legitimizes (r14 ADVICE). Probe: the option plumbing must reach the
+    Hadoop conf of the write job (an invalid version raises)."""
+    from ct_mapreduce_spark.operators.util import append_v1
+
+    df = spark.range(5)
+    p = str(tmp_path / "s")
+    append_v1(df.write.mode("append")).parquet(p)
+    assert spark.read.parquet(p).count() == 5
+    with pytest.raises(Exception, match="1 or 2 algorithm version"):
+        df.write.mode("append").option(
+            "mapreduce.fileoutputcommitter.algorithm.version", "999"
+        ).parquet(p)
+
+
 def test_bloom_filter_no_false_negatives_and_low_fp(spark):
     """Every known key passes the bloom; unknown-key false positives stay
     near the designed rate (m=2^17 bits, k=5, 1000 keys -> fpp << 1%)."""
