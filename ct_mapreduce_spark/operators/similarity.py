@@ -2301,12 +2301,14 @@ def _pq_adc_rank(
         )
     # one narrow count of the QUERY BATCH (user-sized, not the store)
     # decides both the LUT-build partitioning and the join transport.
-    # The batch is materialized FIRST so its lineage executes exactly
-    # once: the count, the LUT projection, and the re-rank's qvec read
-    # all hit the checkpointed blocks instead of re-running whatever
-    # produced the batch (an expensive upstream for real callers; for
-    # tiny pinned fixtures the checkpoint costs what the count did).
-    queries = queries.localCheckpoint(eager=True)
+    # The batch is materialized so its lineage executes exactly once:
+    # the count, the LUT projection, and the re-rank's qvec read all hit
+    # the checkpointed blocks instead of re-running whatever produced
+    # the batch. LAZY checkpoint + count (r15, guide §5): the count is
+    # the materializing action, so one job both persists the blocks and
+    # returns the size — the eager form paid a second block-scan job per
+    # serve for the same answer.
+    queries = queries.localCheckpoint(eager=False)
     n_queries = queries.count()
     lut_folds = len(books) * len(books[0])
     qsrc = queries

@@ -217,9 +217,12 @@ def curate_crawl(
             txt.alias("text"),
         )
         .where(F.length("text") > 0)
-        .localCheckpoint(eager=True)
+        # lazy checkpoint + count (r15, guide §5): the count is the
+        # materializing action — one job persists the blocks AND returns
+        # the size; the eager form paid a second block-scan job.
+        .localCheckpoint(eager=False)
     )
-    n_extracted = docs.count()  # block scan, no recomputation
+    n_extracted = docs.count()  # materializes the checkpoint
     _mark("extract")
 
     n_after_blocklist = None
@@ -231,9 +234,9 @@ def curate_crawl(
         from ct_mapreduce_spark.operators.web import filter_domains
 
         docs = filter_domains(docs, list(domain_blocklist)).localCheckpoint(
-            eager=True
+            eager=False
         )
-        n_after_blocklist = docs.count()
+        n_after_blocklist = docs.count()  # materializes the checkpoint
         _mark("blocklist")
 
     n_boiler_tokens = None
@@ -270,9 +273,9 @@ def curate_crawl(
     good = (
         docs.where(text.quality_expr("text") >= quality_min)
         .select("doc_id", "text")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    n_good = good.count()
+    n_good = good.count()  # materializes the checkpoint
     _mark("quality")
 
     n_lm = None
@@ -333,8 +336,8 @@ def curate_crawl(
         passing = scores.where(F.col("xent_micro") <= int(lm_max_xent))
         good = good.join(
             passing.select("doc_id"), "doc_id", "left_semi"
-        ).localCheckpoint(eager=True)
-        n_lm = good.count()
+        ).localCheckpoint(eager=False)
+        n_lm = good.count()  # materializes the checkpoint
         _mark("lm_gate")
 
     n_decontam = None
@@ -397,8 +400,8 @@ def curate_crawl(
         ).where(F.col("n_hits") > int(decontam_max_hits))
         good = good.join(
             F.broadcast(hits.select("doc_id")), "doc_id", "left_anti"
-        ).localCheckpoint(eager=True)
-        n_decontam = good.count()
+        ).localCheckpoint(eager=False)
+        n_decontam = good.count()  # materializes the checkpoint
         _mark("decontam")
 
     # Dedup sub-stage walls (r13, the x100 rung's standing follow-up:
@@ -493,9 +496,9 @@ def curate_crawl(
     balanced = (
         sampling.mixture_rebalance(kept.join(langs, "doc_id"), "lang", "doc_id")
         .select("doc_id", "text", "lang")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    n_balanced = balanced.count()
+    n_balanced = balanced.count()  # materializes the checkpoint
     _mark("mixture")
 
     count_col = None
@@ -562,15 +565,17 @@ def curate_crawl(
                 "doc_id", ntok.cast("long").alias("_budget_tokens")
             )
             .join(scored.select("doc_id", "dsir_score_micro"), "doc_id")
-            .localCheckpoint(eager=True)
+            # lazy: the prefix sum's first bounded driver action is the
+            # materializer — folds the checkpoint job into it (r15)
+            .localCheckpoint(eager=False)
         )
         picked = select_token_budget(
             frame,
             int(token_budget),
             "dsir_score_micro",
             count_col="_budget_tokens",
-        ).localCheckpoint(eager=True)
-        n_selected = picked.count()
+        ).localCheckpoint(eager=False)
+        n_selected = picked.count()  # materializes the checkpoint
         budget_spent = int(
             picked.agg(F.max("cum_tokens")).collect()[0][0] or 0
         )
@@ -588,8 +593,9 @@ def curate_crawl(
         # stage kept. Checkpointed: the redaction-count agg, the pack,
         # the manifest and the export all read the redacted frame.
         balanced = text.redact_pii_text(balanced).localCheckpoint(
-            eager=True
+            eager=False
         )
+        # the agg is the materializing action (lazy checkpoint, r15)
         n_pii = int(balanced.agg(F.sum("n_pii")).collect()[0][0] or 0)
         balanced = balanced.drop("n_pii")
         _mark("pii")

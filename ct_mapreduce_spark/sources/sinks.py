@@ -118,8 +118,10 @@ def append_new_to_store(
     )
     # localCheckpoint: the append below writes INTO a path the anti-join
     # reads; materialize first so the plan never scans a directory that
-    # is being appended to.
-    fresh = fresh.localCheckpoint(eager=True)
+    # is being appended to. Lazy + count (r15, guide §5): the count is
+    # the materializing action — still strictly before the append write,
+    # one job instead of two.
+    fresh = fresh.localCheckpoint(eager=False)
     n = fresh.count()
     if n:
         from ct_mapreduce_spark.operators.util import append_v1
