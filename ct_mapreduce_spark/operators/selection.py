@@ -333,6 +333,79 @@ def select_token_budget_per_stratum(
     ).select(id_col, stratum_col, score_col, "n_tokens", "cum_tokens")
 
 
+def dsir_scored_flagged(
+    docs: DataFrame,
+    is_target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    with_tokens: bool = False,
+) -> DataFrame:
+    """dsir_weights_flagged + dsir_score composed, with the caller's
+    token-count pass FUSED into the scoring aggregation: `with_tokens`
+    carries size(tokens(text)) per row into the score groupBy (a
+    first() over the per-doc group), so the (id, score, n_tokens)
+    token-budget frame costs two gram passes and NO third text scan or
+    doc_id join (r15, guide §1.2).
+
+    A full one-explosion fusion through a per-(doc, bucket) rollup was
+    measured and REJECTED (r15 A/B, 3 interleaved rounds: 7.09 vs
+    3.14 s at sf0.1): the rollup's high-cardinality partial aggregation
+    plus its materialization cost more than the saved gram scan at any
+    local scale — the classic guide §1.1 "ideal plan" gotcha. The
+    two-pass form keeps both aggregations map-side-combinable to
+    model-sized (weights) / one-row-per-doc (scores) shuffles.
+
+    The token count is projected from a PRE-SPLIT token array below the
+    generator (text.gram_stream_from_tokens): referencing
+    size(tokens(text)) next to the explode lands the split in the
+    post-Generate projection — re-tokenizing the document once per gram
+    row, measured 3x on this pipeline (r15).
+
+    Integer-identical to the separate calls (tier-equality pytest).
+    Returns ({id_col}, dsir_score_micro, n_grams[, n_tokens])."""
+    from ct_mapreduce_spark.operators.text import gram_stream_from_tokens
+
+    weights = dsir_weights_flagged(docs, is_target, text_col, n_buckets)
+    tk = docs.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    grams = F.concat(
+        F.array_remove(F.col("_tk"), ""),
+        gram_stream_from_tokens(F.col("_tk"), 2),
+    )
+    ntok_cols = (
+        [F.size("_tk").cast("long").alias("_ntok")] if with_tokens else []
+    )
+    g = tk.select(
+        F.col(id_col),
+        *ntok_cols,
+        F.explode_outer(grams).alias("_g"),
+    ).select(
+        id_col,
+        *(["_ntok"] if with_tokens else []),
+        gram_bucket(F.col("_g"), n_buckets).alias("bucket"),
+    )
+    out_extra = (
+        [F.first("_ntok").cast("long").alias("n_tokens")]
+        if with_tokens
+        else []
+    )
+    return (
+        g.join(
+            F.broadcast(weights.select("bucket", "weight_micro")),
+            "bucket",
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(F.sum("weight_micro"), F.lit(0))
+            .cast("long")
+            .alias("dsir_score_micro"),
+            F.count("bucket").cast("long").alias("n_grams"),
+            *out_extra,
+        )
+    )
+
+
 def dsir_weights_flagged(
     docs: DataFrame,
     is_target,

@@ -6009,24 +6009,21 @@ def docs_token_budget(spark, sf_dir):
     ordinary window cumsum; the engine computes the SAME integer result
     via the packing module's two-phase distributed prefix sum over the
     negated-score order key — no global single-partition window. The
-    narrow (id, score, n_tokens) frame is localCheckpointed so the
-    scoring pipeline runs once, not once per bounded driver action."""
+    whole (id, score, n_tokens) frame derives from ONE gram pass
+    (selection.dsir_scored_flagged, r15 — weights, scores and token
+    counts shared a compact per-(doc, bucket) rollup instead of three
+    corpus text scans) and is lazily localCheckpointed so the prefix
+    sum's first bounded driver action materializes it once."""
     from ct_mapreduce_spark.operators.selection import (
-        dsir_score,
-        dsir_weights_flagged,
+        dsir_scored_flagged,
         select_token_budget,
     )
-    from ct_mapreduce_spark.operators.text import tokens
 
     d = _t(spark, sf_dir, "documents")
-    w = dsir_weights_flagged(d, F.col("lang") == "en", n_buckets=256)
-    scored = dsir_score(d, w, n_buckets=256)
-    frame = (
-        d.select(
-            "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
-        )
-        .join(scored.select("doc_id", "dsir_score_micro"), "doc_id")
-        .localCheckpoint()
+    frame = dsir_scored_flagged(
+        d, F.col("lang") == "en", n_buckets=256, with_tokens=True
+    ).select("doc_id", "dsir_score_micro", "n_tokens").localCheckpoint(
+        eager=False
     )
     return select_token_budget(
         frame, 8000, "dsir_score_micro", count_col="n_tokens"

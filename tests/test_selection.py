@@ -234,6 +234,37 @@ def test_flagged_weights_match_two_frame_form(spark, docs):
     )
 
 
+def test_scored_flagged_matches_separate_calls(spark, docs):
+    """dsir_scored_flagged (one gram pass, r15) must be bit-identical to
+    dsir_weights_flagged + dsir_score composed, including n_grams and
+    the with_tokens token counts (the token-budget frame)."""
+    from ct_mapreduce_spark.operators.selection import (
+        dsir_scored_flagged,
+        dsir_weights_flagged,
+    )
+    from ct_mapreduce_spark.operators.text import tokens as _tokens
+
+    pred = F.col("lang") == "en"
+    w = dsir_weights_flagged(docs, pred, n_buckets=N_BUCKETS)
+    sep = {
+        r["doc_id"]: (r["dsir_score_micro"], r["n_grams"])
+        for r in dsir_score(docs, w, n_buckets=N_BUCKETS).collect()
+    }
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(_tokens("text")).cast("long").alias("n")
+        ).collect()
+    }
+    fused = dsir_scored_flagged(
+        docs, pred, n_buckets=N_BUCKETS, with_tokens=True
+    ).collect()
+    assert len(fused) == len(sep)
+    for r in fused:
+        assert (r["dsir_score_micro"], r["n_grams"]) == sep[r["doc_id"]]
+        assert r["n_tokens"] == toks[r["doc_id"]]
+
+
 def test_token_budget_bounded_job_structure(spark):
     """The DSIR selection pipeline's driver-action structure is bounded
     and the scoring pipeline runs ONCE (localCheckpointed): the final
