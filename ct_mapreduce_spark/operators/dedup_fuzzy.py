@@ -664,6 +664,7 @@ def minhash_lsh_pairs(
     # per consumer.
     banded = _banded_frame(sigs, num_hashes, bands).localCheckpoint(eager=True)
     star = None
+    capped = None
     if max_bucket_width is not None:
         # Hot-bucket capping. The hot list shrinks to one row per
         # saturated (band, bucket) after map-side combine (tiny:
@@ -704,67 +705,118 @@ def minhash_lsh_pairs(
             )
         else:
             hot = hot.withColumn("_cap", F.lit(max_bucket_width))
-        # MATERIALIZED (r14): the caps frame has five consumer paths
-        # (hot_rows -> anchors/ranked -> capped_hot + star, plus the
-        # cold anti-join), and Spark replicates an un-materialized
-        # sub-plan into each — the executed plan carried the
-        # bucket-count aggregation + the 1-row corpus-count join EIGHT
-        # times with ReusedExchange 0, i.e. eight full re-reads of the
-        # checkpointed banded frame per build (measured r14; 26 banded
-        # scans / 40 HashAggregates in the static plan). One eager
-        # localCheckpoint of the few-row caps frame collapses those to
-        # a single execution; every consumer then broadcasts a
-        # materialized local relation. Values are unchanged (the cap
-        # rule is deterministic); this supersedes the r5 "fully lazy"
-        # posture, which predates the frac-aware cap's consumer fan-out
-        # (1 consumer then, 5 sub-plans/8 replicas now).
+        # MATERIALIZED (r14) and LAZY + count (r15): the caps frame has
+        # multiple consumer paths, and Spark replicates an
+        # un-materialized sub-plan into each (measured r14: the
+        # bucket-count aggregation + 1-row corpus-count join appeared
+        # EIGHT times with ReusedExchange 0 = eight full re-reads of the
+        # checkpointed banded frame per build). The count below is the
+        # materializing action (guide §5: one job persists the blocks
+        # AND returns the size) and ALSO the driver-side branch: a
+        # healthy corpus has ZERO saturated buckets, and knowing that at
+        # plan-build time lets the whole window/anti-join cap machinery
+        # be omitted from the plan instead of executed over empty
+        # inputs. Values are unchanged either way — with no hot buckets,
+        # cold == banded and capped_hot/star are provably empty.
         hot = hot.select("band", "bucket", "_cap").localCheckpoint(
-            eager=True
+            eager=False
         )
-        w = Window.partitionBy("band", "bucket").orderBy(
-            F.xxhash64("doc_id", F.lit(seed)), "doc_id"
+        n_hot = hot.count()  # materializes the caps frame
+        if n_hot == 0:
+            capped = banded
+        else:
+            w = Window.partitionBy("band", "bucket").orderBy(
+                F.xxhash64("doc_id", F.lit(seed)), "doc_id"
+            )
+            hot_rows = banded.join(F.broadcast(hot), ["band", "bucket"])
+            # Min-id anchor per saturated bucket: map-side-combined min,
+            # one row per hot bucket (tiny, broadcast back).
+            anchors = hot_rows.groupBy("band", "bucket").agg(
+                F.min("doc_id").alias("_anchor")
+            )
+            # Materialized (r15): two consumers (the retained slice into
+            # the bucket-cells aggregation, the star) would otherwise
+            # each pay the hot-row window sort + the anchors aggregation
+            # — on the adversarial corpora this branch exists for, the
+            # mega-bucket window sort is the dominant term.
+            ranked = (
+                hot_rows.withColumn("_rn", F.row_number().over(w))
+                .join(F.broadcast(anchors), ["band", "bucket"])
+                .localCheckpoint(eager=True)
+            )
+            capped_hot = ranked.where(
+                (F.col("_rn") <= F.col("_cap"))
+                | (F.col("doc_id") == F.col("_anchor"))
+            ).select("doc_id", "band", "bucket")
+            # Spanning star: each truncated member pairs once with the
+            # bucket's min-id anchor (anchor < member always, so the
+            # pair is already (doc_a < doc_b) oriented). O(bucket width)
+            # rows, and disjoint per bucket from the retained all-pairs
+            # (star members are exactly the non-retained ones), so the
+            # band count below never double-counts a cell.
+            star = ranked.where(
+                (F.col("_rn") > F.col("_cap"))
+                & (F.col("doc_id") != F.col("_anchor"))
+            ).select(
+                F.col("_anchor").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+            )
+            cold = banded.join(
+                F.broadcast(hot.select("band", "bucket")),
+                ["band", "bucket"],
+                "left_anti",
+            )
+            capped = cold.unionByName(capped_hot)
+    if capped is not None:
+        # Capping bounds every bucket at max_bucket_width (+1 anchor), so
+        # per-bucket member ARRAYS are memory-safe by construction and
+        # pairing needs ONE exchange: groupBy (band, bucket) -> sorted
+        # doc_id array -> explode the i<j combinations in codegen. The
+        # former self-join shape shuffled the full banded table TWICE
+        # (both sort-merge sides) and re-computed the cap lineage per
+        # side (guide §2.4); values are identical — within a cell the
+        # doc_ids are distinct, so sorted i<j enumerates exactly the
+        # (doc_a < doc_b) pairs the join emitted.
+        members = F.col("_members")
+        pair_cells = (
+            capped.groupBy("band", "bucket")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("_members"))
+            .where(F.size(members) >= 2)
+            .select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            members,
+                            lambda x, i: F.transform(
+                                F.slice(
+                                    members,
+                                    i + F.lit(2),
+                                    F.size(members) - i - F.lit(1),
+                                ),
+                                lambda y: F.struct(
+                                    x.alias("doc_a"), y.alias("doc_b")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("_p")
+            )
+            .select("_p.doc_a", "_p.doc_b")
         )
-        hot_rows = banded.join(F.broadcast(hot), ["band", "bucket"])
-        # Min-id anchor per saturated bucket: map-side-combined min, one
-        # row per hot bucket (tiny, broadcast back).
-        anchors = hot_rows.groupBy("band", "bucket").agg(
-            F.min("doc_id").alias("_anchor")
-        )
-        ranked = hot_rows.withColumn("_rn", F.row_number().over(w)).join(
-            F.broadcast(anchors), ["band", "bucket"]
-        )
-        capped_hot = ranked.where(
-            (F.col("_rn") <= F.col("_cap"))
-            | (F.col("doc_id") == F.col("_anchor"))
-        ).select("doc_id", "band", "bucket")
-        # Spanning star: each truncated member pairs once with the
-        # bucket's min-id anchor (anchor < member always, so the pair is
-        # already (doc_a < doc_b) oriented). O(bucket width) rows, and
-        # disjoint per bucket from the retained all-pairs (star members
-        # are exactly the non-retained ones), so the band count below
-        # never double-counts a cell.
-        star = ranked.where(
-            (F.col("_rn") > F.col("_cap"))
-            & (F.col("doc_id") != F.col("_anchor"))
+    else:
+        # Uncapped (max_bucket_width=None): bucket width is unbounded, so
+        # per-bucket arrays could OOM a task — keep the sort-merge
+        # self-join, which sorts and spills gracefully.
+        a = banded.alias("a")
+        b = banded.alias("b")
+        pair_cells = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         ).select(
-            F.col("_anchor").alias("doc_a"), F.col("doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        cold = banded.join(
-            F.broadcast(hot.select("band", "bucket")),
-            ["band", "bucket"],
-            "left_anti",
-        )
-        banded = cold.unionByName(capped_hot)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pair_cells = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-    )
     if star is not None:
         pair_cells = pair_cells.unionByName(star)
     cand = pair_cells.groupBy("doc_a", "doc_b").agg(
