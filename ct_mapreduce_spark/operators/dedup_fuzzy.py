@@ -650,81 +650,94 @@ def minhash_lsh_pairs(
         # exact-tier hash columns pruned BEFORE the checkpoint: this
         # operator never reads them, and the select lets Catalyst elide
         # their md5/concat expressions entirely (serve paths that do
-        # need them pass a full `sigs` frame in)
+        # need them pass a full `sigs` frame in). LAZY when capping is
+        # on: the saturation-detection job below contains this frame
+        # exactly once, so its first action runs the Python signature
+        # pass once and persists the blocks — one fewer job than an
+        # eager materialize (guide §5); the uncapped path keeps the
+        # eager form (its first consumer is the self-join, whose two
+        # sides would race-materialize the Python stage).
         sigs = minhash_signatures(
             fan_out(docs), text_col, k, num_hashes, seed
         ).select("doc_id", "minhash")
-        sigs = sigs.localCheckpoint(eager=True)
+        sigs = sigs.localCheckpoint(eager=(max_bucket_width is None))
     # Thin banded frame: (doc_id, band, bucket) only. Carrying the 64-slot
     # signature array through the explode/self-join would multiply shuffle
     # bytes by ~10x; est_jaccard is attached at the end by joining the few
     # surviving candidate pairs back to the compact signature frame.
-    # Checkpointed: five consumers read it (hot agg, semi, anti, both
-    # self-join sides) — measured faster than re-deriving the explode+sha1
-    # per consumer.
-    banded = _banded_frame(sigs, num_hashes, bands).localCheckpoint(eager=True)
+    # Checkpointed (consumers re-read blocks instead of re-deriving the
+    # explode+sha1 — measured r5) and LAZY when capping is on, for the
+    # same single-appearance fusion as `sigs` above.
+    banded = _banded_frame(sigs, num_hashes, bands).localCheckpoint(
+        eager=(max_bucket_width is None)
+    )
     star = None
     capped = None
     if max_bucket_width is not None:
-        # Hot-bucket capping. The hot list shrinks to one row per
-        # saturated (band, bucket) after map-side combine (tiny:
-        # adversarial corpora have a few mega-buckets, healthy ones
-        # none) and is broadcast to a semi/anti split; the rank window
-        # runs ONLY over rows inside saturated buckets (zero rows on a
-        # healthy corpus). Seeded-hash order with doc_id tiebreak keeps
-        # truncation deterministic across retries and engines.
-        hot = (
+        # Hot-bucket DETECTION, fused with materialization (r15): the
+        # count below is one job whose lineage holds sigs and banded
+        # exactly once each — it runs the signature pass, persists the
+        # sigs/banded/wide blocks, AND answers the driver-side branch.
+        # A healthy corpus has ZERO saturated buckets, and knowing that
+        # at plan-build time lets the whole window/anti-join cap
+        # machinery be omitted from the plan instead of executed over
+        # empty inputs (measured r14: the un-branched plan carried the
+        # machinery EIGHT times with ReusedExchange 0). Values are
+        # unchanged either way — with no hot buckets, cold == banded
+        # and capped_hot/star are provably empty. The detection list
+        # shrinks to one row per saturated (band, bucket) after
+        # map-side combine (tiny: adversarial corpora have a few
+        # mega-buckets, healthy ones none).
+        wide = (
             banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") > max_bucket_width)
+            .localCheckpoint(eager=False)
         )
-        if template_bucket_frac is not None:
-            # Corpus size derived from the banded frame itself (every
-            # doc appears exactly once per band — band 0's row count IS
-            # the doc count), attached on a constant key. One near-empty
-            # 1-row aggregate on the checkpointed frame.
-            n_docs = (
-                banded.where(F.col("band") == 0)
-                .agg(F.count(F.lit(1)).alias("_total"))
-                .withColumn("_k", F.lit(1))
-            )
-            hot = (
-                hot.withColumn("_k", F.lit(1))
-                .join(F.broadcast(n_docs), "_k")
-                .withColumn(
-                    "_cap",
-                    F.when(
-                        F.col("_n")
-                        > F.greatest(
-                            F.lit(max_bucket_width),
-                            F.lit(float(template_bucket_frac)) * F.col("_total"),
-                        ),
-                        F.lit(min(template_bucket_width, max_bucket_width)),
-                    ).otherwise(F.lit(max_bucket_width)),
-                )
-            )
-        else:
-            hot = hot.withColumn("_cap", F.lit(max_bucket_width))
-        # MATERIALIZED (r14) and LAZY + count (r15): the caps frame has
-        # multiple consumer paths, and Spark replicates an
-        # un-materialized sub-plan into each (measured r14: the
-        # bucket-count aggregation + 1-row corpus-count join appeared
-        # EIGHT times with ReusedExchange 0 = eight full re-reads of the
-        # checkpointed banded frame per build). The count below is the
-        # materializing action (guide §5: one job persists the blocks
-        # AND returns the size) and ALSO the driver-side branch: a
-        # healthy corpus has ZERO saturated buckets, and knowing that at
-        # plan-build time lets the whole window/anti-join cap machinery
-        # be omitted from the plan instead of executed over empty
-        # inputs. Values are unchanged either way — with no hot buckets,
-        # cold == banded and capped_hot/star are provably empty.
-        hot = hot.select("band", "bucket", "_cap").localCheckpoint(
-            eager=False
-        )
-        n_hot = hot.count()  # materializes the caps frame
+        n_hot = wide.count()  # materializes sigs + banded + wide
         if n_hot == 0:
             capped = banded
         else:
+            # Adversarial corpus only: derive per-bucket caps from the
+            # materialized detection frame (banded blocks exist now, so
+            # the corpus-count side is a block read, not a re-compute).
+            # Seeded-hash rank order with doc_id tiebreak keeps
+            # truncation deterministic across retries and engines.
+            if template_bucket_frac is not None:
+                # Corpus size derived from the banded frame itself
+                # (every doc appears exactly once per band — band 0's
+                # row count IS the doc count), attached on a constant
+                # key. One near-empty 1-row aggregate over blocks.
+                n_docs = (
+                    banded.where(F.col("band") == 0)
+                    .agg(F.count(F.lit(1)).alias("_total"))
+                    .withColumn("_k", F.lit(1))
+                )
+                hot = (
+                    wide.withColumn("_k", F.lit(1))
+                    .join(F.broadcast(n_docs), "_k")
+                    .withColumn(
+                        "_cap",
+                        F.when(
+                            F.col("_n")
+                            > F.greatest(
+                                F.lit(max_bucket_width),
+                                F.lit(float(template_bucket_frac))
+                                * F.col("_total"),
+                            ),
+                            F.lit(
+                                min(template_bucket_width, max_bucket_width)
+                            ),
+                        ).otherwise(F.lit(max_bucket_width)),
+                    )
+                )
+            else:
+                hot = wide.withColumn("_cap", F.lit(max_bucket_width))
+            # Materialized (r14): multiple broadcast consumers below
+            # would each replicate the caps sub-plan otherwise.
+            hot = hot.select("band", "bucket", "_cap").localCheckpoint(
+                eager=True
+            )
             w = Window.partitionBy("band", "bucket").orderBy(
                 F.xxhash64("doc_id", F.lit(seed)), "doc_id"
             )
@@ -918,7 +931,12 @@ def minhash_dedup_keep(
     rep_sigs = (
         sigs.join(reps, ["sig_hash", "doc_id"], "left_semi")
         .select("doc_id", "minhash")
-        .localCheckpoint(eager=True)  # consumers: banded frame x2, est join x2
+        # LAZY (r15): the pairs operator's saturation-detection count is
+        # the first action and holds this frame exactly once — it
+        # materializes the blocks in the same job; the est joins and the
+        # final keep anti-join then read blocks (one fewer job than the
+        # old eager materialize).
+        .localCheckpoint(eager=False)
     )
     pairs = minhash_lsh_pairs(
         docs,
