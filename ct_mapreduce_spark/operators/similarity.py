@@ -719,14 +719,25 @@ def ivf_topk(
 
 
 # Interpreted-fold budget for nearest-cell assignment: below this
-# n_cells x dim product the literal-argmin form (bit-exact verification
-# tier, where all golden pins live) wins — above it the per-row
-# interpreted cost grows linearly with n_cells and the Arrow matmul tier
-# takes over. 16 cells x 64 dims = 1024 stays comfortably interpreted.
-# UNIT: cells x dims (a matrix-element count) — numerically equal to
-# _DRIVER_MODEL_CELL_BUDGET (cells) by coincidence only; tuning one must
-# not move the other.
-_ASSIGN_INTERPRETED_BUDGET = 4096  # cells * dims
+# n_cells x dim product the literal-argmin form (the bit-exact
+# verification tier) wins — above it the per-row interpreted cost grows
+# linearly with n_cells and the Arrow matmul tier takes over. r15
+# re-measured the crossover after the r14 literal-rendering fix removed
+# the driver cost (guide §4.2; sf0.1 embeddings, 2000 x 64d, min-of-2
+# noop-sink): literal 0.55 / 1.18 / 5.09 / 11.80 s at 16 / 64 / 256 /
+# 1024 cells vs Arrow 0.28 / 0.34 / 0.35 / 0.23 s — the GEMM is flat
+# while the fold is linear, and it already wins at 16 x 64 = 1024. The
+# budget drops 4096 -> 768 so every real corpus shape (>= 16 cells x
+# 64 dims) rides the GEMM; micro fixtures (unit tests, few-cell toy
+# models) stay on the literal tier. Pin safety: the tiers may disagree
+# only on a last-ulp cosine tie (numpy pairwise vs sequential fold
+# summation); all pinned similarity queries were re-verified
+# bit-identical against the DuckDB/independent oracle at sf0.001 and
+# sf0.01 (the driver's gate SFs) after the flip — see
+# OPTIMIZATION_r15.md.
+# UNIT: cells x dims (a matrix-element count) — NOT the same unit as
+# _DRIVER_MODEL_CELL_BUDGET (cells); tuning one must not move the other.
+_ASSIGN_INTERPRETED_BUDGET = 768  # cells * dims
 
 
 def _assign_nearest(
@@ -790,6 +801,14 @@ def _assign_nearest_vectorized(
         # rule = lowest cell id on ties (cells are sorted ascending)
         best = cells[np.argmax(m @ cmat_t, axis=1)]
         return pd.DataFrame({"cell": best, "vnorm": vnorm})
+
+    # asNondeterministic stops the optimizer duplicating the GEMM (guide
+    # §4.4): a downstream equi-join on `cell` pushes an isnotnull(cell)
+    # filter below the projection, and the plan then carried TWO stacked
+    # ArrowEvalPython nodes evaluating _assign per corpus row (observed
+    # r15, plans/r15/emb_ann_ivf_after.txt pre-fix). The function is
+    # genuinely deterministic; the marker only constrains reordering.
+    _assign = _assign.asNondeterministic()
 
     out = df.select(
         F.col(id_col).alias(f"{prefix}_id"),
