@@ -46,6 +46,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # Parquet scans: larger row groups per task at 100 TB; harmless locally.
         .config("spark.sql.files.maxPartitionBytes", "256m")
+        # zstd store bytes (r15, guide §6.3): smaller than snappy at
+        # similar read speed — every persisted store (mh_index posting
+        # lists, ingest cert store, IVF/PQ codes, manifests) shrinks,
+        # which at 100 TB is scan bytes and file-open time. Values are
+        # codec-independent (pins/oracles unaffected); size ESTIMATES on
+        # parquet scans shrink with the bytes, which only biases
+        # dispatches toward broadcast/explicit-repartition — both
+        # directions already guarded (write_store requires a 2x margin;
+        # broadcasts are size-capped).
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # testdata parquet carries un-adjusted-to-UTC micros; read them as
         # TIMESTAMP (session tz is UTC) rather than TIMESTAMP_NTZ, which
