@@ -447,7 +447,13 @@ def curate_crawl(
         fresh = fresh.join(F.broadcast(exact), "doc_id", "left_anti")
         fresh = fresh.localCheckpoint(eager=True)
         _dmark("exact_probe")
-        fresh_sigs = sigs.join(fresh.select("doc_id"), "doc_id", "left_semi")
+        # lazy (r15): the probe's first action (the bounded pfx-list
+        # collect) holds this frame once and materializes it; the
+        # banded join side and the est-join side then read blocks
+        # instead of re-running the semi-join per consumer
+        fresh_sigs = sigs.join(
+            fresh.select("doc_id"), "doc_id", "left_semi"
+        ).localCheckpoint(eager=False)
         dups = (
             dedup_fuzzy.minhash_probe_index(spark, idx, fresh, sigs=fresh_sigs)
             .where(F.col("est_jaccard") >= est_threshold)
@@ -467,7 +473,14 @@ def curate_crawl(
     # their copies quadratically inside identical LSH buckets)
     wexact = dedup_fuzzy.exact_within_drops(novel_sigs, hash_col="sig_hash")
     novel = novel.join(F.broadcast(wexact), "doc_id", "left_anti")
-    novel_sigs = novel_sigs.join(F.broadcast(wexact), "doc_id", "left_anti")
+    # lazy (r15): the pairing build's saturation-detection count is the
+    # first action and holds this frame once (the wexact broadcast under
+    # it builds strictly first) — it materializes the blocks; the two
+    # est-join sides then read blocks instead of re-running the
+    # semi/anti joins per consumer
+    novel_sigs = novel_sigs.join(
+        F.broadcast(wexact), "doc_id", "left_anti"
+    ).localCheckpoint(eager=False)
     within = (
         dedup_fuzzy.minhash_lsh_pairs(novel, sigs=novel_sigs)
         .where(F.col("est_jaccard") >= est_threshold)

@@ -184,9 +184,13 @@ def dedup_batch(
     # signature-identical variants both collapse here)
     wexact = exact_within_drops(surv_sigs, hash_col="sig_hash")
     survivors = survivors.join(F.broadcast(wexact), "doc_id", "left_anti")
+    # lazy (r15, the curate posture): the pairing build's detection
+    # count is the first action and holds this frame once — the two
+    # est-join sides then read blocks instead of re-running the
+    # semi/anti joins per consumer
     surv_sigs = surv_sigs.join(
         F.broadcast(wexact), "doc_id", "left_anti"
-    )
+    ).localCheckpoint(eager=False)
     within = (
         minhash_lsh_pairs(survivors, sigs=surv_sigs)
         .where(F.col("est_jaccard") >= est_threshold)
