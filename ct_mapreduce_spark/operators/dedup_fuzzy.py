@@ -1318,10 +1318,14 @@ def minhash_probe_index(
         bsigs = sigs
     else:
         # hash columns pruned pre-checkpoint (see minhash_lsh_pairs) —
-        # the standalone probe's exact tier is the CALLER's composition
+        # the standalone probe's exact tier is the CALLER's composition.
+        # LAZY (r15): the bounded pfx-list collect below is the first
+        # action and holds this frame exactly once — it runs the Python
+        # signature pass, persists the blocks, and returns the prefix
+        # list in one job (the eager form paid a separate job first).
         bsigs = minhash_signatures(
             fan_out(new_docs), text_col, k, num_hashes, seed
-        ).select("doc_id", "minhash").localCheckpoint(eager=True)
+        ).select("doc_id", "minhash").localCheckpoint(eager=False)
     bband = _banded_frame(bsigs, num_hashes, bands).withColumn(
         "pfx", F.substring("bucket", 1, 2)
     )
