@@ -313,6 +313,17 @@ def remove_dup_spans(
         )
         .distinct()
     )
+    # Examined r15 (guide §2.4): pre-clustering the token side on doc_id
+    # alone so the anti-join and the per-document rebuild share one
+    # token-stream exchange does NOT work under Spark's defaults —
+    # spark.sql.requireAllClusterKeysForCoPartition=true makes
+    # EnsureRequirements reject subset-key co-partitioning, so the join
+    # re-shuffles both sides on (doc_id, pos) anyway and the explicit
+    # repartition is a pure extra exchange (verified in the forced
+    # sort-merge regime, plans/r15/docs_remove_dup_spans_after_smj_
+    # regime.txt predecessor capture). In the common regime the covered
+    # side is boilerplate-bounded and broadcasts, so the token stream
+    # shuffles exactly once (the rebuild groupBy) — already minimal.
     kept = tok_pos.join(covered, ["doc_id", "pos"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
